@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Headline benchmark: run the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+# Headline set: one per operator family, weighted toward the expensive shapes
+# (fact-fact joins, wide aggs, windows, text/vector ops).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q5_revenue_by_nation",
+    "q3_top_orders_by_segment",
+    "q6_revenue_forecast",
+    "join_theta_residual",
+    "agg_count_distinct",
+    "window_topk_per_group",
+    "sort_topk_global",
+    "pivot_events_by_type",
+    "fn_json_suite",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from wiki_mysql_spark.queries import QUERIES
+    from wiki_mysql_spark.session import get_session
+
+    spark = get_session("wiki_mysql_spark-bench")
+    names = [n for n in HEADLINE if n in QUERIES]
+
+    # Warm the JVM/codegen once on the smallest SF so per-query numbers
+    # measure execution, not first-call classloading.
+    QUERIES[names[0]](spark, "/root/testdata/sf0.001").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        # noop sink fully materializes every column (a bare .count() would let
+        # the optimizer prune window/projection work).
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,10 @@
+"""Import every query module so registration side-effects populate the
+registry; expose the merged QUERIES/ORACLE dicts."""
+
+from wiki_mysql_spark.queries import (  # noqa: F401  (registration side-effects)
+    functions_lib,
+    relational,
+)
+from wiki_mysql_spark.queries.registry import ORACLE, QUERIES
+
+__all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,243 @@
+"""Scalar function library surface (SURVEY.md §2.6 — [absent] in the
+reference beyond the cleaning-chain string ops in
+``/root/reference/filters.py:19-64``).
+
+All of these are built-in ``pyspark.sql.functions`` — JVM-side, inside
+whole-stage codegen; no Python round-trips in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wiki_mysql_spark.queries.registry import query
+from wiki_mysql_spark.sources.tables import load_table
+
+
+@query(
+    "fn_string_suite",
+    """
+    SELECT c_custkey,
+           upper(c_name)                       AS name_upper,
+           length(c_name)                      AS name_len,
+           substr(c_name, 1, 8)                AS name_prefix,
+           concat(c_mktsegment, '#', c_name)   AS seg_name,
+           replace(c_name, 'Customer', 'Cust') AS name_short,
+           levenshtein(c_mktsegment, 'MACHINERY') AS seg_dist,
+           split_part(c_name, '#', 2)          AS name_num
+    FROM customer
+    """,
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_name")).alias("seg_name"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.levenshtein(F.col("c_mktsegment"), F.lit("MACHINERY")).cast("long").alias("seg_dist"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+    )
+
+
+@query(
+    "fn_regexp_suite",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1)      AS first_word,
+           regexp_matches(text, 'join .* hash')     AS has_join_hash,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len
+    FROM documents
+    """,
+)
+def fn_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_* family (the backbone of the wiki cleaning chain, F3-F6)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        F.col("text").rlike("join .* hash").alias("has_join_hash"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("long").alias("novowel_len"),
+    )
+
+
+@query(
+    "fn_date_suite",
+    """
+    SELECT event_id,
+           extract(year FROM ts)::INT        AS ev_year,
+           extract(month FROM ts)::INT       AS ev_month,
+           extract(day FROM ts)::INT         AS ev_day,
+           extract(hour FROM ts)::INT        AS ev_hour,
+           date_trunc('day', ts)             AS ev_date,
+           date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts)::INT AS days_since_epoch_start
+    FROM events
+    """,
+)
+def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").alias("ev_year"),
+        F.month("ts").alias("ev_month"),
+        F.dayofmonth("ts").alias("ev_day"),
+        F.hour("ts").alias("ev_hour"),
+        F.date_trunc("day", F.col("ts")).alias("ev_date"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@query(
+    "fn_math_suite",
+    """
+    SELECT o_orderkey,
+           round(abs(o_totalprice - 250000), 2)  AS dist_from_mid,
+           ceil(o_totalprice / 100000)::BIGINT   AS price_bucket,
+           floor(sqrt(o_totalprice))::BIGINT     AS sqrt_floor,
+           round(ln(o_totalprice), 6)            AS log_price,
+           o_orderkey % 7                        AS key_mod
+    FROM orders
+    """,
+)
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(F.abs(F.col("o_totalprice") - 250000), 2).alias("dist_from_mid"),
+        F.ceil(F.col("o_totalprice") / 100000).cast("long").alias("price_bucket"),
+        F.floor(F.sqrt("o_totalprice")).cast("long").alias("sqrt_floor"),
+        F.round(F.log("o_totalprice"), 6).alias("log_price"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "fn_conditional_suite",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 400000 THEN 'high'
+                WHEN o_totalprice >= 150000 THEN 'mid'
+                ELSE 'low' END                       AS price_band,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           (o_orderpriority = '1-URGENT')            AS is_urgent
+    FROM orders
+    """,
+)
+def fn_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 400000, "high")
+        .when(F.col("o_totalprice") >= 150000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_urgent"),
+    )
+
+
+@query(
+    "fn_array_suite",
+    """
+    SELECT vec_id,
+           len(embedding)                                   AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 4)           AS first_component,
+           round(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                             (a, b) -> a + b), 4)           AS sq_norm,
+           len(list_filter(embedding, x -> x > 0))          AS n_positive
+    FROM embeddings
+    """,
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/filter/aggregate) — executed
+    JVM-side; this is the no-UDF path for vector math. Accumulation is forced
+    to double on both engines (float32 fold would drift)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_component"),
+        F.round(
+            F.aggregate(
+                F.transform(emb_d, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("sq_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+@query(
+    "fn_explode_posexplode",
+    """
+    SELECT vec_id, pos, round(component, 4) AS component
+    FROM (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1)::BIGINT - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE)             AS component
+        FROM embeddings
+        WHERE vec_id < 10
+    )
+    """,
+)
+def fn_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF shape (reference U3 [absent]): lateral explode with position."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 10)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "raw_component")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("raw_component").cast("double"), 4).alias("component"),
+    )
+
+
+@query(
+    "fn_json_suite",
+    """
+    SELECT event_type,
+           round(avg(json_extract_string(props, '$.k')::INT), 4) AS avg_k,
+           max(json_extract_string(props, '$.k')::INT)           AS max_k,
+           count(*)                                               AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string extraction (events.props) via get_json_object."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "fn_from_json_struct",
+    """
+    SELECT event_id, json_extract_string(props, '$.k')::INT AS k
+    FROM events WHERE json_extract_string(props, '$.k')::INT > 90
+    """,
+)
+def fn_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parse (from_json -> struct) rather than path probes —
+    at scale, parse once into a struct column instead of N get_json_object
+    passes over the same string."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("pj", F.from_json("props", "k INT"))
+    return parsed.select("event_id", F.col("pj.k").alias("k")).where(F.col("k") > 90)
