@@ -1,0 +1,106 @@
+"""E2E smoke for the wiki pipeline (SURVEY.md §5.4): synthetic mediawiki XML
+-> read_wiki_dump -> build_wiki_tables -> exact articles/bodies contents."""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from wiki_mysql_spark.operators.ids import dense_ids
+from wiki_mysql_spark.plans.wiki_pipeline import build_wiki_tables
+from wiki_mysql_spark.sources.wikixml import read_wiki_dump
+
+WIKI_XML = textwrap.dedent(
+    """\
+    <mediawiki>
+      <page>
+        <title>Alpha</title><ns>0</ns><id>1</id>
+        <revision><text>Alpha body with a [[Beta|link]] and {{tmpl}} markup.</text></revision>
+      </page>
+      <page>
+        <title>Beta</title><ns>0</ns><id>2</id>
+        <revision><text>Beta body &amp; more.</text></revision>
+      </page>
+      <page>
+        <title>Alpha redirect</title><ns>0</ns><id>3</id>
+        <redirect title="Alpha"/>
+        <revision><text>#REDIRECT [[Alpha]]</text></revision>
+      </page>
+      <page>
+        <title>Chain start</title><ns>0</ns><id>4</id>
+        <revision><text>#REDIRECT [[Alpha redirect]]</text></revision>
+      </page>
+      <page>
+        <title>Cycle one</title><ns>0</ns><id>5</id>
+        <revision><text>#REDIRECT [[Cycle two]]</text></revision>
+      </page>
+      <page>
+        <title>Cycle two</title><ns>0</ns><id>6</id>
+        <revision><text>#REDIRECT [[Cycle one]]</text></revision>
+      </page>
+      <page>
+        <title>Dangler</title><ns>0</ns><id>7</id>
+        <revision><text>#REDIRECT [[Nowhere]]</text></revision>
+      </page>
+      <page>
+        <title>Template:Skip me</title><ns>10</ns><id>8</id>
+        <revision><text>not namespace 0</text></revision>
+      </page>
+    </mediawiki>
+    """
+)
+
+
+@pytest.fixture(scope="module")
+def wiki_tables(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("wikixml") / "dump.xml"
+    path.write_text(WIKI_XML)
+    pages = read_wiki_dump(spark, str(path))
+    articles, bodies = build_wiki_tables(pages)
+    return pages, articles.collect(), bodies.collect()
+
+
+def test_namespace_filter(spark, wiki_tables):
+    pages, _, _ = wiki_tables
+    assert pages.count() == 7  # ns=10 page dropped at the scan
+
+
+def test_bodies_cleaned(wiki_tables):
+    _, _, bodies = wiki_tables
+    by_body = {r["body"]: r["id"] for r in bodies}
+    assert "Alpha body with a link and markup." in by_body
+    assert "Beta body & more." in by_body
+    assert len(bodies) == 2  # only non-redirect ns-0 pages get bodies
+
+
+def test_articles_share_target_body(wiki_tables):
+    _, articles, bodies = wiki_tables
+    bid = {r["title"]: r["body"] for r in articles}
+    # direct articles
+    assert set(bid) == {"Alpha", "Beta", "Alpha redirect", "Chain start"}
+    # redirect + chain share Alpha's body row (README.md:49-54 semantics)
+    assert bid["Alpha redirect"] == bid["Alpha"]
+    assert bid["Chain start"] == bid["Alpha"]
+    # cycle + dangling pages produce no article row (dbfy.py:118-121,161-166)
+    # ids are dense 1..N
+    ids = sorted(r["id"] for r in articles)
+    assert ids == list(range(1, len(articles) + 1))
+    body_ids = sorted(r["id"] for r in bodies)
+    assert body_ids == list(range(1, len(bodies) + 1))
+
+
+def test_aid_preserved(wiki_tables):
+    _, articles, _ = wiki_tables
+    aid = {r["title"]: r["aid"] for r in articles}
+    assert aid == {"Alpha": 1, "Beta": 2, "Alpha redirect": 3, "Chain start": 4}
+
+
+def test_dense_ids_deterministic_and_dense(spark):
+    df = spark.createDataFrame(
+        [(c, i) for i, c in enumerate("zyxwvutsrq")], ["k", "v"]
+    ).repartition(4)
+    out = dense_ids(df, ["k"], id_col="id").orderBy("id").collect()
+    assert [r["k"] for r in out] == sorted("zyxwvutsrq")
+    assert [r["id"] for r in out] == list(range(1, 11))

@@ -1,0 +1,246 @@
+"""The wiki-body cleaning chain as native Column expressions.
+
+Re-expresses ``WikiBodyFilter`` (``/root/reference/filters.py:12-64``) — a
+per-row Python callable in the reference — as a chain of ``regexp_replace``
+columns that Catalyst folds into whole-stage codegen. No Python executes per
+row on the hot path; the only optional UDF is full HTML-entity decoding
+(:func:`decode_html_entities_udf`), kept Arrow-batched and iterator-form.
+
+Chain order is the reference's (``filters.py:52-64``):
+  1. entity decode       (``filters.py:55-56``, gated by remove_html)
+  2. markup strip        (``filters.py:58`` — gensim remove_markup)
+  3. unicode whitelist   (``filters.py:25-34,60-61``)
+  4. unicode blacklist   (``filters.py:36-46,60-61``; applied after whitelist)
+  5. whitespace collapse (``filters.py:48-50,63`` — keeps the FIRST char of
+     each whitespace run, so "\\n   " -> "\\n")
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+# Anchored, case-sensitive — the reference uses REDIRECT_PAT.match
+# (``/root/reference/dbfy.py:105,129``), i.e. match-at-start only.
+REDIRECT_PATTERN = r"^#REDIRECT \[\[([^\]]*)\]\]"
+
+# Common named entities handled natively; the full (numeric + all named)
+# decode needs Python's html.unescape -> decode_html_entities_udf.
+_NAMED_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # last, so "&amp;lt;" decodes once, like html.unescape
+]
+
+
+def is_redirect_body(body: Column) -> Column:
+    """True when the body matches the anchored redirect pattern — including
+    an empty target ``#REDIRECT [[]]``, which the reference classifies as a
+    redirect and then drops in the resolve pass (``dbfy.py:129-134,161-166``).
+    """
+    return body.rlike(REDIRECT_PATTERN)
+
+
+def extract_redirect_target(body: Column) -> Column:
+    """Redirect target title, or NULL for non-redirect bodies (F7).
+
+    ``regexp_extract`` returns '' on no-match, so gate on an anchored rlike;
+    an explicit empty target (``#REDIRECT [[]]``) also resolves to NULL —
+    the reference would carry '' forward and drop it in the resolve pass
+    anyway (``/root/reference/dbfy.py:161-166``).
+    """
+    target = F.regexp_extract(body, REDIRECT_PATTERN, 1)
+    return F.when(body.rlike(REDIRECT_PATTERN) & (target != ""), target)
+
+
+def decode_html_entities(col: Column) -> Column:
+    """Native fast-path entity decode: the common named entities plus
+    numeric ``&#NNN;``/``&#xHH;`` for the ASCII range via regexp.
+
+    Numeric entities outside what a regex table can express are left for the
+    UDF variant; at 100 TB this native path covers the overwhelming majority
+    of occurrences without leaving the JVM.
+    """
+    for ent, ch in _NAMED_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def decode_html_entities_udf():
+    """Exact-parity entity decode (numeric + all named), as an Arrow-batched
+    iterator pandas UDF. Iterator form amortizes per-worker setup, mirroring
+    the reference's pool-initializer pattern (``/root/reference/dbfy.py:218-224``).
+    """
+    import html
+
+    @F.pandas_udf(StringType())
+    def _decode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(lambda t: html.unescape(t) if t is not None else None)
+
+    return _decode
+
+
+# The markup-strip pass list, shared verbatim by the Spark chain and the
+# DuckDB oracle-SQL generator (queries/wiki.py). Each entry is
+# ("re", pattern, replacement) or ("lit", literal, replacement). Patterns are
+# RE2-compatible (no backrefs in patterns, no lookaround) so both engines run
+# literally the same regexes; replacements use $N (rewritten to \\N for RE2).
+MARKUP_PASSES: list[tuple[str, str, str]] = [
+    # HTML comments (dot-all)
+    ("re", r"(?s)<!--.*?-->", ""),
+    # <ref ...>...</ref> and self-closing <ref .../>
+    ("re", r"(?s)<ref([> ].*?)(</ref>|/>)", ""),
+    # <math>/<nowiki> blocks
+    ("re", r"(?s)<(math|nowiki)([> ].*?)(</(math|nowiki)>|/>)", ""),
+    # any other tag
+    ("re", r"(?s)<(.*?)>", ""),
+    # category links
+    ("re", r"\[\[Category:[^\]\[]*\]\]", ""),
+    # file/image links (whole construct dropped)
+    ("re", r"\[\[(file:|image:|File:|Image:)[^\]]*\]\]", ""),
+    # external links: keep description ([http://x desc] -> desc)
+    ("re", r"\[(\w+)://([^ \]]*)( ([^\]]*))?\]", "$4"),
+    # innermost templates {{...}}
+    ("re", r"(?s)\{\{[^{}]*\}\}", ""),
+    # table rows/cells: {| ... |} blocks, line-wise markers
+    ("re", r"(?m)^(\{\||\|\}|\|-|\|)[^\n]*$", ""),
+    ("re", r"(?m)^![^\n]*$", ""),
+    # piped wiki links: keep description ([[a|b]] -> b)
+    ("re", r"\[\[([^\]\[|]*)\|([^\]\[|]*)\]\]", "$2"),
+    # plain wiki links: keep target ([[a]] -> a)
+    ("re", r"\[\[([^\]\[|]*)\]\]", "$1"),
+    # empty brackets left behind
+    ("lit", "[]", ""),
+]
+
+# applied once after the iterated passes (gensim promote_remaining)
+PROMOTE_PASSES: list[tuple[str, str, str]] = [
+    ("lit", "[", ""),
+    ("lit", "]", ""),
+]
+
+WHITESPACE_PASS: tuple[str, str, str] = ("re", r"(\s)\s*", "$1")
+
+
+def _apply_pass(col: Column, kind: str, pat: str, repl: str) -> Column:
+    if kind == "lit":
+        return F.replace(col, F.lit(pat), F.lit(repl))
+    return F.regexp_replace(col, pat, repl)
+
+
+def strip_wiki_markup(col: Column, iterations: int = 3) -> Column:
+    """Wiki-markup strip (F3) as an iterated regexp chain.
+
+    Mirrors the pass structure of gensim's ``remove_markup`` (invoked at
+    ``/root/reference/filters.py:58``): comments, <ref>, <math>/<nowiki>,
+    other tags, category/file/image links, external links (keep description),
+    pipe links (keep description), template and table markup, then promote
+    remaining brackets. Nested constructs resolve innermost-out, so the chain
+    runs a fixed ``iterations`` passes (gensim caps at 3 as well).
+    """
+    for _ in range(iterations):
+        for kind, pat, repl in MARKUP_PASSES:
+            col = _apply_pass(col, kind, pat, repl)
+    for kind, pat, repl in PROMOTE_PASSES:
+        col = _apply_pass(col, kind, pat, repl)
+    return col
+
+
+def _ranges_to_class(ranges: tuple[tuple[int, int], ...]) -> str:
+    """Codepoint ranges -> regex char-class body, built at plan time (the
+    reference builds these once in __init__, ``filters.py:25-46``; range
+    parsing from CLI at ``dbfy.py:20-31``)."""
+    return "".join(f"\\x{{{s:04x}}}-\\x{{{e:04x}}}" for s, e in ranges)
+
+
+def unicode_whitelist(col: Column, ranges: tuple[tuple[int, int], ...]) -> Column:
+    """Delete every char OUTSIDE the given ranges (F4, ``filters.py:25-34``)."""
+    if not ranges:
+        return col
+    return F.regexp_replace(col, f"[^{_ranges_to_class(ranges)}]", "")
+
+
+def unicode_blacklist(col: Column, ranges: tuple[tuple[int, int], ...]) -> Column:
+    """Delete every char INSIDE the given ranges (F5, ``filters.py:36-46``)."""
+    if not ranges:
+        return col
+    return F.regexp_replace(col, f"[{_ranges_to_class(ranges)}]", "")
+
+
+def collapse_whitespace(col: Column) -> Column:
+    """Collapse each whitespace run to its FIRST character (F6):
+    ``(\\s)\\s*`` -> ``$1`` exactly as ``filters.py:48-50,63``."""
+    kind, pat, repl = WHITESPACE_PASS
+    return _apply_pass(col, kind, pat, repl)
+
+
+def cleaning_chain_duckdb_sql(
+    expr: str,
+    *,
+    remove_html: bool = True,
+    valid_unicodes: tuple[tuple[int, int], ...] = (),
+    invalid_unicodes: tuple[tuple[int, int], ...] = (),
+    markup_iterations: int = 3,
+) -> str:
+    """Generate DuckDB SQL applying the exact F1-F6 chain to ``expr``.
+
+    Built from the SAME pass lists as the Spark chain so the oracle is
+    literally the same sequence of regexes (DuckDB's RE2 takes ``\\N``
+    backrefs in replacements and an 's' option instead of Spark's inline-only
+    flags; patterns themselves are shared verbatim).
+    """
+
+    def one(e: str, kind: str, pat: str, repl: str) -> str:
+        if kind == "lit":
+            lit = pat.replace("'", "''")
+            rep = repl.replace("'", "''")
+            return f"replace({e}, '{lit}', '{rep}')"
+        # DuckDB's regexp engine is RE2, which honors inline (?s)/(?m) flags,
+        # so patterns pass through verbatim with just the global option.
+        options = "g"
+        pat_sql = pat.replace("\\", "\\\\").replace("'", "''")
+        repl_sql = repl
+        for i in range(9, 0, -1):
+            repl_sql = repl_sql.replace(f"${i}", f"\\\\{i}")
+        return f"regexp_replace({e}, e'{pat_sql}', e'{repl_sql}', '{options}')"
+
+    e = expr
+    if remove_html:
+        for ent, ch in _NAMED_ENTITIES:
+            e = one(e, "lit", ent, ch)
+    for _ in range(markup_iterations):
+        for kind, pat, repl in MARKUP_PASSES:
+            e = one(e, kind, pat, repl)
+    for kind, pat, repl in PROMOTE_PASSES:
+        e = one(e, kind, pat, repl)
+    if valid_unicodes:
+        e = one(e, "re", f"[^{_ranges_to_class(valid_unicodes)}]", "")
+    if invalid_unicodes:
+        e = one(e, "re", f"[{_ranges_to_class(invalid_unicodes)}]", "")
+    kind, pat, repl = WHITESPACE_PASS
+    return one(e, kind, pat, repl)
+
+
+def clean_wiki_body(
+    col: Column,
+    *,
+    remove_html: bool = True,
+    valid_unicodes: tuple[tuple[int, int], ...] = (),
+    invalid_unicodes: tuple[tuple[int, int], ...] = (),
+    markup_iterations: int = 3,
+) -> Column:
+    """The full F1-F6 chain in reference order (``filters.py:52-64``)."""
+    if remove_html:
+        col = decode_html_entities(col)
+    col = strip_wiki_markup(col, markup_iterations)
+    col = unicode_whitelist(col, valid_unicodes)
+    col = unicode_blacklist(col, invalid_unicodes)
+    return collapse_whitespace(col)

@@ -1,0 +1,72 @@
+"""Dense surrogate-id assignment (SURVEY.md A1).
+
+The reference leans on MySQL ``AUTO_INCREMENT`` + ``cursor.lastrowid``
+(``/root/reference/database.py:67-83``, ``sql/init.sql:6,12``) — ids are
+insertion-ordered, i.e. dump-ordered. Spark has no auto-increment, and
+``lastrowid`` round-trips are antithetical to batch writes, so ids are
+assigned up front, deterministically, ordered by an explicit key.
+
+Scale design: a ``row_number()`` over a global (unpartitioned) window funnels
+everything through one task; an RDD ``zipWithIndex`` round-trips rows through
+Python. Instead:
+
+  1. range-partition + sort-within-partitions on the order key (parallel
+     global sort),
+  2. tag rows with ``monotonically_increasing_id`` — documented layout:
+     partition id in the upper 31 bits, a dense per-partition counter in the
+     lower 33 — and extract the within-partition index JVM-side,
+  3. one tiny aggregate collects per-partition counts; cumulative offsets go
+     back in as a broadcast join.
+
+Everything heavy stays in whole-stage codegen; the only driver data is one
+row per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_LOW33 = (1 << 33) - 1
+
+
+def dense_ids(
+    df: DataFrame,
+    order_by: list[str | Column],
+    *,
+    id_col: str = "id",
+    start: int = 1,
+) -> DataFrame:
+    """Add a dense, deterministic ``start``-based id column ordered by
+    ``order_by`` (which must be a total order — include a unique tiebreaker,
+    or ids within ties become partition-placement-dependent)."""
+    spark = df.sparkSession
+    n_part = max(df.rdd.getNumPartitions(), 1)
+    ordered = df.repartitionByRange(n_part, *order_by).sortWithinPartitions(*order_by)
+
+    tagged = ordered.withColumn("_mid", F.monotonically_increasing_id()).withColumn(
+        "_pid", F.shiftright("_mid", 33).cast("long")
+    )
+    # Persist so the count pass and the final projection see the exact same
+    # partition layout (repartitionByRange samples range boundaries).
+    tagged = tagged.localCheckpoint(eager=True)
+
+    counts = (
+        tagged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).orderBy("_pid").collect()
+    )
+    offsets, acc = [], start
+    for row in counts:
+        offsets.append((row["_pid"], acc))
+        acc += row["_n"]
+    offset_df = F.broadcast(
+        spark.createDataFrame(offsets, ["_pid", "_offset"])
+    )
+
+    out_cols = [F.col(c) for c in df.columns]
+    return (
+        tagged.join(offset_df, "_pid")
+        .select(
+            (F.col("_offset") + (F.col("_mid").bitwiseAND(F.lit(_LOW33)))).alias(id_col),
+            *out_cols,
+        )
+    )

@@ -1,0 +1,101 @@
+"""The wiki ETL end-to-end (SURVEY.md §3.1 — the reference's actual workload).
+
+Reference lifecycle (``/root/reference/dbfy.py:254-313``): stream pages ->
+per-page ``_process`` (redirect branch / clean+insert branch, ``dbfy.py:
+123-153``) -> driver-resident redirect maps -> single-threaded redirect pass
+(``dbfy.py:155-176``). Two tables out: ``bodies(id, body)`` and
+``articles(id, aid, title, body->bodies.id)`` (``sql/init.sql:5-19``).
+
+Spark plan — one scan, two branches, no per-row control flow:
+
+    pages ──ns filter──┬─ redirects (title, target, aid)        [F7 split]
+                       └─ articles  ──clean F1-F6──┬─ bodies    [dense ids]
+                                                   └─ articles rows
+    redirects ──pointer-doubling fixpoint──> extra articles rows [A3]
+
+Differences from the reference, by design:
+  * ids are deterministic (ordered by title) instead of insertion-ordered —
+    dump order is not reproducible under parallel scan anyway.
+  * failed rows would be quarantined, not silently dropped (the reference
+    drops on any insert error, ``dbfy.py:142-143``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wiki_mysql_spark.functions.cleaning import (
+    clean_wiki_body,
+    extract_redirect_target,
+    is_redirect_body,
+)
+from wiki_mysql_spark.operators.ids import dense_ids
+from wiki_mysql_spark.operators.redirects import resolve_redirects
+
+
+def build_wiki_tables(
+    pages: DataFrame,
+    *,
+    remove_html: bool = True,
+    valid_unicodes: tuple[tuple[int, int], ...] = (),
+    invalid_unicodes: tuple[tuple[int, int], ...] = (),
+    max_redirect_depth: int = 1024,
+) -> tuple[DataFrame, DataFrame]:
+    """pages ``(aid, title, ns, text[, redirect_title])`` ->
+    ``(articles, bodies)`` exactly shaped like ``sql/init.sql:5-19``."""
+    has_attr = "redirect_title" in pages.columns
+    attr = F.col("redirect_title") if has_attr else F.lit(None).cast("string")
+    text = F.coalesce(F.col("text"), F.lit(""))  # null revision text -> ""
+    pages = pages.where(F.col("ns") == 0).select(
+        "aid",
+        "title",
+        text.alias("text"),
+        # Redirect iff the dump attribute says so OR the body matches the
+        # anchored pattern — including an empty [[]] target, which stays a
+        # redirect (and then never resolves), matching dbfy.py:129-134.
+        (attr.isNotNull() | is_redirect_body(text)).alias("is_redirect"),
+        F.coalesce(attr, extract_redirect_target(text)).alias("redirect_target"),
+    )
+
+    is_redirect = F.col("is_redirect")
+    redirect_pages = pages.where(is_redirect).select(
+        "title", F.col("redirect_target").alias("target"), "aid"
+    )
+    article_pages = pages.where(~is_redirect).select(
+        "aid",
+        "title",
+        clean_wiki_body(
+            F.col("text"),
+            remove_html=remove_html,
+            valid_unicodes=valid_unicodes,
+            invalid_unicodes=invalid_unicodes,
+        ).alias("body_text"),
+    )
+
+    # bodies: one row per non-redirect page (the reference does NOT content-
+    # dedup bodies — two identical texts get two rows, README.md:49-54).
+    bodies = dense_ids(
+        article_pages.select("title", "body_text"), ["title"], id_col="id"
+    )
+
+    article_rows = bodies.select(
+        F.col("title"), F.col("id").alias("body_id")
+    )
+    bodies = bodies.select("id", F.col("body_text").alias("body"))
+
+    direct_articles = (
+        article_pages.select("aid", "title")
+        .join(article_rows, "title")
+        .select("aid", "title", "body_id")
+    )
+
+    resolved_redirects = resolve_redirects(
+        redirect_pages, article_rows, max_depth=max_redirect_depth
+    ).select("aid", "title", "body_id")
+
+    all_articles = direct_articles.unionByName(resolved_redirects)
+    articles = dense_ids(all_articles, ["title", "aid"], id_col="id").select(
+        "id", "aid", "title", F.col("body_id").alias("body")
+    )
+    return articles, bodies

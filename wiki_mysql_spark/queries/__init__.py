@@ -4,6 +4,7 @@ registry; expose the merged QUERIES/ORACLE dicts."""
 from wiki_mysql_spark.queries import (  # noqa: F401  (registration side-effects)
     functions_lib,
     relational,
+    wiki,
 )
 from wiki_mysql_spark.queries.registry import ORACLE, QUERIES
 
