@@ -29,6 +29,15 @@ HEADLINE = [
     "sort_topk_global",
     "pivot_events_by_type",
     "fn_json_suite",
+    "wiki_clean_markup",
+    "wiki_articles_bodies",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_topk_bruteforce",
+    "text_quality",
+    "text_tokens_fingerprint",
+    "multimodal_features_arrow",
+    "stream_tumbling_window",
 ]
 
 

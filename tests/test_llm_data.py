@@ -1,0 +1,85 @@
+"""Behavioral tests for dedup/similarity/text operators (beyond the oracle
+equivalence, which tests/test_oracle.py covers): known duplicates are found,
+LSH candidates are a subset of brute-force truth, signatures behave."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wiki_mysql_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from wiki_mysql_spark.operators.similarity import brute_force_topk, lsh_topk
+
+DOCS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # exact dup
+    (3, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),  # near dup
+    (4, "one two three four five six seven eight nine ten"),
+    (5, "unrelated totally different content entirely separate words"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).where(F.col("n_copies") > 1).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_copies"] == 2 and groups[0]["keep_doc_id"] == 1
+
+
+def test_minhash_lsh_finds_exact_and_near(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    # 1 vs 3 share 7 of 9 distinct shingles -> 7/9 ≈ 0.777778
+    assert (1, 3) in pairs and abs(pairs[(1, 3)] - 7 / 9) < 1e-5
+    assert all(a < b for a, b in pairs)
+    assert not any({a, b} & {4, 5} for a, b in pairs)
+
+
+def test_simhash_exact_dup_distance_zero(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_ngram_jaccard_values(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert abs(pairs[(1, 3)] - 7 / 9) < 1e-5
+
+
+def test_lsh_topk_subset_of_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = lsh_topk(emb, q, k=5, dim=64, n_planes=8).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    # every LSH result must carry the same similarity the exact path computes
+    all_sims = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in brute_force_topk(emb, q, k=10**6).collect()
+    }
+    for r in approx:
+        assert all_sims[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
+    # brute force returns exactly k per query
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in exact)
+    assert all(v == 5 for v in per_q.values())
+    assert set(per_q) == {0, 1, 2}
+    # sanity: top-1 exact similarity is the global max for that query
+    for qid in per_q:
+        top1 = [r for r in exact if r["query_id"] == qid and r["rank"] == 1][0]
+        assert top1["cos_sim"] == max(
+            s for (g, _), s in all_sims.items() if g == qid
+        )

@@ -1,0 +1,123 @@
+"""Text-analysis column functions for the documents corpus.
+
+All native column expressions (split / higher-order functions / regexp) —
+the scale path for per-document scoring over 100 TB of text. The shared
+hashing primitive is md5-prefix -> integer, chosen because both Spark
+(``conv(substr(md5(s),1,k),16,10)``) and DuckDB (``('0x'||substr(md5(s),1,k))
+::BIGINT``) compute it identically, making every operator oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_PRIME = 1_000_000_007  # < 2^30, so a*h+b stays far from int64 overflow
+
+# tiny per-language stopword profiles for the heuristic language classifier
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr": ("le", "la", "de", "et", "les", "des", "est", "une", "dans", "que"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"),
+}
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space symbols
+TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization (empty strings filtered out)."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def hash64(s: Column, *, hex_chars: int = 8) -> Column:
+    """Deterministic positive int hash from an md5 prefix (cross-engine)."""
+    return F.conv(F.substring(F.md5(s), 1, hex_chars), 16, 10).cast("long")
+
+
+def word_hashes(text: Column) -> Column:
+    """array<long> of per-word hashes mod HASH_PRIME."""
+    return F.transform(words(text), lambda w: hash64(w) % HASH_PRIME)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings (space-joined), for Jaccard/MinHash."""
+    ws = words(text)
+    k = F.size(ws) - (n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        )
+    )
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count via regexp (SURVEY/north-star token counting)."""
+    return F.regexp_count(text, F.lit(TOKEN_PATTERN)).cast("long")
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash over the
+    word-hash sequence, ``h = (h*31 + wh) % p`` — a content signature that is
+    stable across partitioning (unlike any builtin hash of concatenation,
+    this is oracle-computable in SQL as a list fold)."""
+    return F.aggregate(
+        word_hashes(text),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % HASH_PRIME,
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    ws = words(text)
+    profile = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+    n = F.size(ws)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(ws, lambda w: F.array_contains(profile, F.lower(w)))) / n.cast("double")
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit fraction (the n-gram-heuristic classifier)."""
+    return {lang: stopword_ratio(text, lang) for lang in LANG_PROFILES}
+
+
+def detect_lang(text: Column) -> Column:
+    """argmax over lang_scores with deterministic lexicographic tiebreak;
+    'und' (undetermined) when no profile hits at all."""
+    scores = lang_scores(text)
+    best_lang, best_score = F.lit("und"), F.lit(0.0)
+    # iterate in reverse-sorted order so ties resolve to the alphabetically
+    # first language, deterministically
+    for lang in sorted(scores, reverse=True):
+        s = scores[lang]
+        cond = s >= best_score  # >= : later (alphabetically earlier) wins ties
+        best_lang = F.when((s > 0) & cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length/punctuation/stopword quality signals for corpus filtering."""
+    ws = words(text)
+    n_chars = F.length(text).cast("long")
+    n_words = F.size(ws).cast("long")
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "avg_word_len": F.when(n_words == 0, F.lit(0.0)).otherwise(
+            F.aggregate(ws, F.lit(0.0), lambda acc, w: acc + F.length(w))
+            / n_words.cast("double")
+        ),
+        "punct_ratio": F.when(n_chars == 0, F.lit(0.0)).otherwise(
+            F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+            / n_chars.cast("double")
+        ),
+        "stopword_ratio_en": stopword_ratio(text, "en"),
+        "alpha_ratio": F.when(n_chars == 0, F.lit(0.0)).otherwise(
+            F.length(F.regexp_replace(text, r"[^a-zA-Z]", "")) / n_chars.cast("double")
+        ),
+    }

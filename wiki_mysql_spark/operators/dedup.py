@@ -1,0 +1,281 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md U4 /
+north-star). The reference only dedups structurally via redirect chains
+(``/root/reference/README.md:49-54``, SURVEY A2); content-based dedup is new
+surface, built scale-first:
+
+  * exact        — content-hash groupBy (one shuffle on a 64-hex key)
+  * minhash_lsh  — shingle -> k minhashes -> banded keys -> bucket self-join;
+                   candidate pairs are verified with exact shingle Jaccard.
+                   At 100 TB only same-band rows ever meet in a shuffle —
+                   never an all-pairs join.
+  * simhash      — 32-bit sign-sum sketch; Hamming-distance pairs found by
+                   joining on any of 4 byte-blocks (pigeonhole: distance<=3
+                   guarantees one equal block), again avoiding all-pairs.
+  * ngram_jaccard— inverted-index join on shingles (exact, for modest corpora
+                   or post-LSH verification).
+  * embedding    — cosine near-dup pairs; brute force here, LSH-bucketed
+                   variant in operators/similarity.py is the scale path.
+
+Everything is native column expressions over the md5-prefix hash primitive
+(functions/text.py) so each operator has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wiki_mysql_spark.functions.text import HASH_PRIME, hash64, shingles, words
+from wiki_mysql_spark.functions.vectors import cosine
+
+# Fixed affine minhash parameters (deterministic; generated once from a seeded
+# PRNG and frozen here so Spark and the SQL oracle share them).
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (853467887, 912231189),
+    (217741921, 594064960),
+    (589236225, 142962846),
+    (945845546, 804311151),
+    (385963653, 684545574),
+    (581186239, 313638051),
+    (174667723, 494166887),
+    (828475103, 786458973),
+    (133999688, 556784684),
+    (575531712, 309832929),
+    (319541217, 754394722),
+    (125020623, 266723959),
+    (417008331, 898953453),
+    (700520327, 37655832),
+    (156778140, 649004728),
+    (860420832, 310080453),
+]
+N_BANDS = 8  # 16 minhashes, bands of 2
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents by sha256 content hash."""
+    return (
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document minhash signature (doc_id, mh0..mh{k-1}).
+
+    Formulated as explode -> hash-once -> groupBy with k min() aggregates:
+    the md5 of each shingle is computed exactly once (array-lambda variants
+    re-evaluate the hash per minhash function — 16x the hashing), and the
+    mins combine map-side, so the shuffle carries one row per (doc,
+    partition) not one per shingle. Docs with no shingles (<3 words) get the
+    sentinel signature (HASH_PRIME everywhere), which can never collide with
+    a real signature since all real values are < HASH_PRIME.
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    hashed = base.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
+    ).select("doc_id", (hash64(F.col("s")) % HASH_PRIME).alias("h"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_PRIME).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+    )
+    sentinel = [
+        F.coalesce(f"mh{i}", F.lit(HASH_PRIME).cast("long")).alias(f"mh{i}")
+        for i in range(len(MINHASH_PARAMS))
+    ]
+    return (
+        base.select("doc_id").join(sig, "doc_id", "left").select("doc_id", *sentinel)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH, verified with exact
+    shingle Jaccard. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Scale shape: band rows are (doc_id, band, v0, v1) — a few dozen bytes —
+    so the bucket self-join shuffles signatures, never text; the shingle
+    arrays are joined back for the (few) surviving candidate pairs only.
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    sig = minhash_signatures(base)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"mh{2 * b}").alias("v0"),
+                        F.col(f"mh{2 * b + 1}").alias("v1"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.v0", "bk.v1")
+
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.v0") == F.col("r.v0"))
+            & (F.col("l.v1") == F.col("r.v1"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])  # same pair can share many bands
+    )
+    sh = base.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union.cast("double"), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """Per-document SimHash (doc_id, sh): bit j set iff more than half the
+    words have bit j set in their hash.
+
+    Same explode -> hash-once -> groupBy shape as minhash_signatures: one md5
+    per word occurrence, 32 conditional-count aggregates that combine
+    map-side. Wordless docs get signature 0 (matching the sign-sum
+    definition, where every bit-count is 0)."""
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    hashed = base.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("w")
+    ).select("doc_id", hash64(F.col("w")).alias("h"))
+    agg = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(0)
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ],
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"b{j}") * 2 > F.col("n"), F.lit(1 << j)).otherwise(F.lit(0))
+    return (
+        base.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select("doc_id", F.coalesce(sig, F.lit(0)).cast("long").alias("sh"))
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, blocked on 4
+    byte-blocks (pigeonhole guarantees distance<=3 pairs share a block)."""
+    sh = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    blocks = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright("sh", 8 * b).bitwiseAND(F.lit(0xFF)).alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("k"),
+    ).select("doc_id", "sh", "k.blk", "k.bv")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    ham = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via an inverted-index join: docs only meet
+    on shingles they share, so the shuffle is sized by shingle collisions,
+    not |docs|^2."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    l, r = inv.alias("l"), inv.alias("r")
+    common = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Cosine near-dup pairs, brute force (exact). The LSH-bucketed variant
+    in operators/similarity.py is the 100 TB path; this one is the oracle-
+    matched baseline and the post-bucket verifier."""
+    l = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    r = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        l.join(r, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

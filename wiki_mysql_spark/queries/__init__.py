@@ -3,7 +3,10 @@ registry; expose the merged QUERIES/ORACLE dicts."""
 
 from wiki_mysql_spark.queries import (  # noqa: F401  (registration side-effects)
     functions_lib,
+    llm_data,
+    multimodal_queries,
     relational,
+    streaming_queries,
     wiki,
 )
 from wiki_mysql_spark.queries.registry import ORACLE, QUERIES

@@ -1,0 +1,447 @@
+"""LLM-training-data operators as oracle-checked queries: dedup (exact,
+MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity search
+(brute-force + hyperplane-LSH), and text analysis (lang-id, quality, tokens,
+fingerprint).
+
+The synthetic documents corpus contains no duplicates, so a small fixture of
+known exact/near duplicates is unioned in (doc_id >= 100001) — otherwise
+every dedup operator would vacuously return empty and the correctness gate
+would not distinguish a working operator from a broken one.
+
+Every oracle recomputes the SAME deterministic constructions (md5-prefix
+hashes, frozen minhash params, frozen hyperplanes) in DuckDB SQL, with
+explicit left-to-right double folds so floating-point results are
+bit-comparable after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wiki_mysql_spark.functions.text import (
+    HASH_PRIME,
+    LANG_PROFILES,
+    TOKEN_PATTERN,
+    detect_lang,
+    fingerprint,
+    quality_features,
+    token_count,
+)
+from wiki_mysql_spark.operators.dedup import (
+    MINHASH_PARAMS,
+    N_BANDS,
+    embedding_near_dup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from wiki_mysql_spark.operators.similarity import (
+    _hyperplanes,
+    brute_force_topk,
+    lsh_topk,
+)
+from wiki_mysql_spark.queries.registry import query
+from wiki_mysql_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# fixture with known exact + near duplicates
+# ---------------------------------------------------------------------------
+
+DUP_FIXTURE: list[tuple[int, str]] = [
+    (100001, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (100002, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (100003, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    (100004, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu"),
+    (100005, "totally different words entirely unrelated content appears here"),
+]
+
+
+def _docs_with_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fix = spark.createDataFrame(DUP_FIXTURE, ["doc_id", "text"])
+    return docs.unionByName(fix)
+
+
+def _sql_docs_with_fixture() -> str:
+    rows = ", ".join(
+        f"({i}::BIGINT, '{t}')" for i, t in DUP_FIXTURE
+    )
+    return (
+        "SELECT doc_id, text FROM documents "
+        f"UNION ALL SELECT * FROM (VALUES {rows}) fixture(doc_id, text)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments mirroring functions/text.py primitives
+# ---------------------------------------------------------------------------
+
+SQL_WORDS = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+
+
+def _sql_hash(expr: str, chars: int = 8) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, {chars}))::BIGINT)"
+
+
+SQL_SHINGLES = (
+    "CASE WHEN len(ws) < 3 THEN []::VARCHAR[] "
+    "ELSE list_transform(range(1, len(ws) - 1), "
+    "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END"
+)
+
+
+def _sql_minhash_cols() -> str:
+    h = _sql_hash("s")
+    cols = []
+    for i, (a, b) in enumerate(MINHASH_PARAMS):
+        cols.append(
+            f"CASE WHEN len(sh) = 0 THEN {HASH_PRIME}::BIGINT ELSE "
+            f"list_min(list_transform(sh, s -> ({a} * ({h} % {HASH_PRIME}) + {b}) % {HASH_PRIME})) "
+            f"END AS mh{i}"
+        )
+    return ", ".join(cols)
+
+
+def _sql_simhash() -> str:
+    terms = []
+    for j in range(32):
+        terms.append(
+            f"CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << j}) != 0)) > len(hs) "
+            f"THEN {1 << j}::BIGINT ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Explicit left-to-right double fold so the sum order matches Spark's
+    aggregate() exactly (bit-identical doubles)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _sql_sqnorm(a: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / (sqrt({_sql_sqnorm(a)}) * sqrt({_sql_sqnorm(b)})))"
+
+
+# ---------------------------------------------------------------------------
+# dedup queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    f"""
+    WITH corpus AS ({_sql_docs_with_fixture()})
+    SELECT sha256(text) AS content_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS keep_doc_id
+    FROM corpus
+    GROUP BY sha256(text)
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha256 content hash -> one shuffle -> keep-min policy.
+    (The reference never content-dedups — SURVEY A2; this is the extension.)"""
+    return exact_duplicates(_docs_with_fixture(spark, sf_dir)).where(
+        F.col("n_copies") > 1
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH corpus AS ({_sql_docs_with_fixture()}),
+    tokenized AS (SELECT doc_id, {SQL_WORDS} AS ws FROM corpus),
+    shingled AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM tokenized),
+    sigs AS (SELECT doc_id, sh, {_sql_minhash_cols()} FROM shingled),
+    bands AS (
+        SELECT doc_id, sh, b.band,
+               CASE b.band {' '.join(f'WHEN {b} THEN mh{2*b}' for b in range(N_BANDS))} END AS v0,
+               CASE b.band {' '.join(f'WHEN {b} THEN mh{2*b+1}' for b in range(N_BANDS))} END AS v1
+        FROM sigs, (SELECT unnest(range({N_BANDS})) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               l.sh AS sh_a, r.sh AS sh_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.v0 = r.v0 AND l.v1 = r.v1
+         AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(list_distinct(sh_a), list_distinct(sh_b)))
+                 / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE, 6) AS jaccard
+    FROM cand
+    WHERE len(list_intersect(list_distinct(sh_a), list_distinct(sh_b)))
+          / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 perms) + banded LSH (8 bands x 2) near-dup pairs, verified
+    with exact shingle Jaccard. Only same-band rows meet in the join — the
+    shuffle is sized by collisions, never |docs|^2."""
+    return minhash_lsh_pairs(_docs_with_fixture(spark, sf_dir), jaccard_threshold=0.5)
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH corpus AS ({_sql_docs_with_fixture()}),
+    tokenized AS (SELECT doc_id, {SQL_WORDS} AS ws FROM corpus),
+    hashed AS (SELECT doc_id, list_transform(ws, w -> {_sql_hash('w')}) AS hs FROM tokenized),
+    sh AS (SELECT doc_id, ({_sql_simhash()}) AS sh FROM hashed),
+    blocks AS (
+        SELECT doc_id, sh, b.blk, (sh >> (8 * b.blk)) & 255 AS bv
+        FROM sh, (SELECT unnest(range(4)) AS blk) b
+    )
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           bit_count(xor(l.sh, r.sh))::BIGINT AS hamming
+    FROM blocks l JOIN blocks r
+      ON l.blk = r.blk AND l.bv = r.bv AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.sh, r.sh)) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near-dup pairs, byte-block pigeonhole join (hamming<=3
+    implies one of 4 byte-blocks equal) — no all-pairs comparison."""
+    return simhash_pairs(_docs_with_fixture(spark, sf_dir), max_hamming=3)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH corpus AS ({_sql_docs_with_fixture()}),
+    tokenized AS (SELECT doc_id, {SQL_WORDS} AS ws FROM corpus),
+    shingled AS (SELECT doc_id, list_distinct({SQL_SHINGLES}) AS sh FROM tokenized),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+    common AS (
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_common
+        FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard via inverted-index join; top-20 most similar
+    pairs (tie-broken on ids so the k-set is deterministic)."""
+    return (
+        ngram_jaccard_pairs(_docs_with_fixture(spark, sf_dir), threshold=0.0)
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.25
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs (exact brute force — the oracle-matched
+    baseline; the LSH bucket path below is the scale variant)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.25)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {_sql_cosine('q.qv', 'c.embedding')} AS raw_sim
+        FROM q JOIN embeddings c ON q.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, round(raw_sim, 6) AS cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY raw_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors: broadcast queries x corpus
+    scan, per-query top-k window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+def _sql_lsh_signature(vec: str, planes: list[list[float]]) -> str:
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        dot = (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, len({vec}) + 1), "
+            f"i -> {vec}[i]::DOUBLE * ({arr}::DOUBLE[])[i])), (x, y) -> x + y)"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << i}::BIGINT ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+_PLANES = _hyperplanes(64, 8, seed=42)
+
+
+@query(
+    "ann_topk_lsh",
+    f"""
+    WITH c AS (
+        SELECT vec_id AS neighbor_id, embedding AS cv,
+               {_sql_lsh_signature('embedding', _PLANES)} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv,
+               {_sql_lsh_signature('embedding', _PLANES)} AS bucket
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id, {_sql_cosine('q.qv', 'c.cv')} AS raw_sim
+        FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, round(raw_sim, 6) AS cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY raw_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: 8-bit random-hyperplane LSH buckets (frozen seed),
+    exact cosine within bucket. The 100 TB path — a query touches one bucket
+    partition instead of the whole corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10, dim=64, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _sql_stopword_ratio(lang: str) -> str:
+    profile = "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]) + "]"
+    return (
+        f"CASE WHEN len(ws) = 0 THEN 0.0 ELSE "
+        f"len(list_filter(ws, w -> list_contains({profile}, lower(w)))) "
+        f"/ len(ws)::DOUBLE END"
+    )
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH tokenized AS (SELECT doc_id, text, {SQL_WORDS} AS ws FROM documents)
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           len(ws)::BIGINT AS n_words,
+           round(CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+               list_reduce(list_prepend(0.0, list_transform(ws, w -> length(w)::DOUBLE)),
+                           (a, b) -> a + b) / len(ws)::DOUBLE END, 6) AS avg_word_len,
+           round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               length(regexp_replace(text, e'[^!-/:-@\\\\[-`{{-~]', '', 'g'))
+               / length(text)::DOUBLE END, 6) AS punct_ratio,
+           round({_sql_stopword_ratio('en')}, 6) AS stopword_ratio_en,
+           round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+               / length(text)::DOUBLE END, 6) AS alpha_ratio
+    FROM tokenized
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals (length / punctuation / stopword / alpha
+    ratios) — the corpus-filtering scorer, all native columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_words"].alias("n_words"),
+        F.round(feats["avg_word_len"], 6).alias("avg_word_len"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stopword_ratio_en"], 6).alias("stopword_ratio_en"),
+        F.round(feats["alpha_ratio"], 6).alias("alpha_ratio"),
+    )
+
+
+_LANGS_SORTED = sorted(LANG_PROFILES)
+
+
+@query(
+    "text_langid",
+    f"""
+    WITH tokenized AS (SELECT doc_id, lang AS labeled_lang, {SQL_WORDS} AS ws FROM documents),
+    scored AS (
+        SELECT doc_id, labeled_lang,
+               {', '.join(f"{_sql_stopword_ratio(lang)} AS s_{lang}" for lang in _LANGS_SORTED)}
+        FROM tokenized
+    )
+    SELECT doc_id, labeled_lang,
+           CASE
+             {' '.join(f"WHEN s_{lang} > 0 AND s_{lang} >= greatest({', '.join('s_' + x for x in _LANGS_SORTED)}) THEN '{lang}'" for lang in _LANGS_SORTED)}
+             ELSE 'und' END AS detected_lang
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-profile argmax, alphabetical
+    tiebreak, 'und' when nothing matches) next to the labeled lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        detect_lang(F.col("text")).alias("detected_lang"),
+    )
+
+
+@query(
+    "text_tokens_fingerprint",
+    f"""
+    WITH tokenized AS (SELECT doc_id, text, {SQL_WORDS} AS ws FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{TOKEN_PATTERN}'))::BIGINT AS n_tokens,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform(ws, w -> {_sql_hash('w')} % {HASH_PRIME})),
+               (acc, x) -> (acc * 31 + x) % {HASH_PRIME}) AS doc_fingerprint
+    FROM tokenized
+    """,
+)
+def text_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting + order-sensitive rolling-hash fingerprint
+    (content signature stable under repartitioning)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        fingerprint(F.col("text")).alias("doc_fingerprint"),
+    )

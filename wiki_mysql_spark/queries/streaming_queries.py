@@ -1,0 +1,128 @@
+"""Streaming operators as oracle-checked queries.
+
+Each query builds a genuine Structured Streaming plan (watermark + stateful
+operator), executes it with availableNow into a memory sink, and returns the
+result. The DuckDB oracle computes the batch-equivalent answer — which is
+what a drained stream must equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wiki_mysql_spark.queries.registry import query
+from wiki_mysql_spark.streaming.events import read_events_stream, run_stream_to_memory
+
+
+@query(
+    "stream_tumbling_window",
+    """
+    SELECT date_trunc('day', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation (1-day windows). The window
+    state lives in the streaming state store, partitioned by (window,
+    event_type) — at scale, state size is bounded by the watermark horizon,
+    not by stream length."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "stream_sliding_window",
+    """
+    SELECT date_trunc('day', ts) - INTERVAL (o.off) DAY AS window_start,
+           count(*) AS n_events
+    FROM events, (SELECT unnest([0, 1]) AS off) o
+    GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2-day length, 1-day slide): every event lands in two
+    overlapping windows; the oracle replicates that with an offset unnest."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "stream_session_window",
+    """
+    WITH seq AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM seq
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — the custom-stateful-operator
+    shape; the oracle is the classic gaps-and-islands SQL."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "stream_dedup_watermark",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type) within the
+    watermark. Only the keys are emitted — which arriving row survives a
+    streaming dedup is arrival-order-dependent, the key set is not."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_stream_to_memory(deduped, output_mode="append")

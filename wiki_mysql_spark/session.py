@@ -9,6 +9,9 @@ session we did not create (the driver hands us one), via :func:`configure`.
 from __future__ import annotations
 
 import os
+import pathlib
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -30,7 +33,44 @@ RUNTIME_CONFS: dict[str, str] = {
     # Arrow for every pandas_udf / mapInPandas / applyInPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Match shuffle parallelism to the local core budget. Batch queries get
+    # coalesced by AQE anyway; STREAMING state does not (AQE is disabled in
+    # stateful workloads), so a vanilla 200-partition default means 200 state
+    # store instances per micro-batch on a 32-core box. On a real cluster
+    # raise this to ~2-3x total cores.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }
+
+
+_PYFILES_SHIPPED: set[str] = set()
+
+
+def _ship_package_to_workers(spark: SparkSession) -> None:
+    """Make ``wiki_mysql_spark`` importable on executor Python workers.
+
+    Pandas-UDF / mapInPandas closures that reference module-level functions
+    are cloudpickled BY REFERENCE, so the worker must be able to import this
+    package — which it cannot when the driver process was started outside
+    the repo (exactly how the round driver runs ``__spark_entry__``). Zip the
+    package once per SparkContext and addPyFile it.
+    """
+    try:
+        sc = spark.sparkContext
+        app_id = sc.applicationId
+    except Exception:
+        return  # e.g. Spark Connect — no SparkContext handle
+    if app_id in _PYFILES_SHIPPED:
+        return
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"wiki_mysql_spark_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                z.write(p, f"wiki_mysql_spark/{p.relative_to(pkg_dir)}")
+    sc.addPyFile(zpath)
+    _PYFILES_SHIPPED.add(app_id)
 
 
 def configure(spark: SparkSession) -> SparkSession:
@@ -41,6 +81,7 @@ def configure(spark: SparkSession) -> SparkSession:
         except Exception:
             # A conf may be static on some builds; never fail a query for it.
             pass
+    _ship_package_to_workers(spark)
     return spark
 
 
