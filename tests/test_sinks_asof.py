@@ -1,0 +1,108 @@
+"""Sink-layer tests (parquet round-trip, quarantine split) and as-of join
+edge cases (tolerance, no-prior-match)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from wiki_mysql_spark.operators.asof import asof_join
+from wiki_mysql_spark.sinks import TITLE_MAX_CHARS, split_quarantine, write_parquet
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")], ["id", "v", "part"]
+    )
+    out = str(tmp_path / "t")
+    write_parquet(df, out, partition_by=["part"])
+    back = spark.read.parquet(out)
+    assert sorted((r["id"], r["v"], r["part"]) for r in back.collect()) == [
+        (1, "a", "x"),
+        (2, "b", "x"),
+        (3, "c", "y"),
+    ]
+    # partition pruning: filter on the partition col reads one directory
+    pruned = back.where(F.col("part") == "y")
+    assert pruned.count() == 1
+
+
+def test_quarantine_split(spark):
+    articles = spark.createDataFrame(
+        [
+            (1, 10, "ok title", 1),
+            (2, 20, "x" * (TITLE_MAX_CHARS + 1), 2),
+            (3, 30, "points at bad body", 3),
+        ],
+        ["id", "aid", "title", "body"],
+    )
+    bodies = spark.createDataFrame(
+        [(1, "fine"), (2, "fine too"), (3, "also fine")], ["id", "body"]
+    )
+    a_ok, b_ok, quarantine = split_quarantine(articles, bodies)
+    assert sorted(r["id"] for r in a_ok.collect()) == [1, 3]
+    assert b_ok.count() == 3
+    q = quarantine.collect()
+    assert len(q) == 1 and q[0]["table_name"] == "articles" and q[0]["id"] == 2
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 7, _ts("2024-01-01 10:00:00")),
+            (2, 7, _ts("2024-01-01 12:00:00")),
+            (3, 8, _ts("2024-01-01 09:00:00")),  # no prior right row
+            (4, 7, _ts("2024-01-01 10:30:00")),
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (7, _ts("2024-01-01 09:30:00"), 101),
+            (7, _ts("2024-01-01 11:00:00"), 102),
+            (8, _ts("2024-01-01 23:00:00"), 103),  # after left's row
+        ],
+        ["user_id", "ts", "right_id"],
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark, asof_frames):
+    left, right = asof_frames
+    out = {
+        r["event_id"]: r["right_id"]
+        for r in asof_join(
+            left,
+            right,
+            on="user_id",
+            left_time="ts",
+            right_time="ts",
+            right_values=["right_id"],
+        ).collect()
+    }
+    assert out == {1: 101, 2: 102, 3: None, 4: 101}
+
+
+def test_asof_tolerance(spark, asof_frames):
+    left, right = asof_frames
+    out = {
+        r["event_id"]: r["right_id"]
+        for r in asof_join(
+            left,
+            right,
+            on="user_id",
+            left_time="ts",
+            right_time="ts",
+            right_values=["right_id"],
+            tolerance=F.expr("INTERVAL 45 MINUTE"),
+        ).collect()
+    }
+    # event 1: 30min gap -> kept; event 4: 60min gap -> nulled; event 2: 60min -> nulled
+    assert out == {1: 101, 2: None, 3: None, 4: None}

@@ -99,3 +99,73 @@ def build_wiki_tables(
         "id", "aid", "title", F.col("body_id").alias("body")
     )
     return articles, bodies
+
+
+def run_wiki_etl(
+    spark,
+    dump_path: str,
+    out_dir: str,
+    *,
+    jdbc_url: str | None = None,
+    jdbc_user: str = "root",
+    jdbc_password: str = "",
+    **build_kwargs,
+) -> dict[str, int]:
+    """The full CLI workload (``/root/reference/dbfy.py:254-313`` analog):
+    dump -> articles/bodies -> quarantine split -> parquet (always) ->
+    MySQL via JDBC (when a URL is given). Returns row counts."""
+    from wiki_mysql_spark.sinks import (
+        ARTICLES_DDL,
+        BODIES_DDL,
+        split_quarantine,
+        write_jdbc,
+        write_parquet,
+    )
+    from wiki_mysql_spark.sources.wikixml import read_wiki_dump
+
+    pages = read_wiki_dump(spark, dump_path)
+    articles, bodies = build_wiki_tables(pages, **build_kwargs)
+    articles, bodies, quarantine = split_quarantine(articles, bodies)
+
+    write_parquet(articles, f"{out_dir}/articles")
+    write_parquet(bodies, f"{out_dir}/bodies")
+    write_parquet(quarantine, f"{out_dir}/quarantine")
+
+    if jdbc_url:
+        write_jdbc(
+            spark.read.parquet(f"{out_dir}/articles"), jdbc_url, "articles",
+            user=jdbc_user, password=jdbc_password, create_table_ddl=ARTICLES_DDL,
+        )
+        write_jdbc(
+            spark.read.parquet(f"{out_dir}/bodies"), jdbc_url, "bodies",
+            user=jdbc_user, password=jdbc_password, create_table_ddl=BODIES_DDL,
+        )
+
+    return {
+        "articles": spark.read.parquet(f"{out_dir}/articles").count(),
+        "bodies": spark.read.parquet(f"{out_dir}/bodies").count(),
+        "quarantine": spark.read.parquet(f"{out_dir}/quarantine").count(),
+    }
+
+
+if __name__ == "__main__":  # pragma: no cover — thin CLI (dbfy.py analog)
+    import argparse
+
+    from wiki_mysql_spark.session import get_session
+
+    p = argparse.ArgumentParser(description="wiki dump -> articles/bodies ETL")
+    p.add_argument("dump", help="mediawiki XML dump path (.xml or .xml.bz2)")
+    p.add_argument("out", help="output directory for parquet tables")
+    p.add_argument("--jdbc-url", default=None, help="optional MySQL JDBC URL")
+    p.add_argument("--jdbc-user", default="root")
+    p.add_argument("--jdbc-password", default="")
+    args = p.parse_args()
+    counts = run_wiki_etl(
+        get_session("wiki-etl"),
+        args.dump,
+        args.out,
+        jdbc_url=args.jdbc_url,
+        jdbc_user=args.jdbc_user,
+        jdbc_password=args.jdbc_password,
+    )
+    print(counts)

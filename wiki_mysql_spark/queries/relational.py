@@ -787,3 +787,76 @@ def pivot_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["click", "view", "purchase", "signup", "error"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Advanced joins: as-of and range-band (SURVEY.md J3 [absent] — supplied)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof_last_signup",
+    """
+    SELECT p.event_id, p.user_id, s.event_id AS signup_event_id, s.ts AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def join_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    prior-or-same signup. Implemented union-and-fill (one shuffle on
+    (user, time) — not an inequality join); oracle is DuckDB's native
+    ASOF JOIN."""
+    from wiki_mysql_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("signup_event_id"),
+        F.col("ts").alias("signup_ts"),
+    )
+    return asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["signup_event_id", "signup_ts"],
+    ).select("event_id", "user_id", "signup_event_id", "signup_ts")
+
+
+@query(
+    "join_range_bands",
+    """
+    SELECT b.band_id, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    JOIN (SELECT unnest(range(5)) AS band_id) b
+      ON o_totalprice >= b.band_id * 100000 AND o_totalprice < (b.band_id + 1) * 100000
+    GROUP BY b.band_id
+    """,
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range (non-equi) join against a broadcast band dimension — the
+    sane physical shape for interval joins: broadcast-nested-loop over a
+    tiny side, never fact x fact."""
+    bands = F.broadcast(
+        spark.range(5).select(F.col("id").alias("band_id"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(
+            bands,
+            (F.col("o_totalprice") >= F.col("band_id") * 100000)
+            & (F.col("o_totalprice") < (F.col("band_id") + 1) * 100000),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
