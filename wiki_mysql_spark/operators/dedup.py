@@ -240,7 +240,7 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)  # shingling is reused by sizes AND inv
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
     l, r = inv.alias("l"), inv.alias("r")

@@ -51,37 +51,63 @@ def resolve_redirects(
     edges = redirects.select(
         F.col("title").alias("src"), F.col("target").alias("dst")
     )
+    if eager_checkpoint:
+        edges = edges.localCheckpoint(eager=True)
+    sources = edges.select(F.col("src").alias("open_src")).distinct()
 
-    # mapping: src -> current known endpoint after 2^i hops
-    mapping = edges
+    # Invariant per round r: `chained` rows still point at a redirect source
+    # after following 2^r hops; `done` rows have reached a terminal (article
+    # or dangling) dst. Pointer doubling: substitute each dst with that
+    # row's own current dst, doubling covered distance every round.
+    #
+    # Early exit: along an acyclic chain every remaining head has some
+    # distance-to-terminal in (2^r, 2^(r+1)], and the minimal one always
+    # falls in range — so each round terminalizes at least one acyclic row.
+    # A round with NO progress therefore proves everything left is cyclic,
+    # and cycles are dropped by the reference's semantics anyway
+    # (RecursionError -> None, dbfy.py:118-121).
+    is_open = lambda df: df.join(  # noqa: E731
+        sources, df.dst == F.col("open_src"), "left_semi"
+    )
+    is_closed = lambda df: df.join(  # noqa: E731
+        sources, df.dst == F.col("open_src"), "left_anti"
+    )
+
+    done_parts = [is_closed(edges)]
+    chained = is_open(edges)
+    prev_n = chained.count()
     rounds = max(1, math.ceil(math.log2(max_depth)))
     for _ in range(rounds):
-        hop = mapping.select(
-            F.col("src").alias("h_src"), F.col("dst").alias("h_dst")
-        )
+        if prev_n == 0:
+            break
+        # the doubling step joins `chained` against the CURRENT cumulative
+        # mapping (done ∪ chained) — that's what squares covered distance
+        mapping = done_parts[0]
+        for p in done_parts[1:]:
+            mapping = mapping.unionByName(p)
+        mapping = mapping.unionByName(chained)
+        hop = mapping.select(F.col("src").alias("h_src"), F.col("dst").alias("h_dst"))
         stepped = (
-            mapping.join(hop, mapping.dst == hop.h_src, "left")
+            chained.join(hop, chained.dst == hop.h_src, "left")
             .select("src", F.coalesce("h_dst", "dst").alias("dst"))
         )
         if eager_checkpoint:
             stepped = stepped.localCheckpoint(eager=True)
-        # Converged when no dst is itself still a redirect source. Cheap
-        # aggregate on the checkpointed frame; cycles keep this non-zero
-        # until the round bound, which is the documented drop semantics.
-        mapping = stepped
-        still_chained = (
-            mapping.join(hop.select(F.col("h_src").alias("open_src")).distinct(),
-                         mapping.dst == F.col("open_src"), "left_semi")
-            .limit(1)
-            .count()
-        )
-        if still_chained == 0:
-            break
+        done_parts.append(is_closed(stepped))
+        chained = is_open(stepped)
+        n = chained.count()
+        if n == prev_n:
+            break  # no progress => only cycles remain; drop them
+        prev_n = n
+
+    mapping = done_parts[0]
+    for p in done_parts[1:]:
+        mapping = mapping.unionByName(p)
 
     resolved = mapping.join(
         targets.select(F.col("title").alias("t_title"), "body_id"),
         mapping.dst == F.col("t_title"),
-        "inner",  # inner join drops dangling + cycle remnants
+        "inner",  # inner join drops dangling remnants
     ).select(F.col("src"), "body_id")
 
     return redirects.join(

@@ -1,0 +1,113 @@
+"""UDF/UDAF/UDTF surface (SURVEY.md §2.8 — U3 [absent] in the reference,
+whose only UDF-shape is the WikiBodyFilter scalar callable, U1).
+
+Covers the remaining Python-boundary shapes with Arrow transfer: grouped-agg
+pandas UDF (UDAF) and applyInPandas (grouped map). These are deliberately
+NOT the hot path for anything built-in — each docstring names the native
+equivalent the oracle uses — they exist to prove the boundary works and to
+host genuinely custom math at 100 TB (one Arrow batch per group-partition).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from wiki_mysql_spark.queries.registry import query
+from wiki_mysql_spark.sources.tables import load_table
+
+
+@query(
+    "udaf_geomean_pandas",
+    """
+    SELECT o_orderstatus,
+           round(exp(avg(ln(o_totalprice))), 4) AS geomean_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def udaf_geomean_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as a GROUPED_AGG pandas UDF (geometric mean).
+    Native equivalent exp(avg(ln(x))) is the oracle; the UDF computes in
+    log-space the same way so the comparison is meaningful."""
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).sum() / len(v)))
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        # NB: a GROUPED_AGG pandas UDF cannot be mixed with JVM aggregates
+        # in one agg() — Spark raises INVALID_PANDAS_UDF_PLACEMENT
+        .agg(F.round(geomean("o_totalprice"), 4).alias("geomean_price"))
+    )
+
+
+@query(
+    "udf_applyinpandas_zscore",
+    """
+    SELECT c_custkey,
+           round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 4) AS bal_zscore
+    FROM customer
+    """,
+)
+def udf_applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-segment z-score normalization — the
+    'whole group as one pandas frame' shape (feature normalization, per-group
+    model scoring). Oracle is the equivalent window SQL."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        bal = pdf["c_acctbal"]
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "bal_zscore": ((bal - bal.sum() / len(bal)) / bal.std(ddof=1)).round(4),
+            }
+        )
+
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInPandas(zscore, "c_custkey long, bal_zscore double")
+    )
+
+
+@query(
+    "agg_median_percentiles",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(median(o_totalprice), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_median_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles/median (sort-based aggregate). The
+    approx path for 100 TB is approx_percentile (t-digest) — sketched,
+    mergeable, one pass — exposed rows-only below."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.median("o_totalprice"), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@query("agg_approx_percentile")  # rows-only: t-digest estimate has no exact oracle
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles — the single-pass mergeable scale path."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+                "approx_median_price"
+            )
+        )
+    )
