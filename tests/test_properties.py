@@ -1,0 +1,107 @@
+"""Property-based differential tests (hypothesis): the Spark operators must
+agree with direct pure-Python models on randomized inputs — cleaning-chain
+regexes against Python re, redirect fixpoint against a dict-walk exactly
+shaped like the reference's ``resolve`` (``/root/reference/dbfy.py:108-121``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from wiki_mysql_spark.functions.cleaning import collapse_whitespace, extract_redirect_target
+from wiki_mysql_spark.operators.redirects import resolve_redirects
+
+SETTINGS = settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+texts = st.lists(
+    st.text(alphabet=" \t\nabcXYZ#[]{}|<>&;", min_size=0, max_size=60),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SETTINGS
+@given(texts)
+def test_collapse_whitespace_matches_python_re(spark, batch):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(batch)], ["i", "t"])
+    got = {
+        r["i"]: r["o"]
+        for r in df.select("i", collapse_whitespace(F.col("t")).alias("o")).collect()
+    }
+    for i, t in enumerate(batch):
+        assert got[i] == re.sub(r"(\s)\s*", r"\g<1>", t)
+
+
+@SETTINGS
+@given(texts)
+def test_redirect_extract_matches_python_re(spark, batch):
+    pat = re.compile(r"\#REDIRECT \[\[([^\]]*)\]\]")
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(batch)], ["i", "t"])
+    got = {
+        r["i"]: r["o"]
+        for r in df.select("i", extract_redirect_target(F.col("t")).alias("o")).collect()
+    }
+    for i, t in enumerate(batch):
+        m = pat.match(t)
+        want = m.group(1) if m and m.group(1) != "" else None
+        assert got[i] == want, (t, got[i], want)
+
+
+graphs = st.builds(
+    lambda edges, targets: (edges, targets),
+    st.dictionaries(
+        st.integers(0, 15).map(lambda i: f"T{i}"),
+        st.integers(0, 19).map(lambda i: f"T{i}"),
+        max_size=12,
+    ),
+    st.sets(st.integers(16, 19).map(lambda i: f"T{i}"), max_size=4),
+)
+
+
+def _reference_resolve(title, redirects, targets, depth=0):
+    """The reference's resolve(), iteratively (dbfy.py:108-121): follow the
+    chain; loaded title -> its body id; cycle/dangling -> None."""
+    seen = set()
+    cur = title
+    while True:
+        if cur in targets:
+            return cur
+        if cur in redirects and cur not in seen:
+            seen.add(cur)
+            cur = redirects[cur]
+            continue
+        return None
+
+
+@SETTINGS
+@given(graphs)
+def test_fixpoint_matches_reference_model(spark, graph):
+    edges, target_titles = graph
+    edges = {s: d for s, d in edges.items() if s not in target_titles}
+    if not edges:
+        return
+    redirects = spark.createDataFrame(
+        [(s, d, i) for i, (s, d) in enumerate(sorted(edges.items()))],
+        ["title", "target", "aid"],
+    )
+    targets = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(sorted(target_titles))] or [("_none_", 0)],
+        ["title", "body_id"],
+    )
+    body_of = {t: i + 1 for i, t in enumerate(sorted(target_titles))}
+    got = {
+        r["title"]: r["body_id"]
+        for r in resolve_redirects(redirects, targets, max_depth=64).collect()
+    }
+    want = {}
+    for s in edges:
+        end = _reference_resolve(edges[s], edges, target_titles)
+        if end is not None:
+            want[s] = body_of[end]
+    assert got == want

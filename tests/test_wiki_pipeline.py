@@ -104,3 +104,40 @@ def test_dense_ids_deterministic_and_dense(spark):
     out = dense_ids(df, ["k"], id_col="id").orderBy("id").collect()
     assert [r["k"] for r in out] == sorted("zyxwvutsrq")
     assert [r["id"] for r in out] == list(range(1, 11))
+
+
+def test_bz2_dump_reads_identically(spark, tmp_path):
+    """S2: .bz2 dumps decompress transparently (splittable Hadoop codec)."""
+    import bz2
+
+    plain = tmp_path / "d.xml"
+    compressed = tmp_path / "d.xml.bz2"
+    plain.write_text(WIKI_XML)
+    compressed.write_bytes(bz2.compress(WIKI_XML.encode()))
+    a = read_wiki_dump(spark, str(plain)).orderBy("aid").collect()
+    b = read_wiki_dump(spark, str(compressed)).orderBy("aid").collect()
+    assert a == b and len(a) == 7
+
+
+def test_fetch_stage_roundtrip(tmp_path):
+    from wiki_mysql_spark.sources.fetch import (
+        check_dump_url,
+        cleanup_dump,
+        download_dump,
+    )
+
+    p = tmp_path / "x.xml.bz2"
+    p.write_bytes(b"data")
+    # file:// and bare paths short-circuit, never deleted (dbfy.py:88-91,100-102)
+    path, rm = download_dump(f"file://{p}")
+    assert path == str(p) and rm is False
+    cleanup_dump(path, rm)
+    assert p.exists()
+    assert download_dump(str(p)) == (str(p), False)
+    assert check_dump_url("https://dumps.wikimedia.org/enwiki-pages.xml.bz2")
+    assert not check_dump_url("ftp://x/y.xml.bz2")
+    assert not check_dump_url("https://x/y.zip")
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        download_dump("/nonexistent/dump.xml")
