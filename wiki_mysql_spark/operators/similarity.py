@@ -68,6 +68,78 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: assign every vector to its nearest
+    coarse centroid (the inverted file), then search only the query's
+    ``n_probe`` closest cells.
+
+    Centroids here are the first ``n_centroids`` corpus vectors — a
+    deterministic stand-in for a trained k-means codebook (swap in
+    pyspark.ml KMeans centers in production; the plan shape is identical).
+    At 100 TB the corpus is written partitioned by ``cell`` so a query
+    touches n_probe partitions instead of the full scan.
+    """
+    cent = F.broadcast(
+        corpus.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv")
+        )
+    )
+
+    def assign(df: DataFrame, idc: str, vc: str, keep_n: int) -> DataFrame:
+        scored = df.crossJoin(cent).select(
+            F.col(idc),
+            F.col(vc),
+            "cent_id",
+            cosine(F.col(vc), F.col("centv")).alias("c_sim"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.col("c_sim").desc(), F.col("cent_id"))
+        return scored.select(
+            idc, vc, "cent_id", F.row_number().over(w).alias("crank")
+        ).where(F.col("crank") <= keep_n)
+
+    cells = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "neighbor_id",
+        "cv",
+        1,
+    ).select("neighbor_id", "cv", F.col("cent_id").alias("cell"))
+    probes = assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "query_id",
+        "qv",
+        n_probe,
+    ).select("query_id", "qv", F.col("cent_id").alias("cell"))
+
+    scored = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("raw_sim")
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])  # neighbor via 2 probed cells
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("raw_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round("raw_sim", 6).alias("cos_sim"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

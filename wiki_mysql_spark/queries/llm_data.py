@@ -445,3 +445,108 @@ def text_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("n_tokens"),
         fingerprint(F.col("text")).alias("doc_fingerprint"),
     )
+
+
+@query(
+    "ann_topk_ivf",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS centv FROM embeddings WHERE vec_id < 8
+    ),
+    cells AS (
+        SELECT neighbor_id, cv, cent_id AS cell FROM (
+            SELECT c.vec_id AS neighbor_id, c.embedding AS cv, cent.cent_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                                      ORDER BY {_sql_cosine('c.embedding', 'cent.centv')} DESC,
+                                               cent.cent_id) AS crank
+            FROM embeddings c CROSS JOIN cent
+        ) WHERE crank = 1
+    ),
+    probes AS (
+        SELECT query_id, qv, cent_id AS cell FROM (
+            SELECT q.vec_id AS query_id, q.embedding AS qv, cent.cent_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_sql_cosine('q.embedding', 'cent.centv')} DESC,
+                                               cent.cent_id) AS crank
+            FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 5
+        ) WHERE crank <= 2
+    ),
+    scored AS (
+        SELECT DISTINCT p.query_id, c.neighbor_id,
+               {_sql_cosine('p.qv', 'c.cv')} AS raw_sim
+        FROM probes p JOIN cells c ON p.cell = c.cell
+        WHERE p.query_id <> c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, round(raw_sim, 6) AS cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY raw_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into centroid cells, probe
+    the query's 2 nearest cells only. Deterministic codebook (first-8
+    vectors) stands in for trained k-means — identical plan shape."""
+    from wiki_mysql_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=10, n_centroids=8, n_probe=2
+    )
+
+
+@query(
+    "agg_salted_skew",
+    """
+    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a 3-value (maximally hot) key —
+    result-identical to the plain groupBy, which is the oracle's claim.
+    (AQE splits skewed JOIN partitions but not hot aggregation keys; salting
+    is the aggregation-side fix.)"""
+    from wiki_mysql_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        "l_returnflag",
+        {"n": ("l_returnflag", "count"), "total_raw": ("l_extendedprice", "sum")},
+        n_salt=16,
+        salt_source=F.col("l_orderkey"),
+    )
+    return out.select(
+        "l_returnflag", "n", F.round("total_raw", 2).alias("total")
+    )
+
+
+@query(
+    "join_salted_skew",
+    """
+    SELECT o_orderpriority, count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-to-fact join (left salted, right replicated x16) —
+    result-identical to the plain join per the oracle. The manual fallback
+    for skew AQE can't see; n_salt bounds the hot key's straggler factor."""
+    from wiki_mysql_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "okey"
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "okey"
+    )
+    joined = salted_join(li, orders, "okey", n_salt=16, salt_source=F.col("l_linenumber"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )

@@ -126,3 +126,23 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return run_stream_to_memory(deduped, output_mode="append")
+
+
+@query(
+    "stream_stateful_profiles",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    profiles with explicit GroupState — the bespoke-sessionizer shape the
+    built-in windows can't express. Drained availableNow, the final state
+    equals the batch aggregate, which is the oracle."""
+    from wiki_mysql_spark.streaming.stateful import user_profiles_stateful
+
+    ev = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(user_profiles_stateful(ev), output_mode="update")

@@ -101,6 +101,11 @@ def get_session(app_name: str = "wiki_mysql_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus if cpus != "*" else "32")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # managed tables (bucketed layouts) go to a temp warehouse, not cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), f"spark-warehouse-{os.getpid()}"),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
