@@ -7,6 +7,7 @@ from wiki_mysql_spark.queries import (  # noqa: F401  (registration side-effects
     multimodal_queries,
     relational,
     streaming_queries,
+    tpch_extra,
     udf_surface,
     wiki,
 )
