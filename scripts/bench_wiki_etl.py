@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Wiki-ETL throughput benchmark: generate a synthetic mediawiki dump of N
+pages (85% articles with realistic markup density, 15% redirects incl.
+chains), run the full pipeline (parse -> clean -> ids -> fixpoint ->
+articles/bodies parquet), report pages/sec.
+
+This is the workload the reference actually runs (dump -> MySQL at
+``--n_processes 4``, /root/reference/dbfy.py:36-42). Usage:
+
+    python scripts/bench_wiki_etl.py [n_pages] [out.json]
+"""
+
+from __future__ import annotations
+
+import bz2
+import json
+import os
+import random
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+WORDS = (
+    "data query batch window table join hash sort scan filter value stream "
+    "column row group order part customer merge spark big small fast slow the a"
+).split()
+
+
+def gen_dump(path: str, n_pages: int, seed: int = 42) -> None:
+    rng = random.Random(seed)
+    with bz2.open(path, "wt", encoding="utf-8") as f:
+        f.write("<mediawiki>\n")
+        for i in range(n_pages):
+            title = f"Page {i}"
+            if i % 7 == 6:  # redirects, some chained
+                target = f"Page {rng.randrange(max(1, i))}"
+                text = f"#REDIRECT [[{target}]]"
+            else:
+                parts = []
+                for _ in range(rng.randint(30, 120)):
+                    w = rng.choice(WORDS)
+                    r = rng.random()
+                    if r < 0.05:
+                        parts.append(f"[[{w}|{w} link]]")
+                    elif r < 0.08:
+                        parts.append(f"{{{{tmpl|{w}}}}}")
+                    elif r < 0.10:
+                        parts.append(f"<ref>{w}</ref>")
+                    elif r < 0.11:
+                        parts.append("&amp;")
+                    else:
+                        parts.append(w)
+                text = " ".join(parts)
+            f.write(
+                f"<page><title>{title}</title><ns>0</ns><id>{i + 1}</id>"
+                f"<revision><text>{text}</text></revision></page>\n"
+            )
+        f.write("</mediawiki>\n")
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    from wiki_mysql_spark.plans.wiki_pipeline import run_wiki_etl
+    from wiki_mysql_spark.session import get_session
+
+    workdir = tempfile.mkdtemp(prefix="wiki_bench_")
+    dump = os.path.join(workdir, "dump.xml.bz2")
+    gen_dump(dump, n_pages)
+    dump_mb = os.path.getsize(dump) / 1e6
+
+    spark = get_session("wiki-etl-bench")
+    t0 = time.perf_counter()
+    counts = run_wiki_etl(spark, dump, os.path.join(workdir, "out"))
+    elapsed = time.perf_counter() - t0
+    result = {
+        "metric": "wiki_etl_pages_per_sec",
+        "value": round(n_pages / elapsed, 1),
+        "unit": "pages/sec",
+        "n_pages": n_pages,
+        "elapsed_sec": round(elapsed, 2),
+        "dump_mb_bz2": round(dump_mb, 1),
+        "counts": counts,
+    }
+    print(json.dumps(result))
+    if len(sys.argv) > 2:
+        with open(sys.argv[2], "w") as f:
+            json.dump(result, f)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

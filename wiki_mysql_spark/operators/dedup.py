@@ -107,7 +107,26 @@ def minhash_lsh_pairs(
     arrays are joined back for the (few) surviving candidate pairs only.
     """
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    sig = minhash_signatures(base)
+    # shingle once; signatures AND the verification join both read this
+    sh = base.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
+    ).localCheckpoint(eager=False)
+    hashed = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", (hash64(F.col("s")) % HASH_PRIME).alias("h")
+    )
+    agg = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_PRIME).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+    )
+    sig = sh.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        *[
+            F.coalesce(f"mh{i}", F.lit(HASH_PRIME).cast("long")).alias(f"mh{i}")
+            for i in range(len(MINHASH_PARAMS))
+        ],
+    )
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -138,9 +157,6 @@ def minhash_lsh_pairs(
             F.col("r.doc_id").alias("doc_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])  # same pair can share many bands
-    )
-    sh = base.select(
-        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
