@@ -111,3 +111,34 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "udf_cogroup_balance_gap",
+    """
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           round(coalesce(c.avg_cust_bal, 0.0) - coalesce(s.avg_supp_bal, 0.0), 4) AS balance_gap
+    FROM (SELECT c_nationkey AS nk, avg(c_acctbal) AS avg_cust_bal FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS nk, avg(s_acctbal) AS avg_supp_bal FROM supplier GROUP BY 1) s
+      ON c.nk = s.nk
+    """,
+)
+def udf_cogroup_balance_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: both sides of a key arrive as two pandas
+    frames per group — the custom-join shape (feature joins, per-key model
+    scoring against reference data). Oracle: the equivalent agg + full
+    outer join."""
+
+    def gap(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        nk = left["c_nationkey"].iloc[0] if len(left) else right["s_nationkey"].iloc[0]
+        cust = float(left["c_acctbal"].sum() / len(left)) if len(left) else 0.0
+        supp = float(right["s_acctbal"].sum() / len(right)) if len(right) else 0.0
+        return pd.DataFrame({"nationkey": [int(nk)], "balance_gap": [round(cust - supp, 4)]})
+
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    supp = load_table(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    return (
+        cust.groupBy("c_nationkey")
+        .cogroup(supp.groupBy("s_nationkey"))
+        .applyInPandas(gap, "nationkey int, balance_gap double")
+    )

@@ -74,13 +74,28 @@ def split_quarantine(
 
 
 def write_parquet(
-    df: DataFrame, path: str, *, partition_by: list[str] | None = None, mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+    max_records_per_file: int | None = None,
 ) -> None:
-    """Columnar write for the analytic tier. Partition columns should be
-    low-cardinality query predicates (partition pruning); never partition by
-    a high-cardinality key — millions of tiny files is the classic 100 TB
-    failure mode."""
-    w = df.write.mode(mode)
+    """Columnar write for the analytic tier.
+
+    File-layout rules that decide read performance at 100 TB:
+      * partition columns must be low-cardinality query predicates
+        (partition pruning); a high-cardinality partition key means millions
+        of tiny files — the classic failure mode;
+      * ``max_records_per_file`` caps file size so downstream scans
+        parallelize (target 128 MB-1 GB files);
+      * zstd: ~parquet-snappy read speed at notably better ratio — at
+        100 TB the storage/scan-IO delta is the whole game.
+    """
+    w = df.write.mode(mode).option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
