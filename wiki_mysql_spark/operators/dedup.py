@@ -292,6 +292,6 @@ def embedding_near_dup_pairs(
     cos = cosine(F.col("va"), F.col("vb"))
     return (
         l.join(r, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .select("id_a", "id_b", (F.round(cos, 6) + 0.0).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )

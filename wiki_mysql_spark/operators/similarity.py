@@ -61,7 +61,7 @@ def brute_force_topk(
         scored.select(
             "query_id",
             "neighbor_id",
-            F.round("raw_sim", 6).alias("cos_sim"),
+            (F.round("raw_sim", 6) + 0.0).alias("cos_sim"),
             F.row_number().over(w).cast("long").alias("rank"),
         )
         .where(F.col("rank") <= k)
@@ -133,7 +133,7 @@ def ivf_topk(
         scored.select(
             "query_id",
             "neighbor_id",
-            F.round("raw_sim", 6).alias("cos_sim"),
+            (F.round("raw_sim", 6) + 0.0).alias("cos_sim"),
             F.row_number().over(w).cast("long").alias("rank"),
         )
         .where(F.col("rank") <= k)
@@ -202,7 +202,7 @@ def lsh_topk(
         scored.select(
             "query_id",
             "neighbor_id",
-            F.round("raw_sim", 6).alias("cos_sim"),
+            (F.round("raw_sim", 6) + 0.0).alias("cos_sim"),
             F.row_number().over(w).cast("long").alias("rank"),
         )
         .where(F.col("rank") <= k)

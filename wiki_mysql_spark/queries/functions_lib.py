@@ -148,7 +148,7 @@ def fn_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            len(embedding)                                   AS dim,
-           round(CAST(embedding[1] AS DOUBLE), 4)           AS first_component,
+           round(CAST(embedding[1] AS DOUBLE), 4) + 0        AS first_component,
            round(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
                              (a, b) -> a + b), 4)           AS sq_norm,
            len(list_filter(embedding, x -> x > 0))          AS n_positive
@@ -164,7 +164,7 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_component"),
+        (F.round(F.element_at("embedding", 1).cast("double"), 4) + 0.0).alias("first_component"),
         F.round(
             F.aggregate(
                 F.transform(emb_d, lambda x: x * x),
@@ -180,7 +180,7 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fn_explode_posexplode",
     """
-    SELECT vec_id, pos, round(component, 4) AS component
+    SELECT vec_id, pos, round(component, 4) + 0 AS component
     FROM (
         SELECT vec_id,
                generate_subscripts(embedding, 1)::BIGINT - 1 AS pos,
@@ -198,7 +198,7 @@ def fn_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         F.col("pos").cast("long").alias("pos"),
-        F.round(F.col("raw_component").cast("double"), 4).alias("component"),
+        (F.round(F.col("raw_component").cast("double"), 4) + 0.0).alias("component"),
     )
 
 

@@ -254,7 +254,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+           round({_sql_cosine('a.embedding', 'b.embedding')}, 6) + 0 AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.25
     """,
@@ -281,7 +281,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q JOIN embeddings c ON q.query_id <> c.vec_id
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
-        SELECT query_id, neighbor_id, round(raw_sim, 6) AS cos_sim,
+        SELECT query_id, neighbor_id, round(raw_sim, 6) + 0 AS cos_sim,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY raw_sim DESC, neighbor_id) AS rank
         FROM scored
@@ -328,7 +328,7 @@ _PLANES = _hyperplanes(64, 8, seed=42)
         FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
-        SELECT query_id, neighbor_id, round(raw_sim, 6) AS cos_sim,
+        SELECT query_id, neighbor_id, round(raw_sim, 6) + 0 AS cos_sim,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY raw_sim DESC, neighbor_id) AS rank
         FROM scored
@@ -478,7 +478,7 @@ def text_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p.query_id <> c.neighbor_id
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
-        SELECT query_id, neighbor_id, round(raw_sim, 6) AS cos_sim,
+        SELECT query_id, neighbor_id, round(raw_sim, 6) + 0 AS cos_sim,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY raw_sim DESC, neighbor_id) AS rank
         FROM scored

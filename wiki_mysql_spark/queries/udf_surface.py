@@ -51,7 +51,7 @@ def udaf_geomean_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey,
            round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
-                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 4) AS bal_zscore
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 4) + 0 AS bal_zscore
     FROM customer
     """,
 )
@@ -65,7 +65,7 @@ def udf_applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "c_custkey": pdf["c_custkey"],
-                "bal_zscore": ((bal - bal.sum() / len(bal)) / bal.std(ddof=1)).round(4),
+                "bal_zscore": ((bal - bal.sum() / len(bal)) / bal.std(ddof=1)).round(4) + 0.0,
             }
         )
 
