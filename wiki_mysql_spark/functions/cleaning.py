@@ -94,25 +94,28 @@ def decode_html_entities_udf():
 # RE2-compatible (no backrefs in patterns, no lookaround) so both engines run
 # literally the same regexes; replacements use $N (rewritten to \\N for RE2).
 MARKUP_PASSES: list[tuple[str, str, str]] = [
-    # HTML comments (dot-all)
-    ("re", r"(?s)<!--.*?-->", ""),
-    # <ref ...>...</ref> and self-closing <ref .../>
-    ("re", r"(?s)<ref([> ].*?)(</ref>|/>)", ""),
-    # <math>/<nowiki> blocks
-    ("re", r"(?s)<(math|nowiki)([> ].*?)(</(math|nowiki)>|/>)", ""),
-    # any other tag
-    ("re", r"(?s)<(.*?)>", ""),
-    # category links
-    ("re", r"\[\[Category:[^\]\[]*\]\]", ""),
-    # file/image links (whole construct dropped)
-    ("re", r"\[\[(file:|image:|File:|Image:)[^\]]*\]\]", ""),
+    # All the plain-deletion constructs in ONE alternation pass — halves the
+    # full-string regex traversals per iteration, the dominant compute of the
+    # wiki ETL at scale. Leftmost-first alternation preserves the sequential
+    # semantics (specific tag forms listed before the generic <...> tag):
+    # comments | <ref> blocks | <math>/<nowiki> blocks | any tag |
+    # category links | file/image links | innermost {{templates}} |
+    # table-markup lines ({|, |}, |-, |, ! at line start)
+    (
+        "re",
+        r"(?sm)<!--.*?-->"
+        r"|<ref([> ].*?)(</ref>|/>)"
+        r"|<(math|nowiki)([> ].*?)(</(math|nowiki)>|/>)"
+        r"|<(.*?)>"
+        r"|\[\[Category:[^\]\[]*\]\]"
+        r"|\[\[(file:|image:|File:|Image:)[^\]]*\]\]"
+        r"|\{\{[^{}]*\}\}"
+        r"|^(\{\||\|\}|\|-|\|)[^\n]*$"
+        r"|^![^\n]*$",
+        "",
+    ),
     # external links: keep description ([http://x desc] -> desc)
     ("re", r"\[(\w+)://([^ \]]*)( ([^\]]*))?\]", "$4"),
-    # innermost templates {{...}}
-    ("re", r"(?s)\{\{[^{}]*\}\}", ""),
-    # table rows/cells: {| ... |} blocks, line-wise markers
-    ("re", r"(?m)^(\{\||\|\}|\|-|\|)[^\n]*$", ""),
-    ("re", r"(?m)^![^\n]*$", ""),
     # piped wiki links: keep description ([[a|b]] -> b)
     ("re", r"\[\[([^\]\[|]*)\|([^\]\[|]*)\]\]", "$2"),
     # plain wiki links: keep target ([[a]] -> a)

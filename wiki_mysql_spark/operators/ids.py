@@ -41,7 +41,12 @@ def dense_ids(
     ``order_by`` (which must be a total order — include a unique tiebreaker,
     or ids within ties become partition-placement-dependent)."""
     spark = df.sparkSession
-    n_part = max(df.rdd.getNumPartitions(), 1)
+    # Size the range-partitioned sort from the session's parallelism, not the
+    # input's partition count — a single-file (e.g. one .bz2 dump) upstream
+    # arrives as ONE partition and would otherwise serialize the whole sort.
+    n_part = max(
+        df.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism, 1
+    )
     ordered = df.repartitionByRange(n_part, *order_by).sortWithinPartitions(*order_by)
 
     tagged = ordered.withColumn("_mid", F.monotonically_increasing_id()).withColumn(

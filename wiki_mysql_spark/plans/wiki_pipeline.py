@@ -44,6 +44,14 @@ def build_wiki_tables(
 ) -> tuple[DataFrame, DataFrame]:
     """pages ``(aid, title, ns, text[, redirect_title])`` ->
     ``(articles, bodies)`` exactly shaped like ``sql/init.sql:5-19``."""
+    # A dump that arrives as a single split (one modest .bz2 file — Spark's
+    # XML source reads a compressed file whole) would serialize every
+    # downstream stage; spread it across the cluster once up front. No-op
+    # when the source is already parallel (many part files at real scale).
+    parallelism = pages.sparkSession.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < max(2, parallelism // 2):
+        pages = pages.repartition(parallelism)
+
     has_attr = "redirect_title" in pages.columns
     attr = F.col("redirect_title") if has_attr else F.lit(None).cast("string")
     text = F.coalesce(F.col("text"), F.lit(""))  # null revision text -> ""
@@ -75,20 +83,15 @@ def build_wiki_tables(
 
     # bodies: one row per non-redirect page (the reference does NOT content-
     # dedup bodies — two identical texts get two rows, README.md:49-54).
-    bodies = dense_ids(
-        article_pages.select("title", "body_text"), ["title"], id_col="id"
+    # Number the article pages ONCE, carrying aid through — deriving both
+    # bodies and the direct article rows from the same numbered frame avoids
+    # a second shuffle of the full text for a join-back by title.
+    numbered = dense_ids(article_pages, ["title"], id_col="body_id")
+    bodies = numbered.select(
+        F.col("body_id").alias("id"), F.col("body_text").alias("body")
     )
-
-    article_rows = bodies.select(
-        F.col("title"), F.col("id").alias("body_id")
-    )
-    bodies = bodies.select("id", F.col("body_text").alias("body"))
-
-    direct_articles = (
-        article_pages.select("aid", "title")
-        .join(article_rows, "title")
-        .select("aid", "title", "body_id")
-    )
+    article_rows = numbered.select("title", "body_id")
+    direct_articles = numbered.select("aid", "title", "body_id")
 
     resolved_redirects = resolve_redirects(
         redirect_pages, article_rows, max_depth=max_redirect_depth

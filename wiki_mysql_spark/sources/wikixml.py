@@ -3,8 +3,11 @@
 The reference streams ``bz2.BZ2File`` through gensim's ``extract_pages``
 (``/root/reference/dbfy.py:188-191,228-233``) on one machine. Spark-first:
 
-  * ``.bz2`` is a splittable Hadoop codec, so a single dump file decompresses
-    in parallel across executors — no driver-side streaming.
+  * Spark's XML source reads each FILE whole (measured: one task per file,
+    compressed or not), so single-file dumps parse on one core. The scale
+    recipe is the multistream/part-file layout Wikipedia already publishes —
+    one task per part. Downstream stages are decoupled from input splits:
+    the pipeline repartitions after the parse (plans/wiki_pipeline.py).
   * Spark 4's built-in XML source (``format("xml"), rowTag="page"``) does the
     page parsing with a pushable schema; the namespace filter becomes a
     Catalyst predicate instead of gensim's ``("0",)`` argument.
