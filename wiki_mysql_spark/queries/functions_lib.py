@@ -241,3 +241,86 @@ def fn_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     parsed = e.withColumn("pj", F.from_json("props", "k INT"))
     return parsed.select("event_id", F.col("pj.k").alias("k")).where(F.col("k") > 90)
+
+
+@query(
+    "fn_map_suite",
+    """
+    SELECT event_id,
+           map_keys(m)                 AS props_keys,
+           m['k'][1]::INT              AS k_value,
+           cardinality(m)::INT         AS n_props
+    FROM (SELECT event_id, MAP(['k'], [json_extract_string(props, '$.k')]) AS m
+          FROM events) t
+    """,
+)
+def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns: parse JSON into MAP<string,string>, then map_keys /
+    element_at / size — the dynamic-schema path when JSON keys vary by row
+    (fixed keys should use from_json into a struct instead)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return e.select(
+        "event_id",
+        F.map_keys(m).alias("props_keys"),
+        F.element_at(m, "k").cast("int").alias("k_value"),
+        F.size(m).alias("n_props"),
+    )
+
+
+@query(
+    "fn_array_utils",
+    """
+    SELECT vec_id,
+           list_sort(list_transform(embedding[1:5]::DOUBLE[], x -> round(x, 3)))   AS sorted_head,
+           list_reverse_sort(list_transform(embedding[1:3]::DOUBLE[], x -> round(x, 3))) AS top3_desc,
+           range(0, len(embedding), 16)              AS stride_idx,
+           list_contains(list_transform(embedding, x -> x > 0.1), true) AS has_big
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def fn_array_utils(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array utilities: slice, sort asc/desc, sequence generation, any()."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    head = F.transform(
+        F.slice(F.col("embedding").cast("array<double>"), 1, 5), lambda x: F.round(x, 3)
+    )
+    top3 = F.transform(
+        F.slice(F.col("embedding").cast("array<double>"), 1, 3), lambda x: F.round(x, 3)
+    )
+    return e.select(
+        "vec_id",
+        F.array_sort(head).alias("sorted_head"),
+        F.sort_array(top3, asc=False).alias("top3_desc"),
+        F.sequence(F.lit(0).cast("long"), F.size("embedding") - 1, F.lit(16).cast("long")).alias(
+            "stride_idx"
+        ),
+        F.exists(F.col("embedding"), lambda x: x > 0.1).alias("has_big"),
+    )
+
+
+@query(
+    "fn_datetime_format",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M')            AS ts_minute,
+           strptime(strftime(ts, '%Y-%m-%d'), '%Y-%m-%d') AS day_roundtrip,
+           (ts + INTERVAL 90 MINUTE)                 AS ts_plus_90m,
+           greatest(ts, TIMESTAMP '2024-01-15 00:00:00') AS ts_floor_jan15
+    FROM events WHERE event_id < 500
+    """,
+)
+def fn_datetime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime formatting/parsing round-trip + interval arithmetic."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    return e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("ts_minute"),
+        F.to_timestamp(F.date_format("ts", "yyyy-MM-dd"), "yyyy-MM-dd").alias(
+            "day_roundtrip"
+        ),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTE")).alias("ts_plus_90m"),
+        F.greatest("ts", F.lit("2024-01-15 00:00:00").cast("timestamp")).alias(
+            "ts_floor_jan15"
+        ),
+    )
