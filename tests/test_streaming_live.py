@@ -1,0 +1,65 @@
+"""Live (unbounded) streaming execution: the same windowed-aggregation plans
+must run under continuous micro-batches, not just availableNow drains. Uses
+the built-in rate source (one row per tick) and the two production sink
+patterns: memory (for assertions) and foreachBatch (the write-anywhere
+pattern)."""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_windowed_agg_on_live_rate_source(spark):
+    name = f"live_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+    )
+    agg = (
+        stream.withWatermark("timestamp", "2 seconds")
+        .groupBy(F.window("timestamp", "1 second").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            rows = spark.table(name).collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(0.5)
+        assert len(rows) >= 2, "live stream produced no windowed aggregates"
+        assert all(r["n"] >= 1 for r in rows)
+    finally:
+        q.stop()
+
+
+def test_foreachbatch_sink_writes_parquet(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    seen_batches = []
+
+    def write_batch(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        batch_df.write.mode("append").parquet(out)
+
+    stream = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    q = stream.writeStream.foreachBatch(write_batch).start()
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and len(seen_batches) < 2:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(seen_batches) >= 2, "foreachBatch never fired"
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    assert set(back.columns) == {"timestamp", "value"}
