@@ -114,18 +114,14 @@ def minhash_lsh_pairs(
     hashed = sh.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", (hash64(F.col("s")) % HASH_PRIME).alias("h")
     )
-    agg = hashed.groupBy("doc_id").agg(
+    # No sentinel join here (unlike minhash_signatures): shingle-less docs
+    # have no signature rows, which only removes the empty-vs-empty
+    # candidates that Jaccard verification would NULL out anyway.
+    sig = hashed.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_PRIME).alias(f"mh{i}")
             for i, (a, b) in enumerate(MINHASH_PARAMS)
         ]
-    )
-    sig = sh.select("doc_id").join(agg, "doc_id", "left").select(
-        "doc_id",
-        *[
-            F.coalesce(f"mh{i}", F.lit(HASH_PRIME).cast("long")).alias(f"mh{i}")
-            for i in range(len(MINHASH_PARAMS))
-        ],
     )
     bands = sig.select(
         "doc_id",
@@ -253,12 +249,18 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard pairs via an inverted-index join: docs only meet
     on shingles they share, so the shuffle is sized by shingle collisions,
     not |docs|^2."""
+    # checkpoint the compact array form (one row per doc) — both sides of
+    # the self-join re-derive the exploded view from it cheaply
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
-    ).localCheckpoint(eager=False)  # shingling is reused by sizes AND inv
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    ).localCheckpoint(eager=False)
+    # carry each doc's shingle count THROUGH the inverted-index join (it's
+    # constant per doc, recovered with first() in the pair aggregation) —
+    # two post-hoc dimension joins would each cost another shuffle
+    inv = sh.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
     l, r = inv.alias("l"), inv.alias("r")
     common = (
         l.join(
@@ -267,17 +269,16 @@ def ngram_jaccard_pairs(
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("l.n_sh").alias("na"),
+            F.first("r.n_sh").alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return common.select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
 
 
 def embedding_near_dup_pairs(

@@ -871,3 +871,33 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "unpivot_stats_long",
+    """
+    SELECT c_mktsegment, metric, round(val, 4) AS val
+    FROM (
+        SELECT c_mktsegment,
+               round(avg(c_acctbal), 4) AS avg_bal,
+               round(min(c_acctbal), 4) AS min_bal,
+               round(max(c_acctbal), 4) AS max_bal
+        FROM customer GROUP BY c_mktsegment
+    ) UNPIVOT (val FOR metric IN (avg_bal, min_bal, max_bal))
+    """,
+)
+def unpivot_stats_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of pivot): wide per-segment stats to long
+    (segment, metric, value) form."""
+    wide = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+        )
+    )
+    return wide.unpivot(
+        "c_mktsegment", ["avg_bal", "min_bal", "max_bal"], "metric", "val"
+    ).select("c_mktsegment", "metric", F.round("val", 4).alias("val"))
