@@ -90,6 +90,78 @@ def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
     )
 
 
+def resize_image(payload: bytes, width: int, height: int, *, fake: bool = False) -> bytes:
+    """Resize an image payload. STUB (no codec library in this environment);
+    ``fake=True`` returns a deterministic truncation/padding of the bytes so
+    batch plumbing is testable end-to-end."""
+    if fake:
+        target = max(1, width * height)
+        return (payload * (target // max(1, len(payload)) + 1))[:target]
+    raise NotImplementedError(
+        "image resize requires a codec library (e.g. Pillow); the "
+        "mapInPandas plumbing below is ready for it"
+    )
+
+
+def resize_images(
+    docs: DataFrame, *, width: int = 8, height: int = 8, fake: bool = True
+) -> DataFrame:
+    """Batch resize over the binary column (decode->resize->re-encode shape)."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf["payload"].map(
+                lambda b: resize_image(bytes(b), width, height, fake=fake)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "n_bytes": out.map(len).astype("int64"),
+                }
+            )
+
+    return docs.select("doc_id", "payload").mapInPandas(_resize, schema)
+
+
+def sample_frames(
+    docs: DataFrame, *, n_frames: int = 4, fake: bool = True
+) -> DataFrame:
+    """Frame sampling for video-shaped payloads: one output row per sampled
+    frame (the 1->N explode shape of multimodal preprocessing). The fake
+    'decoder' slices the payload into n equal chunks deterministically."""
+    if not fake:
+        raise NotImplementedError("video decoding requires a codec library")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[i * step : (i + 1) * step])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return docs.select("doc_id", "payload").mapInPandas(_sample, schema)
+
+
 def decode_image_features(docs: DataFrame, *, fake: bool = True) -> DataFrame:
     """mapInPandas wrapper around decode_image (fake-decoder default, since
     no codec ships in this environment)."""

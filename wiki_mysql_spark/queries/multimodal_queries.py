@@ -57,3 +57,28 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake image-decode (real codec stubbed behind
     NotImplementedError) exercising the decode-shaped mapInPandas plumbing."""
     return decode_image_features(_payload_docs(spark, sf_dir), fake=True)
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    -- documents.text is ASCII, so char arithmetic == byte arithmetic
+    -- (DuckDB has no 3-arg substr over BLOBs)
+    SELECT doc_id, f.i::BIGINT AS frame_idx,
+           CASE WHEN length(text) // 4 > 0
+                THEN length(substr(text, (f.i * (length(text) // 4))::INT + 1,
+                                   (length(text) // 4)::INT))
+                ELSE length(substr(text, f.i::INT + 1, 1)) END::BIGINT AS frame_bytes
+    FROM documents, (SELECT unnest(range(4)) AS i) f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1 payload -> N frame rows via mapInPandas) — the
+    video-preprocessing explode shape; frame byte-lengths are checked against
+    arithmetic the oracle can compute."""
+    from wiki_mysql_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(_payload_docs(spark, sf_dir), n_frames=4, fake=True)
+    return frames.select(
+        "doc_id", "frame_idx", F.octet_length("frame").cast("long").alias("frame_bytes")
+    )
