@@ -41,11 +41,16 @@ def dense_ids(
     ``order_by`` (which must be a total order — include a unique tiebreaker,
     or ids within ties become partition-placement-dependent)."""
     spark = df.sparkSession
-    # Size the range-partitioned sort from the session's parallelism, not the
-    # input's partition count — a single-file (e.g. one .bz2 dump) upstream
-    # arrives as ONE partition and would otherwise serialize the whole sort.
+    # Size the range-partitioned sort from session parallelism / shuffle
+    # config, NOT from df.rdd.getNumPartitions(): under AQE, converting to an
+    # RDD forces every upstream shuffle stage to materialize (extra jobs, and
+    # those stages then run again for the real sort). A single-file upstream
+    # still fans out because the range exchange redistributes it; at cluster
+    # scale spark.sql.shuffle.partitions is the operator's width knob.
     n_part = max(
-        df.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism, 1
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism,
+        1,
     )
     ordered = df.repartitionByRange(n_part, *order_by).sortWithinPartitions(*order_by)
 
@@ -53,8 +58,10 @@ def dense_ids(
         "_pid", F.shiftright("_mid", 33).cast("long")
     )
     # Persist so the count pass and the final projection see the exact same
-    # partition layout (repartitionByRange samples range boundaries).
-    tagged = tagged.localCheckpoint(eager=True)
+    # partition layout (repartitionByRange samples range boundaries). Lazy:
+    # the counts collect below is the materializing action, so the checkpoint
+    # costs no extra job of its own.
+    tagged = tagged.localCheckpoint(eager=False)
 
     counts = (
         tagged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).orderBy("_pid").collect()

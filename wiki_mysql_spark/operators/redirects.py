@@ -52,8 +52,15 @@ def resolve_redirects(
         F.col("title").alias("src"), F.col("target").alias("dst")
     )
     if eager_checkpoint:
-        edges = edges.localCheckpoint(eager=True)
+        # lazy: the initial `chained.count()` below materializes it — one job
+        # instead of two per checkpoint
+        edges = edges.localCheckpoint(eager=False)
     sources = edges.select(F.col("src").alias("open_src")).distinct()
+    if eager_checkpoint:
+        # referenced by every is_open/is_closed split (2 per round + 2 final):
+        # checkpoint once instead of re-running the distinct aggregation each
+        # time. Tiny relative to the edge set (one row per redirect title).
+        sources = sources.localCheckpoint(eager=False)
 
     # Invariant per round r: `chained` rows still point at a redirect source
     # after following 2^r hops; `done` rows have reached a terminal (article
@@ -92,7 +99,7 @@ def resolve_redirects(
             .select("src", F.coalesce("h_dst", "dst").alias("dst"))
         )
         if eager_checkpoint:
-            stepped = stepped.localCheckpoint(eager=True)
+            stepped = stepped.localCheckpoint(eager=False)  # n.count() materializes
         done_parts.append(is_closed(stepped))
         chained = is_open(stepped)
         n = chained.count()
