@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from wiki_mysql_spark.functions.text import HASH_PRIME, hash64, shingles, words
+from wiki_mysql_spark.functions.text import HASH_PRIME, hash64, shingles_of, words
 from wiki_mysql_spark.functions.vectors import cosine
 
 # Fixed affine minhash parameters (deterministic; generated once from a seeded
@@ -76,10 +76,16 @@ def minhash_signatures(
     a real signature since all real values are < HASH_PRIME.
     """
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    hashed = base.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
-    ).select("doc_id", (hash64(F.col("s")) % HASH_PRIME).alias("h"))
+    # tokenize into a real column first — inlining words() into the shingle
+    # lambda re-tokenizes per shingle (see shingles_of)
+    hashed = (
+        base.select("doc_id", words(F.col("text")).alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_of(F.col("ws"), 3))).alias("s"),
+        )
+        .select("doc_id", (hash64(F.col("s")) % HASH_PRIME).alias("h"))
+    )
     sig = hashed.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_PRIME).alias(f"mh{i}")
@@ -108,9 +114,12 @@ def minhash_lsh_pairs(
     """
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     # shingle once; signatures AND the verification join both read this
-    sh = base.select(
-        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
-    ).localCheckpoint(eager=False)
+    # (tokenize into a column first — see shingles_of on why inlining is slow)
+    sh = (
+        base.select("doc_id", words(F.col("text")).alias("ws"))
+        .select("doc_id", F.array_distinct(shingles_of(F.col("ws"), 3)).alias("sh"))
+        .localCheckpoint(eager=False)
+    )
     hashed = sh.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", (hash64(F.col("s")) % HASH_PRIME).alias("h")
     )
@@ -251,10 +260,11 @@ def ngram_jaccard_pairs(
     not |docs|^2."""
     # checkpoint the compact array form (one row per doc) — both sides of
     # the self-join re-derive the exploded view from it cheaply
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
-    ).localCheckpoint(eager=False)
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("ws"))
+        .select("doc_id", F.array_distinct(shingles_of(F.col("ws"), n)).alias("sh"))
+        .localCheckpoint(eager=False)
+    )
     # carry each doc's shingle count THROUGH the inverted-index join (it's
     # constant per doc, recovered with first() in the pair aggregation) —
     # two post-hoc dimension joins would each cost another shuffle
