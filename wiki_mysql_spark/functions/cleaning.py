@@ -232,6 +232,13 @@ def cleaning_chain_duckdb_sql(
     return one(e, kind, pat, repl)
 
 
+# Any string the decode+strip passes could change must contain one of these:
+# '&' (entities), '<' (comments/tags), '{' (templates/tables), '[' or ']'
+# (links/brackets), or a line-start '|' / '!' (table markup). Rows without
+# them — most of a clean documents corpus — skip all ~24 regex passes.
+_MARKUP_TRIGGER = r"(?m)[<{\[\]&]|^\||^!"
+
+
 def clean_wiki_body(
     col: Column,
     *,
@@ -240,10 +247,17 @@ def clean_wiki_body(
     invalid_unicodes: tuple[tuple[int, int], ...] = (),
     markup_iterations: int = 3,
 ) -> Column:
-    """The full F1-F6 chain in reference order (``filters.py:52-64``)."""
-    if remove_html:
-        col = decode_html_entities(col)
-    col = strip_wiki_markup(col, markup_iterations)
+    """The full F1-F6 chain in reference order (``filters.py:52-64``).
+
+    The decode+strip portion is gated on one cheap trigger-char scan
+    (``_MARKUP_TRIGGER``); CASE WHEN short-circuits per row, so markup-free
+    rows cost one linear scan instead of the full pass chain. Result-identical
+    by construction: every decode/strip pass requires a trigger char to match
+    anything. Prefer passing a plain column reference — a heavy ``col``
+    expression is referenced three times here."""
+    stripped = decode_html_entities(col) if remove_html else col
+    stripped = strip_wiki_markup(stripped, markup_iterations)
+    col = F.when(col.rlike(_MARKUP_TRIGGER), stripped).otherwise(col)
     col = unicode_whitelist(col, valid_unicodes)
     col = unicode_blacklist(col, invalid_unicodes)
     return collapse_whitespace(col)
