@@ -43,7 +43,7 @@ from wiki_mysql_spark.operators.similarity import (
     lsh_topk,
 )
 from wiki_mysql_spark.queries.registry import query
-from wiki_mysql_spark.sources.tables import load_table
+from wiki_mysql_spark.sources.tables import load_table, spread_small_scan
 
 # ---------------------------------------------------------------------------
 # fixture with known exact + near duplicates
@@ -59,7 +59,13 @@ DUP_FIXTURE: list[tuple[int, str]] = [
 
 
 def _docs_with_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread_small_scan: the shingling/hashing below is per-row CPU work that
+    # would otherwise run entirely in the single scan partition of a small
+    # documents file (the fixture union's 32 near-empty partitions don't help
+    # the one partition holding the whole corpus).
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     fix = spark.createDataFrame(DUP_FIXTURE, ["doc_id", "text"])
     return docs.unionByName(fix)
 
@@ -380,7 +386,7 @@ def _sql_stopword_ratio(lang: str) -> str:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality signals (length / punctuation / stopword / alpha
     ratios) — the corpus-filtering scorer, all native columns."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     feats = quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -415,7 +421,7 @@ _LANGS_SORTED = sorted(LANG_PROFILES)
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (stopword-profile argmax, alphabetical
     tiebreak, 'und' when nothing matches) next to the labeled lang."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -439,7 +445,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting + order-sensitive rolling-hash fingerprint
     (content signature stable under repartitioning)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),

@@ -14,11 +14,15 @@ from wiki_mysql_spark.operators.multimodal import (
     payload_metadata,
 )
 from wiki_mysql_spark.queries.registry import query
-from wiki_mysql_spark.sources.tables import load_table
+from wiki_mysql_spark.sources.tables import load_table, spread_small_scan
 
 
 def _payload_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    # The Arrow feature path ships payload bytes through Python workers; a
+    # single-partition scan would serialize all of that on one core.
+    return attach_binary_payload(
+        spread_small_scan(load_table(spark, sf_dir, "documents"))
+    )
 
 
 @query(

@@ -24,7 +24,7 @@ from wiki_mysql_spark.operators.ids import dense_ids
 from wiki_mysql_spark.operators.redirects import resolve_redirects
 from wiki_mysql_spark.plans.wiki_pipeline import build_wiki_tables
 from wiki_mysql_spark.queries.registry import query
-from wiki_mysql_spark.sources.tables import load_table
+from wiki_mysql_spark.sources.tables import load_table, spread_small_scan
 
 # (aid, title, ns, text) — covers markup variants, a redirect, a 2-hop chain,
 # a 2-cycle, a dangling redirect, and a non-ns-0 page (dropped).
@@ -77,7 +77,7 @@ def wiki_clean_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ns") == 0)
         .select(F.col("aid").alias("id"), F.col("text").alias("raw"))
     )
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents")).select(
         (F.col("doc_id") + 1000).alias("id"), F.col("text").alias("raw")
     )
     return fixture.unionByName(docs).select(

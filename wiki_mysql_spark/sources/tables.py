@@ -50,6 +50,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_scan(df: DataFrame, *, min_factor: int = 2) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy per-row work.
+
+    A small input (one file with one row group) arrives as a single scan
+    partition; per-row regex / higher-order-function / Arrow work then runs
+    on one core while the rest idle — the measured cost of e.g. the
+    text-quality scorer at sf0.1 was ~5x its parallel runtime purely from
+    this skew. Round-robin repartition when the scan has fewer than
+    parallelism/min_factor partitions; no-op (no shuffle) on an
+    already-parallel scan, which is the normal case at real scale where an
+    input is thousands of files.
+
+    Only worth it when downstream per-row work dominates the shuffle cost of
+    the payload — apply at text/vector/UDF operators, not plain aggregates.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    # .rdd is safe here: callers pass freshly-scanned frames with no shuffle
+    # upstream, so the partition probe does not materialize prior stages.
+    if df.rdd.getNumPartitions() * min_factor < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every fixture table as a temp view (for spark.sql queries)."""
     out: dict[str, DataFrame] = {}
