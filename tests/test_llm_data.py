@@ -114,3 +114,33 @@ def test_multimodal_resize_and_stub_gates(spark):
         decode_image(b"bytes")
     with _pytest.raises(NotImplementedError):
         resize_image(b"bytes", 8, 8)
+
+
+def test_kmeans_codebook_trains_and_is_deterministic(spark):
+    from wiki_mysql_spark.operators.similarity import ivf_topk, kmeans_codebook
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 4).collect()
+    }
+    book = kmeans_codebook(emb, n_centroids=4, n_iters=2)
+    # cells keyed by surviving seed ids; dims preserved
+    assert set(c for c, _ in book) <= set(seeds)
+    assert all(len(v) == 64 for _, v in book)
+    # training moved every surviving center off its seed
+    assert all(v != seeds[c] for c, v in book)
+    # deterministic: identical on retrain (rounding pins the fixpoint)
+    assert book == kmeans_codebook(emb, n_centroids=4, n_iters=2)
+
+    # trained IVF assigns every corpus vector to exactly one cell and its
+    # results carry exact cosine values (subset-of-bruteforce invariant)
+    q = emb.where(F.col("vec_id") < 3)
+    approx = ivf_topk(emb, q, k=5, n_probe=2, codebook=book).collect()
+    all_sims = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in brute_force_topk(emb, q, k=10**6).collect()
+    }
+    assert approx
+    for r in approx:
+        assert all_sims[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]

@@ -68,6 +68,88 @@ def brute_force_topk(
     )
 
 
+def _lit_vec(vals: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def nearest_cells(
+    vec: F.Column, centers: list[tuple[int, list[float]]], n_probe: int
+) -> F.Column:
+    """Top-``n_probe`` centroid ids for a vector, by cosine (ties → lower
+    id), against driver-collected literal centers — a per-row expression
+    with NO shuffle and no join, the same broadcast-centers pattern Spark
+    MLlib's KMeans uses. Returns ``array<long>`` of cell ids."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(vec, _lit_vec(cv)).alias("s"),
+                F.lit(-int(cid)).cast("long").alias("negid"),
+            )
+            for cid, cv in centers
+        ]
+    )
+    # struct sort compares (s, negid): ascending by sim then by -id, so the
+    # reversed order is sim DESC with ties broken by the LOWER id.
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+    return F.transform(top, lambda s: -s["negid"])
+
+
+def kmeans_codebook(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Train a coarse-quantizer codebook with Lloyd k-means, distributed the
+    way MLlib does it: centers live on the driver (tiny — k × dim doubles)
+    and are broadcast into a per-row argmax expression; the update step is a
+    partial-aggregatable per-(cell, position) mean, so the only data that
+    moves per iteration is k × dim × n_partitions partial sums — the corpus
+    itself is never shuffled. Assignment metric is cosine (ties → lower id);
+    seeds are the first ``n_centroids`` corpus vectors; centroid values are
+    rounded to ``round_digits`` each iteration so the result is
+    deterministic across engines and summation orders (the DuckDB oracle
+    replays the identical iterations in SQL). A cell that captures no
+    vectors drops out, matching the SQL semantics.
+    """
+    seeds = (
+        corpus.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).cast("long").alias("cent_id"), F.col(vec_col).alias("v"))
+        .collect()
+    )
+    centers = sorted((int(r.cent_id), [float(x) for x in r.v]) for r in seeds)
+    vecs = corpus.select(F.col(vec_col).alias("v"))
+    for _ in range(n_iters):
+        updated = (
+            # two projections: putting the generator (posexplode) in the same
+            # select as the lambda-bearing struct argmax trips a Spark
+            # analyzer bug that strips struct field names (FIELD_NOT_FOUND).
+            vecs.select(
+                F.element_at(nearest_cells(F.col("v"), centers, 1), 1).alias("cell"),
+                "v",
+            )
+            .select(
+                "cell",
+                F.posexplode(F.col("v").cast("array<double>")).alias("pos", "x"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), round_digits).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centv")
+            )
+            .collect()
+        )
+        centers = sorted((int(r.cell), [float(x) for x in r.centv]) for r in updated)
+    return centers
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -77,47 +159,41 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: assign every vector to its nearest
     coarse centroid (the inverted file), then search only the query's
     ``n_probe`` closest cells.
 
-    Centroids here are the first ``n_centroids`` corpus vectors — a
-    deterministic stand-in for a trained k-means codebook (swap in
-    pyspark.ml KMeans centers in production; the plan shape is identical).
-    At 100 TB the corpus is written partitioned by ``cell`` so a query
-    touches n_probe partitions instead of the full scan.
+    ``codebook`` is a driver-side center list (from :func:`kmeans_codebook`);
+    when omitted, the first ``n_centroids`` corpus vectors stand in as an
+    untrained codebook. Either way, assignment is a literal-centers argmax
+    expression (:func:`nearest_cells`) — no join and no shuffle; the only
+    shuffle in the whole operator is the per-query top-k window. At 100 TB
+    the corpus is written partitioned by ``cell`` so a query touches
+    n_probe partitions instead of the full scan.
     """
-    cent = F.broadcast(
-        corpus.where(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv")
+    if codebook is None:
+        seeds = (
+            corpus.where(F.col(id_col) < n_centroids)
+            .select(
+                F.col(id_col).cast("long").alias("cent_id"),
+                F.col(vec_col).alias("v"),
+            )
+            .collect()
         )
+        codebook = sorted((int(r.cent_id), [float(x) for x in r.v]) for r in seeds)
+
+    cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(nearest_cells(F.col(vec_col), codebook, 1), 1).alias("cell"),
     )
-
-    def assign(df: DataFrame, idc: str, vc: str, keep_n: int) -> DataFrame:
-        scored = df.crossJoin(cent).select(
-            F.col(idc),
-            F.col(vc),
-            "cent_id",
-            cosine(F.col(vc), F.col("centv")).alias("c_sim"),
-        )
-        w = Window.partitionBy(idc).orderBy(F.col("c_sim").desc(), F.col("cent_id"))
-        return scored.select(
-            idc, vc, "cent_id", F.row_number().over(w).alias("crank")
-        ).where(F.col("crank") <= keep_n)
-
-    cells = assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
-        "neighbor_id",
-        "cv",
-        1,
-    ).select("neighbor_id", "cv", F.col("cent_id").alias("cell"))
-    probes = assign(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        "query_id",
-        "qv",
-        n_probe,
-    ).select("query_id", "qv", F.col("cent_id").alias("cell"))
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(nearest_cells(F.col(vec_col), codebook, n_probe)).alias("cell"),
+    )
 
     scored = (
         F.broadcast(probes)

@@ -503,6 +503,102 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_kmeans_cents(n_centroids: int, n_iters: int, dim: int) -> tuple[str, str]:
+    """CTE fragments replaying the exact Lloyd iterations of
+    ``kmeans_codebook`` in DuckDB: seed with the first-k vectors, assign by
+    cosine (ties → lower id), recompute each centroid as the per-position
+    mean rounded to 6 decimals (the rounding is what makes the fixpoint of
+    both engines identical despite different summation orders)."""
+    frags = [
+        f"cent0 AS (SELECT vec_id AS cent_id, "
+        f"list_transform(embedding, x -> x::DOUBLE) AS centv "
+        f"FROM embeddings WHERE vec_id < {n_centroids})"
+    ]
+    for it in range(1, n_iters + 1):
+        prev = f"cent{it - 1}"
+        frags.append(
+            f"""assign{it} AS (
+        SELECT v, cell FROM (
+            SELECT e.embedding AS v, c.cent_id AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_sql_cosine('e.embedding', 'c.centv')} DESC,
+                                               c.cent_id) AS crank
+            FROM embeddings e CROSS JOIN {prev} c
+        ) WHERE crank = 1
+    )"""
+        )
+        frags.append(
+            f"""cent{it} AS (
+        SELECT cell AS cent_id, list(m ORDER BY pos) AS centv FROM (
+            SELECT a.cell, t.i AS pos, round(avg(a.v[t.i]::DOUBLE), 6) AS m
+            FROM assign{it} a CROSS JOIN range(1, {dim + 1}) t(i)
+            GROUP BY a.cell, t.i
+        ) GROUP BY cell
+    )"""
+        )
+    return ",\n    ".join(frags), f"cent{n_iters}"
+
+
+_KM_CENTS, _KM_FINAL = _sql_kmeans_cents(n_centroids=8, n_iters=2, dim=64)
+
+
+@query(
+    "ann_topk_ivf_trained",
+    f"""
+    WITH {_KM_CENTS},
+    cells AS (
+        SELECT neighbor_id, cv, cent_id AS cell FROM (
+            SELECT c.vec_id AS neighbor_id, c.embedding AS cv, cent.cent_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                                      ORDER BY {_sql_cosine('c.embedding', 'cent.centv')} DESC,
+                                               cent.cent_id) AS crank
+            FROM embeddings c CROSS JOIN {_KM_FINAL} cent
+        ) WHERE crank = 1
+    ),
+    probes AS (
+        SELECT query_id, qv, cent_id AS cell FROM (
+            SELECT q.vec_id AS query_id, q.embedding AS qv, cent.cent_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_sql_cosine('q.embedding', 'cent.centv')} DESC,
+                                               cent.cent_id) AS crank
+            FROM embeddings q CROSS JOIN {_KM_FINAL} cent WHERE q.vec_id < 5
+        ) WHERE crank <= 2
+    ),
+    scored AS (
+        SELECT DISTINCT p.query_id, c.neighbor_id,
+               {_sql_cosine('p.qv', 'c.cv')} AS raw_sim
+        FROM probes p JOIN cells c ON p.cell = c.cell
+        WHERE p.query_id <> c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, round(raw_sim, 6) + 0 AS cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY raw_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: 2 Lloyd iterations of k-means
+    run the MLlib way — centers broadcast into a per-row argmax, update via
+    partial-aggregatable per-(cell,pos) means, only k x dim x n_partitions
+    partial sums ever shuffled. The oracle replays the identical iterations
+    as SQL CTEs; 6-decimal centroid rounding on both engines pins the
+    fixpoint. (Closest reference hook: none — north-star extension over
+    the embeddings fixture.)"""
+    from wiki_mysql_spark.operators.similarity import ivf_topk, kmeans_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = kmeans_codebook(emb, n_centroids=8, n_iters=2)
+    return ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        k=10,
+        n_probe=2,
+        codebook=book,
+    )
+
+
 @query(
     "agg_salted_skew",
     """
