@@ -82,7 +82,10 @@ def resolve_redirects(
 
     done_parts = [is_closed(edges)]
     chained = is_open(edges)
-    prev_n = chained.count()
+    # No up-front count: the first doubling round runs unconditionally (its
+    # own count doubles as the materializing action), saving one job on
+    # every invocation — the empty/trivial case costs the same either way.
+    prev_n: int | None = None
     rounds = max(1, math.ceil(math.log2(max_depth)))
     for _ in range(rounds):
         if prev_n == 0:
