@@ -50,25 +50,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def spread_small_scan(df: DataFrame, *, min_factor: int = 2) -> DataFrame:
-    """Spread a narrow scan across the cluster before CPU-heavy per-row work.
+def spread_small_scan(
+    df: DataFrame, *, min_factor: int = 2, min_bytes: int = 32 << 20
+) -> DataFrame:
+    """Spread a narrow-but-LARGE scan across the cluster before CPU-heavy
+    per-row work.
 
-    A small input (one file with one row group) arrives as a single scan
-    partition; per-row regex / higher-order-function / Arrow work then runs
-    on one core while the rest idle — the measured cost of e.g. the
-    text-quality scorer at sf0.1 was ~5x its parallel runtime purely from
-    this skew. Round-robin repartition when the scan has fewer than
-    parallelism/min_factor partitions; no-op (no shuffle) on an
-    already-parallel scan, which is the normal case at real scale where an
-    input is thousands of files.
-
-    Only worth it when downstream per-row work dominates the shuffle cost of
-    the payload — apply at text/vector/UDF operators, not plain aggregates.
+    The pathology this fixes: one big unsplittable file (a 1 GB .bz2 dump, a
+    single-row-group parquet) arrives as one scan partition, so per-row regex
+    / higher-order-function / Arrow work runs on one core while the rest
+    idle. The fix is a round-robin repartition — but ONLY when the single
+    partition is actually big: measured head-to-head at fixture scale
+    (≤1 MB scans), the added shuffle is a consistent net LOSS because the
+    per-row work finishes faster than the exchange. So the gate is
+    bytes-first (plan statistics — free, no job), partition-count second
+    (the `.rdd` probe is safe on freshly-scanned frames with no upstream
+    shuffle). At real scale an input is thousands of files and this is a
+    no-op either way.
     """
     spark = df.sparkSession
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size < min_bytes:
+        return df
     target = spark.sparkContext.defaultParallelism
-    # .rdd is safe here: callers pass freshly-scanned frames with no shuffle
-    # upstream, so the partition probe does not materialize prior stages.
     if df.rdd.getNumPartitions() * min_factor < target:
         return df.repartition(target)
     return df
