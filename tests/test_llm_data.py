@@ -144,3 +144,15 @@ def test_kmeans_codebook_trains_and_is_deterministic(spark):
     assert approx
     for r in approx:
         assert all_sims[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
+
+
+def test_connected_components_chain_cycle_selfloop(spark):
+    from wiki_mysql_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        # a 4-chain, a triangle (cycle), a self-loop, an isolated pair
+        [(1, 2), (2, 3), (3, 4), (20, 21), (21, 22), (22, 20), (30, 30), (40, 41)],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 20: 20, 21: 20, 22: 20, 30: 30, 40: 40, 41: 40}

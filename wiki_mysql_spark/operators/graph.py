@@ -1,0 +1,79 @@
+"""Distributed connected components (north-star dedup extension).
+
+Completes the dedup story: pair generators (MinHash/SimHash/ngram/embedding,
+``operators/dedup.py``) emit near-duplicate EDGES; grouping those into
+clusters with one canonical survivor per cluster is an undirected
+connected-components problem. The closest reference hook is the redirect
+fixpoint (``/root/reference/dbfy.py:108-121`` — also a reachability
+computation), but CC is symmetric where redirects are directed.
+
+Algorithm: min-label propagation — every node starts labeled with itself;
+each round every node takes the min label over itself and its neighbors;
+fixpoint when no label changes. Rounds = graph diameter, which for near-dup
+clusters is tiny (near-dup similarity is close to transitive, so components
+are dense and shallow). Each round is one shuffle of (node, label) pairs —
+the edge set is never re-shuffled (it is checkpointed once and re-joined).
+For a pathological high-diameter graph swap in the pointer-doubling step
+from ``operators/redirects.py`` (O(log d) rounds); for near-dup clustering
+the simple propagation wins because its per-round shuffle is smaller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Label every node of the undirected graph ``edges`` with the minimum
+    node id reachable from it.
+
+    Returns ``(node, label)`` — one row per node that appears in any edge;
+    isolated nodes (no edges) are by definition their own singleton
+    components and are not emitted (callers union them back if needed).
+    ``max_rounds`` bounds divergence on adversarial graphs; propagation
+    normally exits at the fixpoint (a round with zero label changes).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    # One materialization of the (small relative to the corpus) edge set;
+    # every round re-joins it without recomputing the pair generation above.
+    sym = sym.localCheckpoint(eager=False)
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_rounds):
+        neigh = sym.join(labels, sym.b == labels.node).select(
+            F.col("a").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # lazy: the `changed` count below is the materializing action
+        new_labels = new_labels.localCheckpoint(eager=False)
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("label").alias("_old")), "node"
+            )
+            .where(F.col("label") < F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

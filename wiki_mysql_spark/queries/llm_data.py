@@ -165,9 +165,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_lsh",
-    f"""
+_SQL_MINHASH_PAIRS = f"""
     WITH corpus AS ({_sql_docs_with_fixture()}),
     tokenized AS (SELECT doc_id, {SQL_WORDS} AS ws FROM corpus),
     shingled AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM tokenized),
@@ -191,13 +189,51 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand
     WHERE len(list_intersect(list_distinct(sh_a), list_distinct(sh_b)))
           / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE >= 0.5
-    """,
-)
+    """
+
+
+@query("dedup_minhash_lsh", _SQL_MINHASH_PAIRS)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (16 perms) + banded LSH (8 bands x 2) near-dup pairs, verified
     with exact shingle Jaccard. Only same-band rows meet in the join — the
     shuffle is sized by collisions, never |docs|^2."""
     return minhash_lsh_pairs(_docs_with_fixture(spark, sf_dir), jaccard_threshold=0.5)
+
+
+@query(
+    "dedup_minhash_components",
+    f"""
+    WITH RECURSIVE pairs AS ({_SQL_MINHASH_PAIRS}),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk(node, reach) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT w.node, s.b FROM walk w JOIN sym s ON w.reach = s.a
+    )
+    SELECT node AS doc_id, min(reach) AS cluster_id,
+           (node = min(reach)) AS keep
+    FROM walk GROUP BY node
+    """,
+)
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs grouped by connected components
+    (min-label propagation, `operators/graph.py`), emitting each clustered
+    doc with its cluster's canonical (minimum) id and a keep flag — the
+    keep-one-per-cluster step a training-data dedup actually ships. Oracle:
+    an independent recursive-CTE reachability walk."""
+    from wiki_mysql_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(_docs_with_fixture(spark, sf_dir), jaccard_threshold=0.5)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )
 
 
 @query(
