@@ -324,3 +324,68 @@ def fn_datetime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts_floor_jan15"
         ),
     )
+
+
+@query(
+    "ts_resample_gapfill",
+    """
+    WITH buckets AS (
+        SELECT user_id, bucket, obs FROM (
+            SELECT user_id, date_trunc('hour', ts) AS bucket, value AS obs,
+                   row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE user_id < 20
+        ) WHERE rn = 1
+    ),
+    spans AS (
+        SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM buckets
+        GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM spans
+    )
+    SELECT g.user_id, g.bucket,
+           round(last_value(b.obs IGNORE NULLS)
+                 OVER (PARTITION BY g.user_id ORDER BY g.bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) + 0
+               AS value,
+           (b.obs IS NULL) AS filled
+    FROM grid g LEFT JOIN buckets b
+      ON g.user_id = b.user_id AND g.bucket = b.bucket
+    """,
+)
+def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to an hourly grid + last-observation-carried-
+    forward gap fill: per-bucket latest observation (max_by with a (ts,
+    event_id) total order), a sequence()-exploded dense grid per user, and
+    LOCF via last(ignorenulls) over a running frame. The grid explode and
+    the window both partition by user — one shuffle, no driver loops."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    buckets = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("obs"))
+    grid = (
+        buckets.groupBy("user_id")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bucket"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(buckets, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            (F.round(F.last("obs", ignorenulls=True).over(w), 2) + 0.0).alias("value"),
+            F.col("obs").isNull().alias("filled"),
+        )
+    )
