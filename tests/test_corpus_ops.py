@@ -1,0 +1,137 @@
+"""Behavioral tests for the corpus-preparation operators (PII redaction,
+chunking, splitting, decontamination, packing, profiling) — properties the
+oracle equivalence can't express: coverage invariants, determinism under
+repartitioning, and known-answer fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wiki_mysql_spark.operators.corpus import (
+    assign_split,
+    chunk_documents,
+    decontaminate,
+    pack_token_budget,
+    profile_columns,
+    redact_pii,
+)
+
+PII_DOCS = [
+    (1, "mail alice@example.com and bob.smith+x@mail.co.uk please"),
+    (2, "call +1 555 123 4567 now"),
+    (3, "ping 10.0.0.1 then 192.168.255.254"),
+    (4, "nothing sensitive here"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    return spark.createDataFrame(PII_DOCS, ["doc_id", "text"])
+
+
+def test_redact_pii_counts_and_text(pii_docs):
+    r = redact_pii(F.col("text"))
+    rows = {
+        row["doc_id"]: row
+        for row in pii_docs.select(
+            "doc_id",
+            r["redacted"].alias("red"),
+            r["n_emails"].alias("ne"),
+            r["n_ips"].alias("ni"),
+            r["n_phones"].alias("np"),
+        ).collect()
+    }
+    assert rows[1]["ne"] == 2 and "[EMAIL]" in rows[1]["red"]
+    assert "@" not in rows[1]["red"]
+    assert rows[2]["np"] == 1 and rows[2]["red"] == "call [PHONE] now"
+    assert rows[3]["ni"] == 2 and rows[3]["red"] == "ping [IP] then [IP]"
+    # IPs must NOT be eaten by the phone pattern (dots break the digit run)
+    assert rows[3]["np"] == 0
+    assert rows[4]["red"] == "nothing sensitive here"
+    assert rows[5]["red"] == ""
+
+
+def test_chunking_covers_text_with_overlap(spark):
+    text = "x" * 500
+    docs = spark.createDataFrame([(1, text), (2, "short"), (3, "")], ["doc_id", "text"])
+    chunks = chunk_documents(docs, size=120, stride=90).collect()
+    by_doc = {}
+    for c in chunks:
+        by_doc.setdefault(c["doc_id"], []).append(c)
+    # 500 chars, size 120, stride 90 -> 1 + ceil(380/90) = 6 chunks
+    ours = sorted(by_doc[1], key=lambda c: c["chunk_idx"])
+    assert len(ours) == 6
+    # full coverage: consecutive starts differ by stride < size (overlap),
+    # and the last chunk reaches the end of the text
+    starts = [c["chunk_start"] for c in ours]
+    assert starts == [1 + 90 * i for i in range(6)]
+    last = ours[-1]
+    assert last["chunk_start"] + last["n_chunk_chars"] - 1 == 500
+    # degenerate docs still produce exactly one chunk (nothing disappears)
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_chars"] == 5
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_chunk_chars"] == 0
+
+
+def test_split_deterministic_and_proportional(spark):
+    ids = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = assign_split(F.col("doc_id"))
+    out = ids.select("doc_id", a["split"].alias("split"))
+    frac = {
+        r["split"]: r["n"] / 2000
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(frac["train"] - 0.80) < 0.03
+    assert abs(frac["valid"] - 0.10) < 0.02
+    assert abs(frac["test"] - 0.10) < 0.02
+    # pure function of the key: identical assignment on any partitioning
+    again = (
+        ids.repartition(7)
+        .select("doc_id", assign_split(F.col("doc_id"))["split"].alias("split"))
+    )
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "entirely disjoint vocabulary nothing shared here at all"),
+            (3, "quick brown fox appears again in this other document"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["eval_id", "text"]
+    )
+    hits = {r["doc_id"]: r for r in decontaminate(train, ev).collect()}
+    # doc 1 shares 3 shingles ("the quick brown", "quick brown fox",
+    # "brown fox jumps"), doc 3 shares 1, doc 2 none
+    assert hits[1]["n_shared_ngrams"] == 3 and hits[1]["n_eval_docs"] == 1
+    assert hits[3]["n_shared_ngrams"] == 1
+    assert 2 not in hits
+
+
+def test_pack_token_budget_first_fit(spark):
+    # 5 docs of 10 tokens each, budget 25 -> bins of 3 docs (0,10,20) + 2
+    docs = spark.createDataFrame(
+        [(i, "g", "w " * 10) for i in range(5)], ["doc_id", "source", "text"]
+    )
+    out = {
+        r["doc_id"]: r["bin_id"]
+        for r in pack_token_budget(docs, budget=25).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_profile_columns_known_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (3, "b")], ["k", "v"]
+    )
+    prof = {r["col_name"]: r for r in profile_columns(df, ["k", "v"]).collect()}
+    assert prof["k"]["n_rows"] == 4 and prof["k"]["n_nulls"] == 0
+    assert prof["k"]["n_distinct"] == 3
+    assert prof["k"]["min_value"] == "1" and prof["k"]["max_value"] == "3"
+    assert prof["v"]["n_nulls"] == 1 and prof["v"]["n_distinct"] == 2
+    assert prof["v"]["min_value"] == "a" and prof["v"]["max_value"] == "b"

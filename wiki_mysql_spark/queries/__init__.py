@@ -5,6 +5,7 @@ from wiki_mysql_spark.queries import (  # noqa: F401  (registration side-effects
     functions_lib,
     llm_data,
     multimodal_queries,
+    pipeline_ops,
     relational,
     streaming_queries,
     tpch_extra,

@@ -1,0 +1,275 @@
+"""Training-data pipeline operators as oracle-checked queries: PII
+redaction, overlapping chunking, deterministic train/valid/test splitting,
+benchmark decontamination, token-budget sequence packing, and column
+profiling (north-star extensions; closest reference hook is the cleaning
+chain at ``/root/reference/filters.py:52-64`` which these run after).
+
+The synthetic corpus contains no PII, so a small fixture with known
+emails/IPs/phone numbers is unioned in (doc_id >= 200001) — otherwise the
+redaction op would be vacuously the identity and the gate couldn't tell a
+working operator from a broken one. The decontamination "benchmark set" is
+derived from the corpus itself (200-char prefixes of every 97th doc) so
+overlap is guaranteed non-vacuous at any scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wiki_mysql_spark.operators.corpus import (
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
+    SPLIT_BOUNDS,
+    SPLIT_LAST,
+    assign_split,
+    chunk_documents,
+    decontaminate,
+    pack_token_budget,
+    profile_columns,
+    redact_pii,
+)
+from wiki_mysql_spark.queries.registry import query
+from wiki_mysql_spark.sources.tables import load_table, spread_small_scan
+
+# ---------------------------------------------------------------------------
+# PII fixture (the corpus has none) + SQL mirror helpers
+# ---------------------------------------------------------------------------
+
+PII_FIXTURE: list[tuple[int, str]] = [
+    (200001, "reach me at alice.smith@example.com or bob+test@mail.co.uk today"),
+    (200002, "call +1 555 123 4567 or (555) 987-6543 before noon"),
+    (200003, "hosts 192.168.1.1 and 10.0.0.255 up; email root@status.example.org"),
+    (200004, "no sensitive data in this row at all"),
+]
+
+
+def _docs_with_pii_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    fix = spark.createDataFrame(PII_FIXTURE, ["doc_id", "text"])
+    return docs.unionByName(fix)
+
+
+_SQL_PII_CORPUS = (
+    "SELECT doc_id, text FROM documents UNION ALL SELECT * FROM (VALUES "
+    + ", ".join(f"({i}::BIGINT, '{t}')" for i, t in PII_FIXTURE)
+    + ") fixture(doc_id, text)"
+)
+
+
+def _sql_words(expr: str) -> str:
+    return f"list_filter(string_split_regex({expr}, '\\s+'), w -> w <> '')"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_pii_redact",
+    f"""
+    WITH corpus AS ({_SQL_PII_CORPUS}),
+    s1 AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{PII_EMAIL}'))::BIGINT AS n_emails,
+               regexp_replace(text, '{PII_EMAIL}', '[EMAIL]', 'g') AS t1
+        FROM corpus
+    ),
+    s2 AS (
+        SELECT doc_id, n_emails,
+               len(regexp_extract_all(t1, '{PII_IPV4}'))::BIGINT AS n_ips,
+               regexp_replace(t1, '{PII_IPV4}', '[IP]', 'g') AS t2
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id, n_emails, n_ips,
+               len(regexp_extract_all(t2, '{PII_PHONE}'))::BIGINT AS n_phones,
+               regexp_replace(t2, '{PII_PHONE}', '[PHONE]', 'g') AS t3
+        FROM s2
+    )
+    SELECT doc_id, n_emails, n_ips, n_phones,
+           substr(md5(t3), 1, 16) AS redacted_hash
+    FROM s3
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails -> IPv4s -> phone-shaped digit runs) with
+    per-stage match counts; the redacted text is emitted as an md5 prefix so
+    the oracle compares content without hauling full bodies. Pure
+    regexp_replace chain — whole-stage codegen, no UDF. Patterns are
+    Java-regex/RE2 common-subset so both engines match identically."""
+    docs = _docs_with_pii_fixture(spark, sf_dir)
+    r = redact_pii(F.col("text"))
+    return docs.select(
+        "doc_id",
+        r["n_emails"].alias("n_emails"),
+        r["n_ips"].alias("n_ips"),
+        r["n_phones"].alias("n_phones"),
+        F.substring(F.md5(r["redacted"]), 1, 16).alias("redacted_hash"),
+    )
+
+
+@query(
+    "text_chunk_overlap",
+    f"""
+    WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    ex AS (
+        SELECT doc_id, text,
+               unnest(range((CASE WHEN n <= 120 THEN 1
+                                  ELSE ceil((n - 120) / 90.0) + 1 END)::BIGINT)) AS chunk_idx
+        FROM base
+    ),
+    ch AS (
+        SELECT doc_id, chunk_idx, (1 + chunk_idx * 90)::BIGINT AS chunk_start,
+               substr(text, 1 + chunk_idx * 90, 120) AS chunk
+        FROM ex
+    )
+    SELECT doc_id, chunk_idx, chunk_start,
+           length(chunk)::BIGINT AS n_chunk_chars,
+           substr(md5(chunk), 1, 16) AS chunk_hash,
+           len({_sql_words('chunk')})::BIGINT AS n_chunk_tokens
+    FROM ch
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (120-char windows, 90-char
+    stride): 1 -> N rows via explode(sequence) inside the scan stage — zero
+    shuffles, embarrassingly parallel at any corpus size. Chunk text travels
+    as an md5 prefix; count/start/length columns pin the window arithmetic."""
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return chunk_documents(docs, size=120, stride=90)
+
+
+_SQL_SPLIT_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '{bound}' THEN '{name}'"
+        for bound, name in SPLIT_BOUNDS
+    )
+    + f" ELSE '{SPLIT_LAST}' END"
+)
+
+
+@query(
+    "split_train_test",
+    f"""
+    SELECT doc_id,
+           substr(md5(doc_id::VARCHAR), 1, 2) AS bucket,
+           {_SQL_SPLIT_CASE} AS split
+    FROM documents
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/valid/test assignment from
+    md5(doc_id) hex-prefix thresholds — a pure function of the key, so the
+    split survives repartitioning, resharding, and reruns (the property
+    rand()-based splits lose when the physical layout changes). No shuffle:
+    a projection over the scan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = assign_split(F.col("doc_id"))
+    return docs.select(
+        "doc_id", a["bucket"].alias("bucket"), a["split"].alias("split")
+    )
+
+
+_SQL_SHINGLES3 = (
+    "CASE WHEN len(ws) < 3 THEN []::VARCHAR[] "
+    "ELSE list_transform(range(1, len(ws) - 1), "
+    "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END"
+)
+
+
+@query(
+    "decontam_ngram_overlap",
+    f"""
+    WITH ev AS (
+        SELECT doc_id AS eval_id, substr(text, 1, 200) AS text
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    evtok AS (SELECT eval_id, {_sql_words('text')} AS ws FROM ev),
+    evsh AS (SELECT eval_id, unnest(list_distinct({_SQL_SHINGLES3})) AS shingle FROM evtok),
+    trtok AS (SELECT doc_id, {_sql_words('text')} AS ws FROM documents),
+    trsh AS (SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES3})) AS shingle FROM trtok)
+    SELECT doc_id,
+           count(DISTINCT shingle) AS n_shared_ngrams,
+           count(DISTINCT eval_id) AS n_eval_docs
+    FROM trsh JOIN evsh USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    3-gram with the eval set (here: 200-char prefixes of every 97th doc, so
+    overlap is non-vacuous by construction). Inverted-index equi-join on
+    the shingle value — the shuffle is the index size, never
+    |train| x |eval|; a real benchmark side is tiny and AQE broadcasts it."""
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    ev = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    return decontaminate(docs, ev)
+
+
+@query(
+    "pack_token_budget",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, len({_sql_words('text')})::BIGINT AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                 / 256.0)::BIGINT AS bin_id
+    FROM toks
+    """,
+)
+def pack_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to 256-token training bins per source
+    via a running-sum window (first-fit streaming semantics — a doc's bin is
+    where it STARTS, so bins overflow by at most one doc). One shuffle (the
+    window partitioning); the result is a pure function of (source, doc_id)
+    order, not physical layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_token_budget(docs, budget=256)
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderdate",
+]
+
+
+@query(
+    "profile_table_stats",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS col_name, count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           min({c})::VARCHAR AS min_value,
+           max({c})::VARCHAR AS max_value
+    FROM orders
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (data-quality pass): nulls, exact distincts, min/max
+    per column — ONE aggregate over ONE scan computes every statistic
+    (all partial-aggregatable, k tiny partials shuffle), then the single row
+    explodes to the per-column long form. Never k scans of a 100 TB table."""
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(orders, _PROFILE_COLS)

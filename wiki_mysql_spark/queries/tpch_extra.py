@@ -550,3 +550,130 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s_name
         """
     )
+
+
+def _pseudo_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp stand-in derived from lineitem (the fixture schema has no
+    partsupp table): per (part, supplier), the minimum observed unit price
+    as supply cost and total shipped quantity as availability. min() over
+    identical division results and sums of integral-double quantities are
+    bit-identical across engines, so downstream oracles stay exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"),
+        F.sum("l_quantity").alias("qty"),
+    )
+
+
+_SQL_PSEUDO_PARTSUPP = """
+    SELECT l_partkey, l_suppkey,
+           min(l_extendedprice / l_quantity) AS cost,
+           sum(l_quantity) AS qty
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+@query(
+    "q2_min_cost_supplier",
+    f"""
+    WITH ps AS ({_SQL_PSEUDO_PARTSUPP}),
+    eur AS (
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    ranked AS (
+        SELECT p.p_partkey, p.p_brand, e.s_name, e.n_name, ps.cost,
+               row_number() OVER (PARTITION BY p.p_partkey
+                                  ORDER BY ps.cost, ps.l_suppkey) AS rk
+        FROM ps JOIN eur e ON ps.l_suppkey = e.s_suppkey
+                JOIN part p ON ps.l_partkey = p.p_partkey
+        WHERE p.p_size >= 25
+    )
+    SELECT p_partkey, p_brand, s_name, n_name, round(cost, 4) AS min_cost
+    FROM ranked WHERE rk = 1
+    ORDER BY min_cost DESC, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest EUROPE supplier per large part. The
+    per-part argmin is a partial-aggregatable min(struct(cost, tiebreak,
+    payload)) — lexicographic struct-min combines map-side, so there is no
+    per-part sort and the only shuffle on the big side is the aggregate on
+    p_partkey (the oracle's row_number formulation is the semantic spec;
+    this is the plan you'd actually want at scale). Dimension side
+    (supplier x nation x region, filtered part) stays broadcast."""
+    ps = _pseudo_partsupp(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eur = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") >= 25)
+        .select("p_partkey", "p_brand")
+    )
+    joined = ps.join(eur, ps.l_suppkey == eur.s_suppkey).join(
+        part, ps.l_partkey == part.p_partkey
+    )
+    best = joined.groupBy("p_partkey", "p_brand").agg(
+        F.min(F.struct("cost", "l_suppkey", "s_name", "n_name")).alias("m")
+    )
+    return (
+        best.select(
+            "p_partkey",
+            "p_brand",
+            F.col("m.s_name").alias("s_name"),
+            F.col("m.n_name").alias("n_name"),
+            F.round(F.col("m.cost"), 4).alias("min_cost"),
+        )
+        .orderBy(F.col("min_cost").desc(), "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_parts",
+    f"""
+    WITH ps AS ({_SQL_PSEUDO_PARTSUPP}),
+    g AS (
+        SELECT l_partkey AS p_partkey, sum(cost * qty) AS val
+        FROM ps JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT p_partkey, round(val, 2) AS part_value
+    FROM g
+    WHERE val > (SELECT sum(val) * 0.001 FROM g)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: value concentration — per-part inventory value for
+    one nation's suppliers, kept only above a fraction of the nation total
+    (HAVING against a scalar subquery over the same aggregate). The
+    aggregate is computed once and consumed twice; the 1-row total joins
+    back by broadcast, not a second scan."""
+    ps = _pseudo_partsupp(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    nat_sup = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey).select(
+        "s_suppkey"
+    )
+    g = (
+        ps.join(nat_sup, ps.l_suppkey == nat_sup.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(F.col("cost") * F.col("qty")).alias("val"))
+    )
+    total = g.agg((F.sum("val") * F.lit(0.001)).alias("thr"))
+    return (
+        g.join(F.broadcast(total))
+        .where(F.col("val") > F.col("thr"))
+        .select("p_partkey", F.round("val", 2).alias("part_value"))
+    )
