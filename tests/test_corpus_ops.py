@@ -135,3 +135,68 @@ def test_profile_columns_known_stats(spark):
     assert prof["k"]["min_value"] == "1" and prof["k"]["max_value"] == "3"
     assert prof["v"]["n_nulls"] == 1 and prof["v"]["n_distinct"] == 2
     assert prof["v"]["min_value"] == "a" and prof["v"]["max_value"] == "b"
+
+
+def test_stratified_sample_deterministic_rates(spark):
+    from wiki_mysql_spark.operators.corpus import stratified_sample
+
+    df = (
+        spark.range(0, 4000)
+        .withColumnRenamed("id", "k")
+        .withColumn("g", F.when(F.col("k") % 2 == 0, "a").otherwise("b"))
+    )
+    out = stratified_sample(
+        df, key=F.col("k"), stratum_col="g", rates={"a": 0.25, "b": 0.75}
+    )
+    frac = {
+        r["g"]: r["n"] / 2000
+        for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(frac["a"] - 0.25) < 0.05 and abs(frac["b"] - 0.75) < 0.05
+    # re-running on a different partitioning selects the identical rows
+    again = stratified_sample(
+        df.repartition(13), key=F.col("k"), stratum_col="g", rates={"a": 0.25, "b": 0.75}
+    )
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_merge_upsert_actions(spark):
+    from wiki_mysql_spark.operators.cdc import merge_upsert
+
+    target = spark.createDataFrame([(1, 10, 5.0), (2, 20, 7.0)], ["k", "n", "v"])
+    source = spark.createDataFrame([(2, 3, 1.0), (9, 4, 2.0)], ["k", "n", "v"])
+    out = {
+        r["k"]: r
+        for r in merge_upsert(
+            target, source, on="k", strategies={"n": "sum", "v": "max"}
+        ).collect()
+    }
+    assert out[1]["action"] == "keep" and out[1]["n"] == 10 and out[1]["v"] == 5.0
+    assert out[2]["action"] == "update" and out[2]["n"] == 23 and out[2]["v"] == 7.0
+    assert out[9]["action"] == "insert" and out[9]["n"] == 4 and out[9]["v"] == 2.0
+
+
+def test_scd2_history_intervals(spark):
+    from wiki_mysql_spark.operators.cdc import scd2_history
+
+    rows = [
+        (1, "a", 1, 101),
+        (1, "a", 2, 102),  # same run
+        (1, "b", 3, 103),  # change
+        (1, "a", 4, 104),  # change back -> new run, not merged with the first
+        (2, "x", 1, 201),
+    ]
+    df = spark.createDataFrame(rows, ["k", "attr", "ts", "eid"])
+    hist = sorted(
+        scd2_history(df, key="k", attr="attr", ts_col="ts", tiebreak="eid").collect(),
+        key=lambda r: (r["k"], r["valid_from"]),
+    )
+    u1 = [r for r in hist if r["k"] == 1]
+    assert [(r["attr"], r["valid_from"], r["valid_to"]) for r in u1] == [
+        ("a", 1, 3),
+        ("b", 3, 4),
+        ("a", 4, None),
+    ]
+    assert [r["is_current"] for r in u1] == [False, False, True]
+    u2 = [r for r in hist if r["k"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"]

@@ -63,3 +63,16 @@ def test_foreachbatch_sink_writes_parquet(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() > 0
     assert set(back.columns) == {"timestamp", "value"}
+
+
+def test_stream_upsert_runs_incrementally(spark):
+    """The foreachBatch upsert must actually see >1 micro-batch (otherwise
+    it proves nothing) and end with every user present exactly once."""
+    from wiki_mysql_spark.streaming.upsert import run_stream_upsert
+    from tests.conftest import SF_SMOKE
+
+    final, n_batches = run_stream_upsert(spark, SF_SMOKE, n_files=3)
+    assert n_batches >= 2
+    rows = final.collect()
+    assert len(rows) == final.select("user_id").distinct().count()
+    assert len(rows) > 0

@@ -147,6 +147,37 @@ def decontaminate(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    *,
+    key: Column,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff the 4-hex-char
+    md5 prefix of its key falls below the stratum's rate threshold
+    (rate * 65536, rendered as 4 hex digits, compared lexicographically).
+
+    Unlike ``df.sampleBy`` this is a pure function of the key — the sample
+    is reproducible across runs, partitionings, and engines (which is what
+    makes it oracle-checkable, and what a rebuildable training corpus
+    needs). Zero shuffles: a filter over the scan.
+    """
+    bucket = F.substring(F.md5(key.cast("string")), 1, 4)
+    thr = F.lit(_hex4(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == stratum, F.lit(_hex4(rate))).otherwise(thr)
+    return df.where(bucket < thr)
+
+
+def _hex4(rate: float) -> str:
+    """rate in [0,1] -> 4-hex-digit threshold ('10000' at exactly 1.0 so
+    every 4-char bucket compares below it)."""
+    n = min(int(rate * 65536), 65536)
+    return f"{n:04x}" if n < 65536 else "10000"
+
+
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """Data-quality profile — one row per column with null count, exact
     distinct count, and min/max (stringified so heterogeneous column types

@@ -23,6 +23,7 @@ from wiki_mysql_spark.operators.corpus import (
     PII_PHONE,
     SPLIT_BOUNDS,
     SPLIT_LAST,
+    _hex4,
     assign_split,
     chunk_documents,
     decontaminate,
@@ -273,3 +274,137 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes to the per-column long form. Never k scans of a 100 TB table."""
     orders = load_table(spark, sf_dir, "orders")
     return profile_columns(orders, _PROFILE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling / CDC merge / SCD2 history
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES = {"en": 0.25, "de": 0.75, "es": 0.75, "fr": 0.75, "zh": 0.75}
+
+_SQL_RATE_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{s}' THEN '{_hex4(r)}'" for s, r in sorted(SAMPLE_RATES.items())
+    )
+    + " ELSE '10000' END"
+)
+
+
+@query(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(doc_id::VARCHAR), 1, 4) < {_SQL_RATE_CASE}
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (downsample the overrepresented
+    'en' stratum to 25%, others to 75%) keyed on md5(doc_id) hex prefix —
+    reproducible across runs/partitionings/engines, unlike sampleBy's
+    seeded-per-partition Bernoulli. Zero shuffles: a filter in the scan
+    stage."""
+    from wiki_mysql_spark.operators.corpus import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, key=F.col("doc_id"), stratum_col="lang", rates=SAMPLE_RATES
+    )
+
+
+_MERGE_CUTOFF = "2024-01-24 00:00:00"
+
+
+@query(
+    "merge_upsert_profiles",
+    f"""
+    WITH t AS (
+        SELECT user_id, count(*) AS n_events, sum(value) AS total_value,
+               max(ts) AS last_ts
+        FROM events WHERE ts < TIMESTAMP '{_MERGE_CUTOFF}' GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id, count(*) AS n_events, sum(value) AS total_value,
+               max(ts) AS last_ts
+        FROM events WHERE ts >= TIMESTAMP '{_MERGE_CUTOFF}' GROUP BY user_id
+    )
+    SELECT coalesce(t.user_id, s.user_id) AS user_id,
+           coalesce(t.n_events, 0) + coalesce(s.n_events, 0) AS n_events,
+           round(coalesce(t.total_value, 0) + coalesce(s.total_value, 0), 2)
+               AS total_value,
+           greatest(coalesce(t.last_ts, s.last_ts),
+                    coalesce(s.last_ts, t.last_ts)) AS last_ts,
+           CASE WHEN t.user_id IS NULL THEN 'insert'
+                WHEN s.user_id IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM t FULL JOIN s ON t.user_id = s.user_id
+    """,
+)
+def merge_upsert_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (CDC upsert): a late-window events batch merged into the
+    prior per-user profile — full-outer join on the key, additive counters,
+    greatest-timestamp, and an insert/update/keep action column. The
+    set-based replacement for the reference's row-at-a-time INSERT+commit
+    sink (`/root/reference/database.py:75-85`); one shuffle, and AQE
+    broadcasts the (small) changes batch at scale."""
+    from wiki_mysql_spark.operators.cdc import merge_upsert
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_MERGE_CUTOFF).cast("timestamp_ntz")
+
+    def profile(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    out = merge_upsert(
+        profile(ev.where(F.col("ts") < cut)),
+        profile(ev.where(F.col("ts") >= cut)),
+        on="user_id",
+        strategies={"n_events": "sum", "total_value": "sum", "last_ts": "max"},
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        "last_ts",
+        "action",
+    )
+
+
+@query(
+    "scd2_event_type_history",
+    """
+    WITH marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    starts AS (
+        SELECT user_id, event_type, ts FROM marked
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+               AS is_current
+    FROM starts
+    """,
+)
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from a change log: collapse each user's
+    event stream into attribute-value runs with half-open
+    [valid_from, valid_to) validity intervals and an is_current flag —
+    windowed intervals instead of destructive row updates (the reference's
+    redirect pass rewrites rows in place; this is the warehouse-native
+    equivalent). One shuffle: both windows share (user_id, ts) ordering."""
+    from wiki_mysql_spark.operators.cdc import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_history(
+        ev, key="user_id", attr="event_type", ts_col="ts", tiebreak="event_id"
+    )

@@ -222,3 +222,30 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("click_id", "purchase_id", "user_id")
     return run_stream_to_memory(joined, output_mode="append")
+
+
+@query(
+    "stream_upsert_profiles",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_upsert_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental upsert: the stream is drained one file per
+    micro-batch and each batch's per-user aggregate is MERGED into the
+    running profile table (streaming/upsert.py). Because the merge is
+    associative and commutative per key, the final target equals the
+    one-shot batch aggregate — which is exactly what the oracle asserts,
+    independent of how rows were sliced into batches."""
+    from wiki_mysql_spark.streaming.upsert import run_stream_upsert
+
+    final, _ = run_stream_upsert(spark, sf_dir)
+    return final.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        "last_ts",
+    )

@@ -1,0 +1,109 @@
+"""Incremental streaming upsert sink: foreachBatch + MERGE per micro-batch.
+
+The missing piece between streaming aggregation (memory/complete sinks) and
+a real serving table: each micro-batch is aggregated and MERGED into a keyed
+target, so the target is always a complete, queryable profile table — the
+``foreachBatch`` idempotent-upsert pattern from the Structured Streaming
+guide. In production the merge target is Delta/JDBC and the merge is
+``MERGE INTO`` pushed to the sink; here the target is a driver-held small
+table (profiles are bounded by user cardinality, not stream length), which
+keeps the pattern honest — batch boundaries, incremental state, out-of-order
+arrival — while staying oracle-checkable.
+
+(SURVEY §2.7 extension; the closest reference hook is the per-page
+INSERT+commit sink, ``/root/reference/database.py:75-85`` — this is its
+streaming-era replacement.)
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wiki_mysql_spark.operators.cdc import merge_upsert
+from wiki_mysql_spark.sources.tables import load_table
+
+
+def stage_events_as_files(
+    spark: SparkSession, sf_dir: str, *, n_files: int = 4
+) -> tuple[str, DataFrame]:
+    """Stage the events fixture as several parquet files so the file stream
+    source (maxFilesPerTrigger=1) actually produces several micro-batches —
+    one static file would collapse the whole run into a single batch and
+    prove nothing about incrementality. Split by hash(event_id) so every
+    batch holds an arbitrary time-slice (out-of-order arrival included)."""
+    ev = load_table(spark, sf_dir, "events")
+    staging = tempfile.mkdtemp(prefix="stream_upsert_src_")
+    ev.repartition(n_files, F.col("event_id")).write.mode("overwrite").parquet(staging)
+    return staging, ev
+
+
+def run_stream_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_files: int = 4,
+    timeout_sec: int = 180,
+) -> tuple[DataFrame, int]:
+    """Drain the staged event stream one file per micro-batch, merging each
+    batch's per-user aggregate into the running profile table. Returns the
+    final target and the number of micro-batches that ran.
+
+    The per-batch merge is the set-based ``merge_upsert`` (full-outer on
+    user_id; additive counts/sums, greatest timestamp) — associative and
+    commutative per key, so the final table equals the one-shot batch
+    aggregate regardless of how rows landed in batches (the oracle's claim).
+    """
+    staging, ev = stage_events_as_files(spark, sf_dir, n_files=n_files)
+    state: dict[str, object] = {"target": None, "batches": 0}
+
+    def profile(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = profile(batch_df)
+        if state["target"] is None:
+            merged = delta.withColumn("action", F.lit("insert"))
+        else:
+            prev = spark.createDataFrame(state["target"])  # type: ignore[arg-type]
+            merged = merge_upsert(
+                prev,
+                delta,
+                on="user_id",
+                strategies={
+                    "n_events": "sum",
+                    "total_value": "sum",
+                    "last_ts": "max",
+                },
+            )
+        # materialize driver-side: the target must survive across batches
+        # (in production this collect is a MERGE INTO the sink table instead)
+        state["target"] = merged.drop("action").toPandas()
+        state["batches"] = int(state["batches"]) + 1  # type: ignore[call-overload]
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .queryName(f"upsert_{uuid.uuid4().hex[:12]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+        shutil.rmtree(staging, ignore_errors=True)
+    final = spark.createDataFrame(state["target"])  # type: ignore[arg-type]
+    return final, int(state["batches"])  # type: ignore[call-overload]
