@@ -53,15 +53,27 @@ def test_foreachbatch_sink_writes_parquet(spark, tmp_path):
 
     stream = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
     q = stream.writeStream.foreachBatch(write_batch).start()
+    # Wait for COMMITTED output, not just for callbacks to have started:
+    # seen_batches is appended before the batch's write finishes, so stopping
+    # on callback count alone can interrupt the first non-empty batch's write
+    # mid-flight (rate batch 0 is empty) and leave zero committed rows.
+    rows_seen = 0
     try:
-        deadline = time.time() + 30
-        while time.time() < deadline and len(seen_batches) < 2:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if len(seen_batches) >= 2:
+                try:
+                    rows_seen = spark.read.parquet(out).count()
+                except Exception:
+                    rows_seen = 0
+                if rows_seen > 0:
+                    break
             time.sleep(0.5)
     finally:
         q.stop()
     assert len(seen_batches) >= 2, "foreachBatch never fired"
+    assert rows_seen > 0, "no committed rows before deadline"
     back = spark.read.parquet(out)
-    assert back.count() > 0
     assert set(back.columns) == {"timestamp", "value"}
 
 

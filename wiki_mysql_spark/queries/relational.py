@@ -901,3 +901,32 @@ def unpivot_stats_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         "c_mktsegment", ["avg_bal", "min_bal", "max_bal"], "metric", "val"
     ).select("c_mktsegment", "metric", F.round("val", 4).alias("val"))
+
+
+@query(
+    "window_percent_cume",
+    """
+    SELECT o_orderkey,
+           round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice), 6) AS pct_rank,
+           round(cume_dist() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice), 6) AS cume,
+           ntile(10) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+    """,
+)
+def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (percent_rank / cume_dist / ntile
+    deciles). percent_rank and cume_dist are value-based, so ties agree
+    across engines without a tiebreak; ntile is position-based and gets the
+    unique-key tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_val = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    w_pos = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w_val), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_val), 6).alias("cume"),
+        F.ntile(10).over(w_pos).cast("long").alias("decile"),
+    )

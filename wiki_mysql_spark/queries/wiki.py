@@ -257,3 +257,55 @@ def wiki_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-task global window, no Python round-trip."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return dense_ids(docs, ["doc_id"], id_col="id")
+
+
+@query(
+    "wiki_redirect_resolve_rcte",
+    f"""
+    WITH RECURSIVE walk(title, cur, depth) AS (
+        SELECT title, target, 1 FROM {_edges_values()}
+        UNION ALL
+        SELECT w.title, r.target, w.depth + 1
+        FROM walk w JOIN {_edges_values().replace('redirect_edges', 'r')}
+             ON w.cur = r.title
+        WHERE w.depth < 32
+    )
+    SELECT w.title, CAST(article_targets.body_id AS BIGINT) AS body_id
+    FROM walk w JOIN {_targets_values()} ON w.cur = article_targets.title
+    """,
+)
+def wiki_redirect_resolve_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative variant of the redirect fixpoint (A3): Spark's native
+    WITH RECURSIVE (4.x) runs the same walk the DuckDB oracle does — both
+    engines execute the identical SQL semantics, cycles/danglers drop out
+    by never joining a target. The pointer-doubling operator
+    (`operators/redirects.py`, `wiki_redirect_resolve`) remains the scale
+    path: O(log depth) self-joins vs the CTE's O(depth) iterations; this
+    entry documents that the engine also accepts the declarative spelling."""
+    edges, targets = [], []
+    for aid, title, ns, text in PAGES_FIXTURE:
+        if ns != 0:
+            continue
+        if text.startswith("#REDIRECT [["):
+            edges.append((title, text[len("#REDIRECT [[") : -2], aid))
+        else:
+            targets.append((title, aid))
+    spark.createDataFrame(edges, ["title", "target", "aid"]).createOrReplaceTempView(
+        "redirect_edges_v"
+    )
+    spark.createDataFrame(targets, ["title", "body_id"]).createOrReplaceTempView(
+        "article_targets_v"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(title, cur, depth) AS (
+            SELECT title, target, 1 FROM redirect_edges_v
+            UNION ALL
+            SELECT w.title, r.target, w.depth + 1
+            FROM walk w JOIN redirect_edges_v r ON w.cur = r.title
+            WHERE w.depth < 32
+        )
+        SELECT w.title, CAST(t.body_id AS BIGINT) AS body_id
+        FROM walk w JOIN article_targets_v t ON w.cur = t.title
+        """
+    )
