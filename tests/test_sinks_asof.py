@@ -24,9 +24,13 @@ def test_parquet_roundtrip_partitioned(spark, tmp_path):
         (2, "b", "x"),
         (3, "c", "y"),
     ]
-    # partition pruning: filter on the partition col reads one directory
+    # partition pruning: filter on the partition col reads one directory —
+    # assert it at the PLAN level (the predicate must land in
+    # PartitionFilters, i.e. prune directories, not filter rows post-scan)
     pruned = back.where(F.col("part") == "y")
     assert pruned.count() == 1
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "= y" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
 
 
 def test_quarantine_split(spark):
