@@ -8,6 +8,7 @@ from wiki_mysql_spark.queries import (  # noqa: F401  (registration side-effects
     multimodal_queries,
     pipeline_ops,
     relational,
+    search,
     streaming_queries,
     tpch_extra,
     udf_surface,

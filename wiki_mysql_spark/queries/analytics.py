@@ -13,7 +13,7 @@ day differences are exact multiples of 7).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wiki_mysql_spark.queries.registry import query
@@ -129,4 +129,77 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@query(
+    "ts_time_weighted_avg",
+    """
+    WITH x AS (
+        SELECT user_id, value,
+               epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           round(sum(value * dur_us) / sum(dur_us), 6) + 0 AS twa
+    FROM x WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (LOCF weighting: each reading holds
+    until the next one, weighted by its holding duration). Durations are
+    exact integer microseconds from a single lead() window — one shuffle on
+    user_id — and the weighted sum combines map-side. The last reading per
+    user has no duration and drops, matching the oracle's NULL filter."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    return (
+        ev.withColumn("dur_us", dur)
+        .where(F.col("dur_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6
+                )
+                + F.lit(0.0)
+            ).alias("twa")
+        )
+    )
+
+
+@query(
+    "ts_rollup_hierarchical",
+    """
+    SELECT date_trunc('hour', ts) AS hour_ts,
+           count(*) AS n_events,
+           round(sum(value), 6) + 0 AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def ts_rollup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (continuous-aggregate style): the hourly
+    result is RE-AGGREGATED from a minute-level pre-aggregate rather than
+    the raw events — the hypertable-rollup pattern where coarse grains are
+    maintained from fine grains without rescanning raw data. The oracle
+    aggregates raw directly, so the comparison certifies the re-aggregation
+    is lossless (counts exactly; float sums to 6 decimals)."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    return (
+        minute.groupBy(F.date_trunc("hour", "minute_ts").alias("hour_ts"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            (F.round(F.sum("sum_value"), 6) + F.lit(0.0)).alias("sum_value"),
+        )
     )

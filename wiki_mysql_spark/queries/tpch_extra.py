@@ -677,3 +677,59 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("val") > F.col("thr"))
         .select("p_partkey", F.round("val", 2).alias("part_value"))
     )
+
+
+@query(
+    "q20_excess_red_suppliers",
+    """
+    WITH excess AS (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red%'
+        GROUP BY l_suppkey
+        HAVING sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate <  TIMESTAMP '1997-01-01'
+                        THEN l_quantity ELSE 0 END) > 0.2 * sum(l_quantity)
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name LIKE 'NATION_1%'
+      AND s_suppkey IN (SELECT l_suppkey FROM excess)
+    ORDER BY s_name
+    """,
+)
+def q20_excess_red_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose 1996 shipments of red parts exceed a
+    fraction of their all-time red-part volume (the fixture has no partsupp
+    availability column, so "excess availability" becomes a window-share
+    HAVING over the same fact). One scan, one shuffle: the in-window and
+    all-time sums are a single conditional aggregate per supplier — not two
+    grouped subqueries joined back. The part filter broadcasts; the final
+    membership check is a left-semi join (IN-subquery rewrite)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    red = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    in_window = (F.col("l_shipdate") >= "1996-01-01") & (
+        F.col("l_shipdate") < "1997-01-01"
+    )
+    excess = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(in_window, F.col("l_quantity")).otherwise(0.0)).alias("w"),
+            F.sum("l_quantity").alias("tot"),
+        )
+        .where(F.col("w") > 0.2 * F.col("tot"))
+        .select("l_suppkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").where(F.col("n_name").like("NATION_1%"))
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(excess, sup.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
