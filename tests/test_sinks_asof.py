@@ -110,3 +110,36 @@ def test_asof_tolerance(spark, asof_frames):
     }
     # event 1: 30min gap -> kept; event 4: 60min gap -> nulled; event 2: 60min -> nulled
     assert out == {1: 101, 2: None, 3: None, 4: None}
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Overwriting one partition must not clobber sibling partitions —
+    the incremental-backfill write mode a daily pipeline depends on."""
+    out = str(tmp_path / "dyn")
+    spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")], ["id", "v", "day"]
+    ).write.partitionBy("day").parquet(out)
+    # rewrite ONLY day=d2 (static overwrite would drop day=d1 entirely)
+    spark.createDataFrame([(9, "z", "d2")], ["id", "v", "day"]).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy("day").parquet(out)
+    back = sorted(
+        (r["id"], r["v"], r["day"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert back == [(1, "a", "d1"), (2, "b", "d1"), (9, "z", "d2")]
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    from wiki_mysql_spark.sinks import compact_parquet
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(16).write.parquet(src)
+    n_src_files = len([f for f in spark.read.parquet(src).inputFiles()])
+    assert n_src_files >= 16
+    n = compact_parquet(spark, src, dst, target_file_bytes=10 * 1024 * 1024)
+    back = spark.read.parquet(dst)
+    assert len(back.inputFiles()) == n < n_src_files
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == 9999 * 10_000

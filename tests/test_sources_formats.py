@@ -72,3 +72,18 @@ def test_json_props_column_parses_from_events(spark):
     ev = load_table(spark, SF_SMOKE, "events").limit(100)
     parsed = ev.select(F.from_json("props", "k BIGINT").alias("p")).select("p.k")
     assert parsed.where(F.col("k").isNotNull()).count() > 0
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC is the other splittable columnar format Spark reads natively;
+    round-trip with predicate pushdown intact."""
+    out = str(tmp_path / "orc")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "name", "val"]
+    ).write.orc(out)
+    back = spark.read.orc(out)
+    assert sorted(r["id"] for r in back.collect()) == [1, 2, 3]
+    filtered = back.where(F.col("id") >= 2)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert filtered.count() == 2
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(id,2)" in plan

@@ -688,3 +688,45 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_extendedprice"), 2).alias("total"),
     )
+
+
+@query(
+    "dedup_fuzzy_editdist",
+    """
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           a.p_name AS a_name, b.p_name AS b_name,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-resolution join: near-identical part names by edit
+    distance, blocked on the first name token so the O(n^2) comparison only
+    runs inside blocks — the standard blocking trick that makes fuzzy
+    matching feasible at scale (the block key becomes the shuffle key; a
+    production pipeline picks keys that bound block size, exactly as
+    MinHash bands do for documents). The levenshtein predicate is a
+    residual filter on the equi-join, not a BNL condition."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    blk = F.split("p_name", " ").getItem(0)
+    a = p.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+        blk.alias("blk"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+        blk.alias("blk"),
+    )
+    dist = F.levenshtein("a_name", "b_name")
+    return (
+        a.join(b, "blk")
+        .where((F.col("a_key") < F.col("b_key")) & (dist <= 3))
+        .select(
+            "a_key", "b_key", "a_name", "b_name", dist.cast("long").alias("dist")
+        )
+    )

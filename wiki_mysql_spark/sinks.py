@@ -143,3 +143,35 @@ def write_jdbc(
     if create_table_ddl is not None:
         w = w.option("createTableOptions", "ENGINE=InnoDB DEFAULT CHARSET=utf8mb4")
     w.save()
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    compression: str = "zstd",
+) -> int:
+    """Rewrite a small-file parquet directory into ~target-size files.
+
+    Streaming/incremental writers (foreachBatch upserts, per-trigger
+    appends) accumulate many tiny files; at cluster scale the resulting
+    per-file open/footer overhead dominates scan time. Sizing is derived
+    from the SOURCE's compressed bytes (Hadoop ContentSummary — works for
+    any FileSystem impl, not just file://), and the rewrite uses
+    ``coalesce``: merging partitions needs no shuffle, and row order within
+    surviving partitions is preserved. Returns the partition count used.
+    """
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.coalesce(n).write.mode("overwrite").option(
+        "compression", compression
+    ).parquet(dst_path)
+    return n
