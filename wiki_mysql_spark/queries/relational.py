@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wiki_mysql_spark.queries.registry import query
-from wiki_mysql_spark.sources.tables import load_table
+from wiki_mysql_spark.sources.tables import load_table, register_views
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -930,3 +930,63 @@ def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w_val), 6).alias("cume"),
         F.ntile(10).over(w_pos).cast("long").alias("decile"),
     )
+
+
+_SET_OPS_ALL_SQL = """
+    WITH a AS (SELECT c_nationkey AS k FROM customer),
+         b AS (SELECT s_nationkey AS k FROM supplier)
+    SELECT 'union_all' AS op, k, count(*) AS n
+    FROM (SELECT k FROM a UNION ALL SELECT k FROM b) GROUP BY k
+    UNION ALL
+    SELECT 'intersect_all' AS op, k, count(*) AS n
+    FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+    UNION ALL
+    SELECT 'except_all' AS op, k, count(*) AS n
+    FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+"""
+
+
+@query("set_ops_all", _SET_OPS_ALL_SQL)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) set-operation semantics — UNION ALL keeps
+    duplicates, INTERSECT ALL keeps min(multiplicity), EXCEPT ALL
+    subtracts multiplicities. DataFrame spelling: union / intersectAll /
+    exceptAll; the per-op counts make multiplicity differences visible to
+    the hash compare (a DISTINCT-semantics bug would change n, not just
+    row presence)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+
+    def counted(df: DataFrame, op: str) -> DataFrame:
+        return df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "k", "n"
+        )
+
+    return (
+        counted(c.union(s), "union_all")
+        .unionByName(counted(c.intersectAll(s), "intersect_all"))
+        .unionByName(counted(c.exceptAll(s), "except_all"))
+    )
+
+
+_LATERAL_SQL = """
+    SELECT n_name, t.c_custkey, t.c_name, t.c_acctbal
+    FROM nation, LATERAL (
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) t
+"""
+
+
+@query("join_lateral_topk", _LATERAL_SQL)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    customers per nation) — the SQL-standard spelling of per-group top-k.
+    The identical text runs on Spark (DomainJoin + windowed rewrite under
+    the hood) and DuckDB; ties break on c_custkey so the selected set is
+    deterministic."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
