@@ -36,6 +36,8 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "text_quality",
     "text_tokens_fingerprint",
+    "text_bm25_topk",
+    "sessionize_events",
     "multimodal_features_arrow",
     "stream_tumbling_window",
 ]
