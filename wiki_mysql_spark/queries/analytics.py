@@ -203,3 +203,36 @@ def ts_rollup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum("sum_value"), 6) + F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+@query(
+    "window_time_range_avg",
+    """
+    SELECT event_id, user_id, ts,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ), 6) + 0 AS avg_1h
+    FROM events
+    """,
+)
+def window_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling average per user — a time-interval RANGE
+    frame keyed on exact integer microseconds (Spark's range frames are
+    numeric, so the order key is unix_micros; equal-timestamp peers are
+    all in-frame on both engines by RANGE semantics). One shuffle on
+    user_id."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.round(F.avg("value").over(w), 6) + F.lit(0.0)).alias("avg_1h"),
+    )

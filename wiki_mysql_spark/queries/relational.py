@@ -990,3 +990,82 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic."""
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "agg_corr_regr",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) + 0 AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6) + 0 AS covar_qty_disc,
+           round(regr_slope(l_extendedprice, l_quantity), 6) + 0 AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) + 0 AS intercept,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: correlation, sample covariance, simple
+    linear regression (slope/intercept), and a FILTERed count. All are
+    single-pass co-moment aggregates that combine map-side; rounding at 6
+    decimals absorbs the partial-aggregation summation-order noise."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias(
+            "corr_qty_price"
+        ),
+        (F.round(F.covar_samp("l_quantity", "l_discount"), 6) + F.lit(0.0)).alias(
+            "covar_qty_disc"
+        ),
+        (F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6) + F.lit(0.0)).alias(
+            "slope"
+        ),
+        (
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6)
+            + F.lit(0.0)
+        ).alias("intercept"),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_discounted"),
+    )
+
+
+@query(
+    "profile_histogram",
+    """
+    WITH s AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+               FROM orders)
+    SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19)
+                AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS bin_lo,
+           round(max(o_totalprice), 2) AS bin_hi
+    FROM orders, s
+    GROUP BY bin
+    """,
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of order totals — the data-profiling
+    primitive behind quality dashboards. The min/max bounds are a 1-row
+    broadcast; binning is pure arithmetic on the scan (no second shuffle
+    beyond the bin aggregate). Bin edges are computed by the identical
+    IEEE expression on both engines, so boundary assignment is exact."""
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice")
+    s = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = orders.join(F.broadcast(s)).select(
+        "o_totalprice",
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 20.0)
+            ),
+            F.lit(19),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("bin_lo"),
+        F.round(F.max("o_totalprice"), 2).alias("bin_hi"),
+    )
