@@ -88,3 +88,50 @@ def test_stream_upsert_runs_incrementally(spark):
     rows = final.collect()
     assert len(rows) == final.select("user_id").distinct().count()
     assert len(rows) > 0
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
+    """Stop a file-source stream mid-way, restart from the same checkpoint,
+    and verify the final output has every input row exactly once — the
+    recovery contract a production pipeline relies on (offsets + sink
+    commits live in the checkpoint, so a restart neither loses nor
+    replays committed batches)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    for i in range(4):
+        spark.createDataFrame(
+            [(i * 100 + j,) for j in range(100)], ["id"]
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # first run: drain some (possibly all) files, then stop mid-stream
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(30)
+
+    # second run from the SAME checkpoint must finish the remainder
+    q = start()
+    q.awaitTermination(120)
+
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(400)), (
+        f"expected 400 distinct ids exactly once, got {len(got)} rows "
+        f"(dupes or loss = broken recovery)"
+    )
