@@ -105,3 +105,63 @@ def test_fixpoint_matches_reference_model(spark, graph):
         if end is not None:
             want[s] = body_of[end]
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# as-of join vs a pure-Python model
+# --------------------------------------------------------------------------
+
+_asof_inputs = st.tuples(
+    # left: (key, t) event probes
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1,
+        max_size=25,
+    ),
+    # right: (key, t, val) quotes
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 99)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+
+
+@SETTINGS
+@given(_asof_inputs)
+def test_asof_join_matches_python_model(spark, inp):
+    """asof_join == 'latest right row with rt <= lt per key' for arbitrary
+    inputs, including duplicate timestamps (tie on rt: largest val wins via
+    the operator's documented value tie-break ordering)."""
+    import datetime
+
+    from wiki_mysql_spark.operators.asof import asof_join
+
+    left_rows, right_rows = inp
+    epoch = datetime.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return epoch + datetime.timedelta(seconds=sec)
+
+    left = spark.createDataFrame(
+        [(i, k, ts(t)) for i, (k, t) in enumerate(left_rows)],
+        ["event_id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(k, ts(t), v) for (k, t, v) in right_rows], ["k", "ts", "v"]
+    ) if right_rows else spark.createDataFrame(
+        [], "k long, ts timestamp, v long"
+    )
+
+    got = {
+        r["event_id"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", left_time="ts", right_time="ts",
+            right_values=["v"],
+        ).collect()
+    }
+
+    for i, (k, t) in enumerate(left_rows):
+        candidates = [(rt, v) for (rk, rt, v) in right_rows if rk == k and rt <= t]
+        want = max(candidates)[1] if candidates else None
+        assert got[i] == want, (i, k, t, candidates, got[i])

@@ -1069,3 +1069,60 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("bin_lo"),
         F.round(F.max("o_totalprice"), 2).alias("bin_hi"),
     )
+
+
+@query(
+    "agg_listagg_sorted",
+    """
+    SELECT c_nationkey AS nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer WHERE c_acctbal > 9000
+    GROUP BY c_nationkey
+    """,
+)
+def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg with deterministic element order: collect_list
+    is partition-order-dependent, so the list is array_sort'ed before
+    joining — the only way a distributed string_agg can be reproducible.
+    The filter keeps per-group lists small (collect_list materializes the
+    group in executor memory; unbounded groups need a different design)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "names"
+            )
+        )
+    )
+
+
+@query(
+    "window_nth_value",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           nth_value(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_highest
+    FROM orders
+    """,
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the whole partition (second-highest order total per
+    customer, NULL for single-order customers) — completes the analytic
+    window surface beyond first/last/lag/lead. Tie-broken by o_orderkey so
+    the 2nd row is the same row on both engines."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_highest"),
+    )
