@@ -157,7 +157,11 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "value"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dur = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    # unix_micros requires TIMESTAMP; events.ts may load as TIMESTAMP_NTZ
+    # (parquet timestamp[us]) — cast is exact with the UTC session tz.
+    dur = F.unix_micros(F.lead("ts").over(w).cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
     return (
         ev.withColumn("dur_us", dur)
         .where(F.col("dur_us").isNotNull())
@@ -227,7 +231,8 @@ def window_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        # cast: unix_micros requires TIMESTAMP, ts may be TIMESTAMP_NTZ
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return ev.select(

@@ -13,45 +13,43 @@ late data.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+
 
 from wiki_mysql_spark.session import configure
 
-# events.parquet stores ts as TIMESTAMP(NANOS); the stream reads it as long
-# (nanosAsLong) and converts, same as the batch path in sources/tables.py.
-_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a streaming DataFrame with a proper timestamp."""
+    """events.parquet as a streaming DataFrame with a proper TIMESTAMP `ts`.
+
+    The streaming file source needs an explicit schema, so take it from a
+    batch read of the same file — whatever the parquet actually stores —
+    then normalize `ts` exactly like the batch path (sources/tables.py):
+    epoch-nanos long (TIMESTAMP(NANOS) via nanosAsLong) becomes
+    timestamp_micros, TIMESTAMP_NTZ casts to TIMESTAMP (session tz is UTC,
+    so the instant is unchanged). Watermarks and time windows downstream
+    require a true TIMESTAMP column either way.
+    """
     configure(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    file_schema = spark.read.parquet(path).schema
     # The streaming file source wants a directory; point it at sf_dir with a
     # glob filter so only the events file is listed.
     raw = (
-        spark.readStream.schema(_RAW_SCHEMA)
+        spark.readStream.schema(file_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type != "timestamp":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_stream_to_memory(
