@@ -247,7 +247,7 @@ def fn_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map_suite",
     """
     SELECT event_id,
-           map_keys(m)                 AS props_keys,
+           to_json(map_keys(m))::VARCHAR AS props_keys,
            m['k'][1]::INT              AS k_value,
            cardinality(m)::INT         AS n_props
     FROM (SELECT event_id, MAP(['k'], [json_extract_string(props, '$.k')]) AS m
@@ -257,12 +257,13 @@ def fn_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed columns: parse JSON into MAP<string,string>, then map_keys /
     element_at / size — the dynamic-schema path when JSON keys vary by row
-    (fixed keys should use from_json into a struct instead)."""
+    (fixed keys should use from_json into a struct instead). The key list is
+    emitted as a JSON string so every output column is a sortable scalar."""
     e = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,string>")
     return e.select(
         "event_id",
-        F.map_keys(m).alias("props_keys"),
+        F.to_json(F.map_keys(m)).alias("props_keys"),
         F.element_at(m, "k").cast("int").alias("k_value"),
         F.size(m).alias("n_props"),
     )
@@ -272,15 +273,24 @@ def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_utils",
     """
     SELECT vec_id,
-           list_sort(list_transform(embedding[1:5]::DOUBLE[], x -> round(x, 3)))   AS sorted_head,
-           list_reverse_sort(list_transform(embedding[1:3]::DOUBLE[], x -> round(x, 3))) AS top3_desc,
-           range(0, len(embedding), 16)              AS stride_idx,
+           array_to_string(list_transform(
+               list_sort(list_transform(embedding[1:5]::DOUBLE[], x -> round(x, 3))),
+               x -> printf('%.3f', x)), ',')   AS sorted_head,
+           array_to_string(list_transform(
+               list_reverse_sort(list_transform(embedding[1:3]::DOUBLE[], x -> round(x, 3))),
+               x -> printf('%.3f', x)), ',')   AS top3_desc,
+           to_json(range(0, len(embedding), 16))::VARCHAR AS stride_idx,
            list_contains(list_transform(embedding, x -> x > 0.1), true) AS has_big
     FROM embeddings WHERE vec_id < 50
     """,
 )
 def fn_array_utils(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array utilities: slice, sort asc/desc, sequence generation, any()."""
+    """Array utilities: slice, sort asc/desc, sequence generation, any().
+
+    Array results are emitted as delimited/JSON strings (numeric sort first,
+    then fixed %.3f formatting) so every output column is a sortable scalar
+    for the driver's canonicalizer; element order is still asserted because
+    the string preserves it."""
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
     head = F.transform(
         F.slice(F.col("embedding").cast("array<double>"), 1, 5), lambda x: F.round(x, 3)
@@ -288,13 +298,18 @@ def fn_array_utils(spark: SparkSession, sf_dir: str) -> DataFrame:
     top3 = F.transform(
         F.slice(F.col("embedding").cast("array<double>"), 1, 3), lambda x: F.round(x, 3)
     )
+    fmt3 = lambda arr: F.array_join(  # noqa: E731
+        F.transform(arr, lambda x: F.format_string("%.3f", x)), ","
+    )
     return e.select(
         "vec_id",
-        F.array_sort(head).alias("sorted_head"),
-        F.sort_array(top3, asc=False).alias("top3_desc"),
-        F.sequence(F.lit(0).cast("long"), F.size("embedding") - 1, F.lit(16).cast("long")).alias(
-            "stride_idx"
-        ),
+        fmt3(F.array_sort(head)).alias("sorted_head"),
+        fmt3(F.sort_array(top3, asc=False)).alias("top3_desc"),
+        F.to_json(
+            F.sequence(
+                F.lit(0).cast("long"), F.size("embedding") - 1, F.lit(16).cast("long")
+            )
+        ).alias("stride_idx"),
         F.exists(F.col("embedding"), lambda x: x > 0.1).alias("has_big"),
     )
 
