@@ -156,3 +156,28 @@ def test_connected_components_chain_cycle_selfloop(spark):
     )
     got = {r["node"]: r["label"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 20: 20, 21: 20, 22: 20, 30: 30, 40: 40, 41: 40}
+
+
+def test_embedding_lsh_pairs_subset_of_bruteforce(spark):
+    """The bucketed pair generator must emit a subset of the exact all-pairs
+    result with identical cosine values (recall < 1 allowed, precision = 1
+    after verification), and must actually find something at fixture scale."""
+    from tests.conftest import SF_CORRECTNESS
+    from wiki_mysql_spark.operators.dedup import (
+        embedding_lsh_pairs,
+        embedding_near_dup_pairs,
+    )
+    from wiki_mysql_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.25).collect()
+    }
+    bucketed = embedding_lsh_pairs(emb, threshold=0.25, n_bands=2).collect()
+    assert bucketed, "LSH found no pairs at all"
+    for r in bucketed:
+        assert exact[(r["id_a"], r["id_b"])] == r["cos_sim"]
+    # banding trade-off sanity: 2 bands find at least what 1 band finds
+    one_band = embedding_lsh_pairs(emb, threshold=0.25, n_bands=1).collect()
+    assert len(bucketed) >= len(one_band)

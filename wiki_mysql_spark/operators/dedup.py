@@ -295,9 +295,9 @@ def embedding_near_dup_pairs(
     emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.3,
 ) -> DataFrame:
-    """Cosine near-dup pairs, brute force (exact). The LSH-bucketed variant
-    in operators/similarity.py is the 100 TB path; this one is the oracle-
-    matched baseline and the post-bucket verifier."""
+    """Cosine near-dup pairs, brute force (exact). This is the oracle-matched
+    baseline and the post-bucket verifier for :func:`embedding_lsh_pairs`,
+    which is the 100 TB path — never run this on a full corpus."""
     l = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     r = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cos = cosine(F.col("va"), F.col("vb"))
@@ -306,3 +306,62 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", (F.round(cos, 6) + 0.0).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.3, dim: int = 64, n_planes: int = 8,
+    n_bands: int = 2, seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed — the scale path.
+
+    Each vector gets ``n_bands`` independent random-hyperplane signatures
+    (band b's planes seeded ``seed + b``, frozen at plan time); two vectors
+    become a candidate pair iff they share a bucket in ANY band, so the
+    self-join shuffles on (band, bucket) and is sized by bucket collisions,
+    never |corpus|^2. Candidates are verified with exact cosine. More bands
+    raise recall (P[all bands miss] = prod of per-band miss rates) at the
+    cost of proportionally more candidates — the standard banding trade-off.
+
+    At 100 TB the corpus is written partitioned by bucket so each join task
+    reads co-located rows; the vectors themselves shuffle once (exploded by
+    band), which is the unavoidable minimum for candidate generation.
+    """
+    from wiki_mysql_spark.operators.similarity import _hyperplanes, lsh_signature
+
+    sig_cols = [
+        lsh_signature(F.col(vec_col), _hyperplanes(dim, n_planes, seed + b)).alias(
+            f"sig{b}"
+        )
+        for b in range(n_bands)
+    ]
+    banded = (
+        emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"), *sig_cols)
+        .select(
+            "doc_id",
+            "v",
+            F.posexplode(F.array(*[F.col(f"sig{b}") for b in range(n_bands)])).alias(
+                "band", "bucket"
+            ),
+        )
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # pair may collide in several bands
+    )
+    cos = cosine(F.col("va"), F.col("vb"))
+    return cand.select(
+        "id_a", "id_b", (F.round(cos, 6) + 0.0).alias("cos_sim")
+    ).where(F.col("cos_sim") >= threshold)

@@ -31,6 +31,7 @@ from wiki_mysql_spark.functions.text import (
 from wiki_mysql_spark.operators.dedup import (
     MINHASH_PARAMS,
     N_BANDS,
+    embedding_lsh_pairs,
     embedding_near_dup_pairs,
     exact_duplicates,
     minhash_lsh_pairs,
@@ -138,6 +139,18 @@ def _sql_sqnorm(a: str) -> str:
 
 def _sql_cosine(a: str, b: str) -> str:
     return f"({_sql_dot(a, b)} / (sqrt({_sql_sqnorm(a)}) * sqrt({_sql_sqnorm(b)})))"
+
+
+def _sql_lsh_signature(vec: str, planes: list[list[float]]) -> str:
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        dot = (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, len({vec}) + 1), "
+            f"i -> {vec}[i]::DOUBLE * ({arr}::DOUBLE[])[i])), (x, y) -> x + y)"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << i}::BIGINT ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
 
 
 # ---------------------------------------------------------------------------
@@ -302,10 +315,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space near-dup pairs (exact brute force — the oracle-matched
-    baseline; the LSH bucket path below is the scale variant)."""
+    """Embedding-space near-dup pairs, exact brute force (all-pairs theta
+    join). Kept as the oracle baseline and the recall verifier for
+    `dedup_embedding_lsh` — the bucketed entry is the one to run on a real
+    corpus; this one is quadratic by construction."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.25)
+
+
+def _sql_banded_sig(vec: str, n_bands: int, dim: int, n_planes: int, seed: int) -> str:
+    cases = " ".join(
+        f"WHEN {b} THEN {_sql_lsh_signature(vec, _hyperplanes(dim, n_planes, seed + b))}"
+        for b in range(n_bands)
+    )
+    return f"CASE b.band {cases} END"
+
+
+@query(
+    "dedup_embedding_lsh",
+    f"""
+    WITH banded AS (
+        SELECT vec_id AS doc_id, embedding AS v, b.band,
+               {_sql_banded_sig('embedding', 2, 64, 8, 42)} AS bucket
+        FROM embeddings, (SELECT unnest(range(2)) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.v AS va, r.v AS vb
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, round({_sql_cosine('va', 'vb')}, 6) + 0 AS cos_sim
+    FROM cand WHERE {_sql_cosine('va', 'vb')} >= 0.25
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane LSH — the PRIMARY
+    embedding-dedup path. 2 bands x 8 frozen hyperplanes: a pair is a
+    candidate iff it shares a bucket in any band, then exact cosine verifies
+    the candidates. The self-join shuffles on (band, bucket) — sized by
+    collisions, never |corpus|^2. `dedup_embedding_cosine` (brute force) is
+    its recall verifier at test scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_lsh_pairs(
+        emb, threshold=0.25, dim=64, n_planes=8, n_bands=2, seed=42
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -335,18 +388,6 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, per-query top-k window."""
     emb = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
-
-
-def _sql_lsh_signature(vec: str, planes: list[list[float]]) -> str:
-    terms = []
-    for i, plane in enumerate(planes):
-        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
-        dot = (
-            f"list_reduce(list_prepend(0.0, list_transform(range(1, len({vec}) + 1), "
-            f"i -> {vec}[i]::DOUBLE * ({arr}::DOUBLE[])[i])), (x, y) -> x + y)"
-        )
-        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << i}::BIGINT ELSE 0 END")
-    return "(" + " + ".join(terms) + ")"
 
 
 _PLANES = _hyperplanes(64, 8, seed=42)
