@@ -101,13 +101,48 @@ def write_parquet(
     w.parquet(path)
 
 
+def execute_ddl(
+    spark,
+    url: str,
+    statements: list[str],
+    *,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+) -> None:
+    """Run DDL statements over a raw JDBC connection — the analog of the
+    reference's ``Database.execute_script("sql/init.sql")``
+    (``/root/reference/database.py:30-41``, ``dbfy.py:293-294``). Runs on
+    the driver JVM via DriverManager: DDL is a one-shot control-plane step,
+    not data-plane work, so it never touches an executor."""
+    jvm = spark._jvm
+    if driver is not None:
+        jvm.java.lang.Class.forName(driver)
+    props = jvm.java.util.Properties()
+    if user is not None:
+        props.setProperty("user", user)
+    if password is not None:
+        props.setProperty("password", password)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        stmt = conn.createStatement()
+        try:
+            for s in statements:
+                stmt.execute(s)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
     table: str,
     *,
-    user: str,
-    password: str,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
     batchsize: int = 10_000,
     num_partitions: int | None = None,
     truncate: bool = True,
@@ -123,21 +158,26 @@ def write_jdbc(
     at cluster scale, coalesce so you don't open 2000 connections against
     one MySQL primary.
 
-    Requires a JDBC driver jar on the classpath (none ships in this
-    environment — the call path is exercised in integration, not unit,
-    tests).
+    Requires a JDBC driver jar on the classpath. The integration test
+    exercises the full path against embedded Derby (whose jars ship with
+    Spark); against MySQL, pass the connector jar via ``spark.jars`` and the
+    MySQL url/credentials — the writer code is identical.
     """
     w = (
         df.write.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
-        .option("user", user)
-        .option("password", password)
         .option("batchsize", str(batchsize))
         .option("isolationLevel", "READ_COMMITTED")
         .option("truncate", str(truncate).lower())
         .mode("overwrite" if truncate else "append")
     )
+    if user is not None:
+        w = w.option("user", user)
+    if password is not None:
+        w = w.option("password", password)
+    if driver is not None:
+        w = w.option("driver", driver)
     if num_partitions is not None:
         w = w.option("numPartitions", str(num_partitions))
     if create_table_ddl is not None:
