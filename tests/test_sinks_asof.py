@@ -166,6 +166,10 @@ def _derby_available(spark) -> bool:
 
 @pytest.fixture()
 def derby_url(spark, tmp_path):
+    # keep derby.log out of the repo root (effective before engine boot)
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", str(tmp_path / "derby.log")
+    )
     if not _derby_available(spark):
         pytest.skip("Derby JDBC driver not on the Spark classpath")
     return f"jdbc:derby:{tmp_path}/db;create=true"
