@@ -88,43 +88,81 @@ def decode_html_entities_udf():
     return _decode
 
 
-# The markup-strip pass list, shared verbatim by the Spark chain and the
+# The markup-strip pass lists, shared verbatim by the Spark chain and the
 # DuckDB oracle-SQL generator (queries/wiki.py). Each entry is
 # ("re", pattern, replacement) or ("lit", literal, replacement). Patterns are
-# RE2-compatible (no backrefs in patterns, no lookaround) so both engines run
-# literally the same regexes; replacements use $N (rewritten to \\N for RE2).
+# RE2-compatible (no backrefs in patterns, NO lookaround — gensim's RE_P12
+# lookahead and RE_P13 lookbehind are re-expressed as consume-and-reemit
+# captures) so both engines run literally the same regexes; replacements use
+# $N (rewritten to \\N for RE2). Pass structure mirrors gensim's
+# ``remove_markup`` (tests/gensim_reference.py is the transcribed original):
+# PRE once, MARKUP iterated x3, POST once, PROMOTE once.
+
+# gensim RE_P2: trailing inter-language link list. Applied once, first.
+# ($ here is end-of-text in RE2 vs before-final-\n in Python — pinned
+# divergence for texts ending in a newline.)
+MARKUP_PRE_PASSES: list[tuple[str, str, str]] = [
+    ("re", r"(\n\[\[[a-z][a-z][\w-]*:[^:\]]+\]\])+$", ""),
+]
+
 MARKUP_PASSES: list[tuple[str, str, str]] = [
     # All the plain-deletion constructs in ONE alternation pass — halves the
     # full-string regex traversals per iteration, the dominant compute of the
     # wiki ETL at scale. Leftmost-first alternation preserves the sequential
     # semantics (specific tag forms listed before the generic <...> tag):
-    # comments | <ref> blocks | <math>/<nowiki> blocks | any tag |
-    # category links | file/image links | innermost {{templates}} |
-    # table-markup lines ({|, |}, |-, |, ! at line start)
+    # comments (RE_P0) | <ref> (RE_P1) | <math>/<nowiki> (RE_P9/10) |
+    # any tag (RE_P11) | category links (RE_P14) | file/image links (RE_P15)
+    # | innermost {{templates}} (remove_template, nesting <= iterations)
     (
         "re",
-        r"(?sm)<!--.*?-->"
+        r"(?s)<!--.*?-->"
         r"|<ref([> ].*?)(</ref>|/>)"
         r"|<(math|nowiki)([> ].*?)(</(math|nowiki)>|/>)"
         r"|<(.*?)>"
         r"|\[\[Category:[^\]\[]*\]\]"
         r"|\[\[(file:|image:|File:|Image:)[^\]]*\]\]"
-        r"|\{\{[^{}]*\}\}"
-        r"|^(\{\||\|\}|\|-|\|)[^\n]*$"
-        r"|^![^\n]*$",
+        r"|\{\{[^{}]*\}\}",
         "",
     ),
-    # external links: keep description ([http://x desc] -> desc)
-    ("re", r"\[(\w+)://([^ \]]*)( ([^\]]*))?\]", "$4"),
-    # piped wiki links: keep description ([[a|b]] -> b)
-    ("re", r"\[\[([^\]\[|]*)\|([^\]\[|]*)\]\]", "$2"),
-    # plain wiki links: keep target ([[a]] -> a)
+    # external links: keep description incl. its leading space (RE_P5 -> \3)
+    ("re", r"\[(\w+)://([^ \]]*)( ([^\]]*))?\]", "$3"),
+    # piped links: keep the last pipe segment (RE_P6 -> \2; greedy first
+    # group, so [[a|b|c]] -> c; single-bracket form reaches [[..]] innards)
+    ("re", r"\[([^\]\[]*)\|([^\]\[|]*)\]", "$2"),
+    # plain wiki links: keep target (subsumed by promote in gensim)
     ("re", r"\[\[([^\]\[|]*)\]\]", "$1"),
-    # empty brackets left behind
+    # ---- table markup, gensim order ----
+    ("lit", "!!", "\n|"),          # each head cell on its own line
+    ("lit", "|-||", "\n|"),        # '-'-filled cell
+    # RE_P12 ({| / |} / |- lines up to \n). Two passes encode gensim's
+    # (?!\d) without lookahead: '|-' matches only before \n or a non-digit.
+    ("re", r"(\{\||\|\})[^\n]*\n", "\n"),
+    ("re", r"\|-(\n|[^\d\n][^\n]*\n)", "\n"),
+    ("lit", "|||", "|\n|"),        # each cell on its own line
+    ("lit", "||", "\n|"),
+    # RE_P13 (cell-marker strip). gensim's fixed-width lookbehind becomes a
+    # consumed-and-reemitted capture ($1); equivalent because a match's
+    # reemitted prefix can never overlap the next match's prefix.
+    ("re", r"((\n )|(\n\n)|(  )|(.\n)|(.\t))(\||!)([^\[\]\n]*?\|)*", "$1\n"),
+    # RE_P17 (table formatting lines)
+    (
+        "re",
+        r"\n.{0,4}(bgcolor|\d{0,1} ?colspan|rowspan|style=|class=|align=|scope=).*"
+        r"|^.{0,4}(bgcolor|\d{0,1} ?colspan|rowspan|style=|class=|align=|scope=).*",
+        "\n",
+    ),
+    # empty brackets left behind (gensim does this inside the loop)
     ("lit", "[]", ""),
 ]
 
-# applied once after the iterated passes (gensim promote_remaining)
+# applied once after the iterated passes
+MARKUP_POST_PASSES: list[tuple[str, str, str]] = [
+    # unbalanced {{ runs to end of text (gensim's remove_template drops an
+    # unclosed template's tail; balanced ones are gone after the iterations)
+    ("re", r"(?s)\{\{.*", ""),
+]
+
+# gensim promote_remaining
 PROMOTE_PASSES: list[tuple[str, str, str]] = [
     ("lit", "[", ""),
     ("lit", "]", ""),
@@ -143,15 +181,21 @@ def strip_wiki_markup(col: Column, iterations: int = 3) -> Column:
     """Wiki-markup strip (F3) as an iterated regexp chain.
 
     Mirrors the pass structure of gensim's ``remove_markup`` (invoked at
-    ``/root/reference/filters.py:58``): comments, <ref>, <math>/<nowiki>,
-    other tags, category/file/image links, external links (keep description),
-    pipe links (keep description), template and table markup, then promote
-    remaining brackets. Nested constructs resolve innermost-out, so the chain
-    runs a fixed ``iterations`` passes (gensim caps at 3 as well).
+    ``/root/reference/filters.py:58``; transcription in
+    ``tests/gensim_reference.py``, parity pinned by
+    ``tests/test_gensim_parity.py``): language links, then iterated
+    comments / <ref> / <math> / <nowiki> / tags / category / file / template
+    / link simplification / table-cell markup, then unbalanced-template
+    cleanup and bracket promotion. Nested constructs resolve innermost-out,
+    so the chain runs a fixed ``iterations`` passes (gensim caps at 3 too).
     """
+    for kind, pat, repl in MARKUP_PRE_PASSES:
+        col = _apply_pass(col, kind, pat, repl)
     for _ in range(iterations):
         for kind, pat, repl in MARKUP_PASSES:
             col = _apply_pass(col, kind, pat, repl)
+    for kind, pat, repl in MARKUP_POST_PASSES:
+        col = _apply_pass(col, kind, pat, repl)
     for kind, pat, repl in PROMOTE_PASSES:
         col = _apply_pass(col, kind, pat, repl)
     return col
@@ -219,9 +263,13 @@ def cleaning_chain_duckdb_sql(
     if remove_html:
         for ent, ch in _NAMED_ENTITIES:
             e = one(e, "lit", ent, ch)
+    for kind, pat, repl in MARKUP_PRE_PASSES:
+        e = one(e, kind, pat, repl)
     for _ in range(markup_iterations):
         for kind, pat, repl in MARKUP_PASSES:
             e = one(e, kind, pat, repl)
+    for kind, pat, repl in MARKUP_POST_PASSES:
+        e = one(e, kind, pat, repl)
     for kind, pat, repl in PROMOTE_PASSES:
         e = one(e, kind, pat, repl)
     if valid_unicodes:
@@ -234,9 +282,12 @@ def cleaning_chain_duckdb_sql(
 
 # Any string the decode+strip passes could change must contain one of these:
 # '&' (entities), '<' (comments/tags), '{' (templates/tables), '[' or ']'
-# (links/brackets), or a line-start '|' / '!' (table markup). Rows without
-# them — most of a clean documents corpus — skip all ~24 regex passes.
-_MARKUP_TRIGGER = r"(?m)[<{\[\]&]|^\||^!"
+# (links/brackets), '|' / '!' (table cells), or an RE_P17 formatting keyword.
+# Rows without them — most of a clean documents corpus — skip all ~30 regex
+# passes.
+_MARKUP_TRIGGER = (
+    r"[<{\[\]&|!]|bgcolor|colspan|rowspan|style=|class=|align=|scope="
+)
 
 
 def clean_wiki_body(
