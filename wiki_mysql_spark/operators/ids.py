@@ -30,6 +30,13 @@ from pyspark.sql import functions as F
 _LOW33 = (1 << 33) - 1
 
 
+# Inputs whose optimizer-estimated size is below this skip the range
+# exchange entirely (see fast path in dense_ids). Generous on purpose:
+# a single-partition sort of 64 MB is milliseconds, while the range path
+# costs a boundary-sampling job + a shuffle + a counts collect.
+_SMALL_SORT_BYTES = 64 << 20
+
+
 def dense_ids(
     df: DataFrame,
     order_by: list[str | Column],
@@ -41,6 +48,25 @@ def dense_ids(
     ``order_by`` (which must be a total order — include a unique tiebreaker,
     or ids within ties become partition-placement-dependent)."""
     spark = df.sparkSession
+    # Small-input fast path (see sources.tables.is_small_input): merge to ONE
+    # partition and sort locally. monotonically_increasing_id on a single
+    # partition IS the dense 0-based index, so the boundary-sampling job, the
+    # range exchange, the layout checkpoint, and the per-partition counts
+    # collect all disappear. At real scale the leaves are TBs of parquet and
+    # the parallel path below runs.
+    from wiki_mysql_spark.sources.tables import is_small_input
+
+    if is_small_input(df, max_bytes=_SMALL_SORT_BYTES):
+        # repartition (not coalesce): coalesce(1) would drag the upstream
+        # narrow ops (e.g. the regex cleaning chain) into the single task;
+        # a round-robin exchange keeps them parallel and only the tiny
+        # sort+number runs on one reducer.
+        one = df.repartition(1).sortWithinPartitions(*order_by)
+        out_cols = [F.col(c) for c in df.columns]
+        return one.select(
+            (F.monotonically_increasing_id() + F.lit(start)).alias(id_col),
+            *out_cols,
+        )
     # Size the range-partitioned sort from session parallelism / shuffle
     # config, NOT from df.rdd.getNumPartitions(): under AQE, converting to an
     # RDD forces every upstream shuffle stage to materialize (extra jobs, and

@@ -26,12 +26,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Edge sets whose leaf inputs are estimated below this resolve driver-side
+# (one collect + one parallelize) instead of via the doubling loop. The exact
+# analog of a broadcast-join threshold: the DATA decides the physical
+# strategy, the semantics are identical (tested both ways). Real corpora
+# blow past this (enwiki has ~10M redirect rows) and take the doubling path.
+_SMALL_EDGES_BYTES = 8 << 20
+
+
+def _resolve_small(edges: DataFrame, max_depth: int) -> DataFrame:
+    """Driver-side chain walk for a tiny edge set — the reference's own
+    algorithm (``dbfy.py:108-121``) minus the recursion: one collect in, one
+    parallelize out, zero fixpoint jobs. Gated by :data:`_SMALL_EDGES_BYTES`.
+    """
+    nxt = {r["src"]: r["dst"] for r in edges.collect()}
+    out: list[tuple[str, str]] = []
+    for src in nxt:
+        seen: set[str] = set()
+        cur = src
+        while cur in nxt and cur not in seen and len(seen) <= max_depth:
+            seen.add(cur)
+            cur = nxt[cur]
+        if cur not in nxt and len(seen) <= max_depth:
+            out.append((src, cur))  # terminal reached: article or dangling
+        # else: cycle or over-depth -> dropped, like RecursionError -> None
+    return edges.sparkSession.createDataFrame(out, schema=edges.schema)
+
+
 def resolve_redirects(
     redirects: DataFrame,
     targets: DataFrame,
     *,
     max_depth: int = 1024,
     eager_checkpoint: bool = True,
+    force_distributed: bool = False,
 ) -> DataFrame:
     """Resolve redirect chains transitively.
 
@@ -42,6 +70,8 @@ def resolve_redirects(
             articles (the reference's ``ttl2bid``, ``dbfy.py:183-186``).
         max_depth: chains longer than this are dropped (the reference's
             implicit bound is Python's recursion limit, ~1000).
+        force_distributed: skip the small-input driver fast path (tests use
+            this to pin the pointer-doubling loop's behavior).
 
     Returns:
         ``redirects``'s carried columns + ``body_id`` for every redirect
@@ -51,6 +81,20 @@ def resolve_redirects(
     edges = redirects.select(
         F.col("title").alias("src"), F.col("target").alias("dst")
     )
+    from wiki_mysql_spark.sources.tables import is_small_input
+
+    if not force_distributed and is_small_input(
+        edges, max_bytes=_SMALL_EDGES_BYTES
+    ):
+        mapping = _resolve_small(edges, max_depth)
+        resolved = mapping.join(
+            targets.select(F.col("title").alias("t_title"), "body_id"),
+            mapping.dst == F.col("t_title"),
+            "inner",
+        ).select(F.col("src"), "body_id")
+        return redirects.join(
+            resolved, redirects.title == resolved.src, "inner"
+        ).drop("src")
     if eager_checkpoint:
         # lazy: the initial `chained.count()` below materializes it — one job
         # instead of two per checkpoint

@@ -46,11 +46,12 @@ def build_wiki_tables(
     ``(articles, bodies)`` exactly shaped like ``sql/init.sql:5-19``."""
     # A dump that arrives as a single split (one modest .bz2 file — Spark's
     # XML source reads a compressed file whole) would serialize every
-    # downstream stage; spread it across the cluster once up front. No-op
-    # when the source is already parallel (many part files at real scale).
-    parallelism = pages.sparkSession.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() < max(2, parallelism // 2):
-        pages = pages.repartition(parallelism)
+    # downstream stage; spread it across the cluster once up front. Bytes-
+    # gated (plan statistics, no job) so tiny fixtures skip the exchange;
+    # no-op when the source is already parallel (many part files at scale).
+    from wiki_mysql_spark.sources.tables import spread_small_scan
+
+    pages = spread_small_scan(pages)
 
     has_attr = "redirect_title" in pages.columns
     attr = F.col("redirect_title") if has_attr else F.lit(None).cast("string")

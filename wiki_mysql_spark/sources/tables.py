@@ -50,6 +50,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_STATS_UNKNOWN = (1 << 63) - 1  # Catalyst's default sizeInBytes
+
+
+def is_small_input(
+    df: DataFrame, *, max_bytes: int, max_rows: int = 100_000
+) -> bool:
+    """Decide whether a frame is small enough for a single-task fast path.
+
+    Two tiers, cheapest first: (1) sum the LEAF relations' size statistics —
+    free, no job — and decide on bytes when every leaf reports a real size
+    (parquet scans always do, so the 100 TB case never leaves this tier);
+    (2) for unknown-stats leaves (RDD-backed frames, python createDataFrame),
+    probe with a row-LIMITed count — a bounded job that early-stops after
+    ``max_rows + 1`` rows regardless of input size. Used by dense_ids and
+    resolve_redirects the way joins use a broadcast threshold: the data
+    picks the physical strategy, semantics are identical either way.
+    """
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        total, unknown = 0, False
+        for i in range(leaves.length()):
+            s = int(leaves.apply(i).stats().sizeInBytes())
+            if s >= _STATS_UNKNOWN:
+                unknown = True
+            else:
+                total += s
+        if total >= max_bytes:
+            return False
+        if not unknown:
+            return True
+    except Exception:
+        return False
+    return df.limit(max_rows + 1).count() <= max_rows
+
+
 def spread_small_scan(
     df: DataFrame, *, min_factor: int = 2, min_bytes: int = 32 << 20
 ) -> DataFrame:
