@@ -32,6 +32,7 @@ HEADLINE = [
     "wiki_clean_markup",
     "wiki_articles_bodies",
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
     "dedup_ngram_jaccard",
     "ann_topk_bruteforce",
     "text_quality",
@@ -43,10 +44,40 @@ HEADLINE = [
 ]
 
 
+def _concurrent_spark_jvms() -> int:
+    """Count OTHER Spark JVMs on this host (run before our own session
+    starts). A nonzero value means the numbers below shared the machine —
+    recorded in the output so a slow run is attributable."""
+    n = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read()
+            except OSError:
+                continue
+            if b"org.apache.spark" in cmd and int(pid) != os.getpid():
+                n += 1
+    except OSError:
+        pass
+    return n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from wiki_mysql_spark.queries import QUERIES
     from wiki_mysql_spark.session import get_session
+
+    other_jvms = _concurrent_spark_jvms()
+    load1 = os.getloadavg()[0]
+    if other_jvms:
+        print(
+            f"# WARNING: {other_jvms} other Spark JVM(s) running — "
+            "timings will include contention",
+            file=sys.stderr,
+        )
 
     spark = get_session("wiki_mysql_spark-bench")
     names = [n for n in HEADLINE if n in QUERIES]
@@ -75,6 +106,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "concurrent_spark_jvms": other_jvms,
+                "load1_at_start": round(load1, 2),
             }
         )
     )

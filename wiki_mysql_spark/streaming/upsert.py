@@ -4,11 +4,12 @@ The missing piece between streaming aggregation (memory/complete sinks) and
 a real serving table: each micro-batch is aggregated and MERGED into a keyed
 target, so the target is always a complete, queryable profile table — the
 ``foreachBatch`` idempotent-upsert pattern from the Structured Streaming
-guide. In production the merge target is Delta/JDBC and the merge is
-``MERGE INTO`` pushed to the sink; here the target is a driver-held small
-table (profiles are bounded by user cardinality, not stream length), which
-keeps the pattern honest — batch boundaries, incremental state, out-of-order
-arrival — while staying oracle-checkable.
+guide. The merge target is a VERSIONED PARQUET TABLE (read current version,
+set-based merge, write next version, retire the old one) — i.e. the
+copy-on-write half of what Delta's MERGE INTO does, minus the transaction
+log. The profile rows never transit the driver, so the pattern scales with
+executor count; swapping the target for Delta/Iceberg changes only the
+read/write calls.
 
 (SURVEY §2.7 extension; the closest reference hook is the per-page
 INSERT+commit sink, ``/root/reference/database.py:75-85`` — this is its
@@ -17,6 +18,7 @@ streaming-era replacement.)
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import uuid
@@ -59,7 +61,8 @@ def run_stream_upsert(
     aggregate regardless of how rows landed in batches (the oracle's claim).
     """
     staging, ev = stage_events_as_files(spark, sf_dir, n_files=n_files)
-    state: dict[str, object] = {"target": None, "batches": 0}
+    target_root = tempfile.mkdtemp(prefix="stream_upsert_tgt_")
+    state: dict[str, object] = {"path": None, "batches": 0}
 
     def profile(df: DataFrame) -> DataFrame:
         return df.groupBy("user_id").agg(
@@ -70,10 +73,10 @@ def run_stream_upsert(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         delta = profile(batch_df)
-        if state["target"] is None:
+        if state["path"] is None:
             merged = delta.withColumn("action", F.lit("insert"))
         else:
-            prev = spark.createDataFrame(state["target"])  # type: ignore[arg-type]
+            prev = spark.read.parquet(str(state["path"]))
             merged = merge_upsert(
                 prev,
                 delta,
@@ -84,9 +87,15 @@ def run_stream_upsert(
                     "last_ts": "max",
                 },
             )
-        # materialize driver-side: the target must survive across batches
-        # (in production this collect is a MERGE INTO the sink table instead)
-        state["target"] = merged.drop("action").toPandas()
+        # copy-on-write MERGE: write version N+1 while version N is readable,
+        # then retire N — rows never transit the driver. With a Delta/Iceberg
+        # target these three lines are one MERGE INTO.
+        new_path = os.path.join(target_root, f"v{batch_id}")
+        merged.drop("action").write.mode("overwrite").parquet(new_path)
+        old = state["path"]
+        state["path"] = new_path
+        if old is not None:
+            shutil.rmtree(str(old), ignore_errors=True)
         state["batches"] = int(state["batches"]) + 1  # type: ignore[call-overload]
 
     stream = (
@@ -105,5 +114,5 @@ def run_stream_upsert(
     finally:
         q.stop()
         shutil.rmtree(staging, ignore_errors=True)
-    final = spark.createDataFrame(state["target"])  # type: ignore[arg-type]
+    final = spark.read.parquet(str(state["path"]))
     return final, int(state["batches"])  # type: ignore[call-overload]
