@@ -135,3 +135,57 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
         f"expected 400 distinct ids exactly once, got {len(got)} rows "
         f"(dupes or loss = broken recovery)"
     )
+
+
+def test_foreachbatch_jdbc_sink_exactly_once(spark, tmp_path):
+    """Streaming -> JDBC end-to-end (embedded Derby): drain a multi-file
+    stream with maxFilesPerTrigger=1, append each micro-batch to a database
+    table via the batched JDBC writer, and assert the table equals the
+    one-shot batch result — the reference's MySQL sink contract
+    (database.py:59-104) driven from Structured Streaming."""
+    from wiki_mysql_spark.sinks import write_jdbc
+    from wiki_mysql_spark.sources.tables import load_table
+    from wiki_mysql_spark.streaming.upsert import stage_events_as_files
+
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    try:
+        spark._jvm.java.lang.Class.forName(driver)
+    except Exception:
+        pytest.skip("Derby JDBC driver not on the Spark classpath")
+    url = f"jdbc:derby:{tmp_path}/stream_db;create=true"
+
+    sf_dir = "/root/testdata/sf0.001"
+    staging, ev = stage_events_as_files(spark, sf_dir, n_files=3)
+    batches = []
+
+    def to_jdbc(batch_df, batch_id):
+        write_jdbc(
+            batch_df.select("event_id", "user_id", "value"),
+            url, "events_sink", driver=driver, truncate=False,  # append
+        )
+        batches.append(batch_id)
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .writeStream.foreachBatch(to_jdbc)
+        .queryName(f"jdbc_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    assert len(batches) == 3, "expected one micro-batch per staged file"
+    back = spark.read.format("jdbc").options(
+        url=url, dbtable="events_sink", driver=driver
+    ).load()
+    back = back.toDF(*[c.lower() for c in back.columns])
+    want = load_table(spark, sf_dir, "events")
+    assert back.count() == want.count()
+    got_sum = back.agg(F.sum("value")).collect()[0][0]
+    want_sum = want.agg(F.sum("value")).collect()[0][0]
+    assert abs(got_sum - want_sum) < 1e-6

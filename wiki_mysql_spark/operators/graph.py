@@ -24,6 +24,61 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 3,
+    damping: float = 0.85,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (Pregel-style
+    join-aggregate — the canonical iterative graph workload).
+
+    Per iteration: one join of edges against current ranks on ``src`` (edges
+    are checkpointed once and never re-shuffled) and one partial-aggregatable
+    sum per ``dst`` — so data movement per round is O(edges), the minimum.
+    Simple formulation ``rank = (1-d) + d * sum(in_rank / out_degree)``
+    (dangling mass not redistributed); ranks are rounded each iteration so
+    results are deterministic across engines and summation orders — the
+    DuckDB oracle replays the identical unrolled iterations. Nodes with no
+    incoming edges settle at ``1 - d``.
+
+    Returns ``(node, rank)`` for every node appearing in any edge.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(n_iters):
+        contrib = (
+            e_deg.join(ranks, e_deg.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            F.round(
+                F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("s", F.lit(0.0)),
+                round_digits,
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

@@ -733,3 +733,62 @@ def q20_excess_red_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# iterative graph workload: PageRank over the customer->supplier trade graph
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_iter_cte(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+        SELECT n.node, round(0.15 + 0.85 * coalesce(c.s, 0.0), 9) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst, sum(r.rank / e.outdeg) AS s
+            FROM e_deg e JOIN {prev} r ON r.node = e.src
+            GROUP BY e.dst
+        ) c ON c.dst = n.node
+    )"""
+
+
+@query(
+    "graph_pagerank",
+    f"""
+    WITH edges AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    e_deg AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+    nodes AS (
+        SELECT DISTINCT node FROM
+        (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+    ),
+    r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+    {_pagerank_iter_cte('r0', 'r1')},
+    {_pagerank_iter_cte('r1', 'r2')},
+    {_pagerank_iter_cte('r2', 'r3')}
+    SELECT node, round(rank, 6) + 0 AS rank FROM r3
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 rounds, d=0.85) over the directed
+    customer->supplier trade graph derived from lineitem x orders — the
+    canonical iterative-algorithm workload (`operators/graph.py:pagerank`:
+    per round one edges-vs-ranks join + one partial-aggregated sum; edges
+    checkpointed once, never re-shuffled). The DuckDB oracle replays the
+    identical unrolled iterations; per-iteration rounding pins float
+    determinism across engines."""
+    from wiki_mysql_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    ranks = pagerank(edges, n_iters=3, damping=0.85, round_digits=9)
+    return ranks.select(
+        "node", (F.round("rank", 6) + F.lit(0.0)).alias("rank")
+    )
