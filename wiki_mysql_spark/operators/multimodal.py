@@ -2,10 +2,14 @@
 
 Image/audio/video payloads are opaque ``binary`` columns + typed metadata.
 The Spark-side machinery — schema, partition-friendly layout, Arrow-batched
-``mapInPandas`` feature extraction — is real and tested; the actual
-image/audio DECODE is stubbed (the codec libraries are not in this
-environment) behind :func:`decode_image`, which raises ``NotImplementedError``
-unless a deterministic fake decoder is requested.
+``mapInPandas`` feature extraction — is real and tested. Decoding is REAL
+for 24-bit BMP (a pure numpy/struct codec below — no external library
+needed): :func:`decode_image` sniffs the ``BM`` magic and parses/round-trips
+actual pixels; :func:`resize_image` nearest-neighbor-resamples real BMPs.
+Compressed codecs (JPEG/PNG/video) still need a codec library that is not
+in this environment (checked again round 2: no Pillow) and raise
+``NotImplementedError`` — the ``fake=`` deterministic stand-ins keep that
+plumbing testable.
 
 At 100 TB the rules encoded here:
   * keep payload bytes in their own column so column pruning skips them for
@@ -17,8 +21,10 @@ At 100 TB the rules encoded here:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -74,33 +80,81 @@ def extract_features(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "payload").mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# real codec: 24-bit uncompressed BMP (pure struct/numpy — format is public:
+# 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER, BGR rows bottom-up,
+# each row zero-padded to a 4-byte boundary)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit BMP."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("expected (h, w, 3) RGB")
+    row_size = (w * 3 + 3) & ~3
+    data_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> "np.ndarray":
+    """Decode a 24-bit uncompressed BMP to an (h, w, 3) uint8 RGB array."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP supported")
+    flipped = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=data_off
+    ).reshape(h, row_size)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if flipped else img
+
+
 def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
-    STUB: real decoding needs an image codec library that is not available
-    in this environment. With ``fake=True`` a deterministic fake is returned
-    (derived from the byte length) so downstream plumbing is testable.
+    REAL for BMP (``BM`` magic — header parse, validated against full pixel
+    round-trips in tests). Compressed codecs need a library that is not in
+    this environment; ``fake=True`` returns a deterministic length-derived
+    stand-in so that plumbing stays testable.
     """
     if fake:
         return (len(payload) % 64 + 1, len(payload) % 48 + 1)
+    if payload[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return (w, abs(h))
     raise NotImplementedError(
-        "image decoding requires a codec library (e.g. Pillow); "
-        "wire it in here — the Spark-side plumbing (binary column, "
-        "mapInPandas batching, schema) is already in place"
+        "only BMP decodes natively; JPEG/PNG need a codec library "
+        "(e.g. Pillow) — wire it in here, the Spark-side plumbing "
+        "(binary column, mapInPandas batching, schema) is already in place"
     )
 
 
 def resize_image(payload: bytes, width: int, height: int, *, fake: bool = False) -> bytes:
-    """Resize an image payload. STUB (no codec library in this environment);
-    ``fake=True`` returns a deterministic truncation/padding of the bytes so
-    batch plumbing is testable end-to-end."""
+    """Resize an image payload to (width, height).
+
+    REAL for BMP: decode, nearest-neighbor resample via numpy fancy
+    indexing, re-encode. ``fake=True`` returns a deterministic
+    truncation/padding of the bytes (non-BMP plumbing tests)."""
     if fake:
         target = max(1, width * height)
         return (payload * (target // max(1, len(payload)) + 1))[:target]
-    raise NotImplementedError(
-        "image resize requires a codec library (e.g. Pillow); the "
-        "mapInPandas plumbing below is ready for it"
-    )
+    img = decode_bmp(payload)
+    h, w, _ = img.shape
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return encode_bmp(img[yi][:, xi])
 
 
 def resize_images(

@@ -86,3 +86,68 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.octet_length("frame").cast("long").alias("frame_bytes")
     )
+
+
+@query(
+    "multimodal_decode_bmp",
+    """
+    -- the builder makes a ((len % 16) + 1) x ((len % 12) + 1) 24-bit BMP
+    -- from each doc's bytes; the oracle recomputes the REAL codec's header
+    -- arithmetic: 54-byte headers + rows padded to 4 bytes, bottom-up.
+    SELECT doc_id,
+           ((octet_length(encode(text)) % 16) + 1)::BIGINT AS width,
+           ((octet_length(encode(text)) % 12) + 1)::BIGINT AS height,
+           (54 + (((((octet_length(encode(text)) % 16) + 1) * 3 + 3) // 4) * 4)
+               * ((octet_length(encode(text)) % 12) + 1))::BIGINT AS n_bmp_bytes
+    FROM documents
+    """,
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: each document's bytes become the pixels
+    of an actual 24-bit BMP (pure numpy/struct codec in
+    `operators/multimodal.py`), which the real decoder then parses back —
+    width/height from the header, total size validating the encoder's
+    row-padding math. No fake path anywhere; the oracle recomputes the BMP
+    format arithmetic independently."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from wiki_mysql_spark.operators.multimodal import decode_image, encode_bmp
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("n_bmp_bytes", LongType()),
+        ]
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, ns = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                w, h = (len(b) % 16) + 1, (len(b) % 12) + 1
+                need = w * h * 3
+                pix = np.frombuffer(
+                    (b * (need // max(1, len(b)) + 1))[:need] if b else b"\0" * need,
+                    dtype=np.uint8,
+                ).reshape(h, w, 3)
+                bmp = encode_bmp(pix)
+                dw, dh = decode_image(bmp)  # REAL decode, no fake flag
+                ids.append(doc_id)
+                ws.append(dw)
+                hs.append(dh)
+                ns.append(len(bmp))
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": ws, "height": hs, "n_bmp_bytes": ns}
+            )
+
+    return (
+        _payload_docs(spark, sf_dir)
+        .select("doc_id", "payload")
+        .mapInPandas(_roundtrip, schema)
+    )
