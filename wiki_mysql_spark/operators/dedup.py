@@ -344,6 +344,9 @@ def embedding_lsh_pairs(
                 "band", "bucket"
             ),
         )
+        # hash once: both sides of the self-join read this materialization
+        # instead of recomputing n_bands x n_planes dot products per row
+        .localCheckpoint(eager=False)
     )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (

@@ -150,6 +150,10 @@ def resize_image(payload: bytes, width: int, height: int, *, fake: bool = False)
     if fake:
         target = max(1, width * height)
         return (payload * (target // max(1, len(payload)) + 1))[:target]
+    if payload[:2] != b"BM":
+        raise NotImplementedError(
+            "only BMP resizes natively; compressed codecs need a library"
+        )
     img = decode_bmp(payload)
     h, w, _ = img.shape
     yi = (np.arange(height) * h) // height
