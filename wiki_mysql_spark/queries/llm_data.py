@@ -26,7 +26,10 @@ from wiki_mysql_spark.functions.text import (
     detect_lang,
     fingerprint,
     quality_features,
+    shingles_of,
     token_count,
+    word_hashes,
+    words,
 )
 from wiki_mysql_spark.operators.dedup import (
     MINHASH_PARAMS,
@@ -771,3 +774,105 @@ def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_key", "b_key", "a_name", "b_name", dist.cast("long").alias("dist")
         )
     )
+
+
+# a fixture with REAL repetition so the repetition signal is non-vacuous
+# (the synthetic corpus has near-zero 3-gram repetition)
+_REP_FIXTURE: list[tuple[int, str]] = [
+    (200001, "spam spam spam spam spam spam spam spam spam spam"),
+    (200002, "the cat sat on the mat the cat sat on the mat the cat sat on the mat"),
+    (200003, "all distinct words here none repeat at all today friend"),
+]
+_SQL_REP_FIXTURE = ", ".join(f"({i}::BIGINT, '{t}')" for i, t in _REP_FIXTURE)
+
+
+@query(
+    "text_repetition_ratio",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT * FROM (VALUES {_SQL_REP_FIXTURE}) r(doc_id, text)
+    ),
+    tokenized AS (SELECT doc_id, {SQL_WORDS} AS ws FROM corpus),
+    shingled AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM tokenized)
+    SELECT doc_id,
+           len(sh)::BIGINT AS n_shingles,
+           round(CASE WHEN len(sh) = 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(sh)) / len(sh)::DOUBLE END, 6)
+               AS rep_ratio
+    FROM shingled
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (1 - distinct/total 3-gram shingles) — the
+    standard boilerplate/spam quality signal for corpus filtering. All
+    higher-order functions, zero UDFs, zero shuffles (per-row signal); a
+    known-repetitive fixture is unioned in so the signal is exercised."""
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    fix = spark.createDataFrame(_REP_FIXTURE, ["doc_id", "text"])
+    sh = (
+        docs.unionByName(fix)
+        .select("doc_id", words(F.col("text")).alias("ws"))
+        .select("doc_id", shingles_of(F.col("ws"), 3).alias("sh"))
+    )
+    n = F.size("sh")
+    return sh.select(
+        "doc_id",
+        n.cast("long").alias("n_shingles"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(
+                F.lit(1.0) - F.size(F.array_distinct("sh")) / n.cast("double")
+            ),
+            6,
+        ).alias("rep_ratio"),
+    )
+
+
+_EMB_DIM = 16
+
+
+@query(
+    "text_hash_embedding",
+    f"""
+    WITH tokenized AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(ws, w -> {_sql_hash('w')} % {HASH_PRIME}) AS whs
+        FROM tokenized WHERE len(ws) > 0
+    )
+    SELECT doc_id, b.i::BIGINT AS bucket,
+           round(len(list_filter(whs, h -> h % {_EMB_DIM} = b.i))
+                 / len(whs)::DOUBLE, 6) AS tf
+    FROM hashed, (SELECT unnest(range({_EMB_DIM})) AS i) b
+    """,
+)
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hashing-trick embedding (hashingTF): each word hashes
+    to one of {_EMB_DIM} buckets; the vector is per-bucket term frequency.
+    Emitted in long form (doc_id, bucket, tf) — scalar columns for the
+    driver, and the layout a feature store would join on. The md5-based
+    word hash is engine-portable, so the oracle recomputes identical
+    vectors. Zero shuffles: a per-row transform + a generated bucket axis.
+    """
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    hashed = (
+        docs.select("doc_id", word_hashes(F.col("text")).alias("whs"))
+        .where(F.size("whs") > 0)
+    )
+    return hashed.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_EMB_DIM - 1)),
+                lambda i: F.round(
+                    F.size(F.filter(F.col("whs"), lambda h: h % _EMB_DIM == i))
+                    / F.size("whs").cast("double"),
+                    6,
+                ),
+            )
+        ).alias("bucket", "tf"),
+    ).select("doc_id", F.col("bucket").cast("long").alias("bucket"), "tf")
