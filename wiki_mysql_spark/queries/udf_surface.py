@@ -99,16 +99,28 @@ def agg_median_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")  # rows-only: t-digest estimate has no exact oracle
+@query(
+    "agg_approx_percentile",
+    """
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5) AS approx_median_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles — the single-pass mergeable scale path."""
+    """Sketch-based percentiles — the single-pass mergeable scale path.
+    Oracle-able because the GK sketch runs in EXACT mode while a group fits
+    its accuracy budget (1e6 here covers every correctness-gate SF), where
+    its answer is the discrete ceil-rank order statistic — verified equal to
+    DuckDB's quantile_disc. At production scale groups exceed the budget and
+    the same query degrades gracefully to the approximate estimate."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-                "approx_median_price"
-            )
+            F.approx_percentile(
+                "l_extendedprice", F.lit(0.5), F.lit(1_000_000)
+            ).alias("approx_median_price")
         )
     )
 
