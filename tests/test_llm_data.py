@@ -238,3 +238,13 @@ def test_bmp_codec_rejects_non_bmp():
         decode_bmp(b"JFIF not a bmp")
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG....")  # real decode of non-BMP stays blocked
+
+
+def test_pagerank_hand_computed_star(spark):
+    """3-iteration PageRank on a -> b <- c, hand-computed: sources settle at
+    1-d = 0.15; the sink converges to 0.15 + 0.85*(0.15 + 0.15) = 0.405."""
+    from wiki_mysql_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b"), ("c", "b")], ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(edges, n_iters=3).collect()}
+    assert got == {"a": 0.15, "c": 0.15, "b": 0.405}
