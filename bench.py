@@ -39,6 +39,7 @@ HEADLINE = [
     "text_tokens_fingerprint",
     "text_bm25_topk",
     "sessionize_events",
+    "graph_pagerank",
     "multimodal_features_arrow",
     "stream_tumbling_window",
 ]

@@ -52,8 +52,9 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(
+        eager=False
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -62,12 +63,14 @@ def pagerank(
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(n_iters):
-        contrib = (
-            e_deg.join(ranks, e_deg.src == ranks.node)
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+        # join order matters at scale: first ranks⋈deg (both node-sized,
+        # co-keyed), so the EDGE-sized join's build side is the small
+        # per-source contribution table — AQE broadcasts it and the edge set
+        # never re-shuffles (it is checkpointed in src-hash layout once).
+        per_src = ranks.join(deg, ranks.node == deg.src).select(
+            "src", (F.col("rank") / F.col("outdeg")).alias("c")
         )
+        contrib = e.join(per_src, "src").groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
             "node",
             F.round(

@@ -104,7 +104,10 @@ def spread_small_scan(
     no-op either way.
     """
     spark = df.sparkSession
-    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df  # no plan-stats handle (e.g. Spark Connect): change nothing
     if size < min_bytes:
         return df
     target = spark.sparkContext.defaultParallelism
