@@ -256,3 +256,41 @@ def test_jdbc_quarantine_then_write(spark, derby_url):
     back = back.toDF(*[c.lower() for c in back.columns])
     assert [r["id"] for r in back.collect()] == [1]
     assert quarantine.count() == 1
+
+
+def test_asof_directions_hand_computed(spark):
+    """backward / forward / nearest semantics on a hand-checkable series;
+    nearest breaks ties backward like pandas merge_asof."""
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 40)], ["k", "t"]
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (1, 20, "b"), (1, 30, "c"), (1, 40, "d")], ["k", "t", "v"]
+    )
+
+    def run(direction, tolerance=None):
+        got = asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_values=["v"], direction=direction,
+            tolerance=tolerance,
+        ).collect()
+        return {r["t"]: r["v"] for r in got}
+
+    # backward: most recent r.t <= l.t (40 matches the equal-t row)
+    assert run("backward") == {10: "a", 25: "b", 40: "d"}
+    # forward: earliest r.t >= l.t (10 -> 20/"b"; 25 -> 30/"c"; 40 -> "d")
+    assert run("forward") == {10: "b", 25: "c", 40: "d"}
+    # nearest: 10 is 2 from "a" vs 10 from "b" -> "a"; 25 is 5/5 tie -> "b"
+    assert run("nearest") == {10: "a", 25: "b", 40: "d"}
+    # tolerance bounds the forward gap the same way it bounds backward
+    assert run("forward", tolerance=F.lit(3)) == {10: None, 25: None, 40: "d"}
+
+
+def test_asof_forward_no_later_match_is_null(spark):
+    left = spark.createDataFrame([(1, 100)], ["k", "t"])
+    right = spark.createDataFrame([(1, 50, "old")], ["k", "t", "v"])
+    got = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_values=["v"], direction="forward",
+    ).collect()
+    assert got[0]["v"] is None

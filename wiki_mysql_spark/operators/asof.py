@@ -10,6 +10,12 @@ max) which is a quadratic non-equi join.
     union -> window partitionBy(key) orderBy(t, side) -> last(v, ignorenulls)
     -> keep left rows
 
+Directions: ``backward`` (most recent r.t <= l.t — the default, and what
+DuckDB's ``ASOF JOIN ... ON l.t >= r.t`` computes), ``forward`` (earliest
+r.t >= l.t), ``nearest`` (the closer of the two; tie goes backward, like
+pandas ``merge_asof(direction="nearest")``). Backward/forward are one
+window pass each; nearest composes both (two passes, still linear).
+
 At 100 TB this behaves like any keyed window: partitioned by the join key,
 skew handled by AQE, state bounded per key-partition.
 """
@@ -18,6 +24,76 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _asof_one_direction(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    tolerance: Column | None,
+    forward: bool,
+    out_prefix: str = "",
+) -> DataFrame:
+    lcols = left.columns
+    # order the union so the eligible right row is adjacent-inclusive:
+    # backward -> right sorts BEFORE left at equal t (r.t <= l.t inclusive);
+    # forward  -> right sorts AFTER  left at equal t (r.t >= l.t inclusive).
+    r_ord, l_ord = (1, 0) if forward else (0, 1)
+    l = left.withColumn("_t", F.col(left_time)).withColumn("_ord", F.lit(l_ord))
+    r = right.select(
+        F.col(on),
+        F.col(right_time).alias("_t"),
+        F.lit(r_ord).alias("_ord"),
+        *[F.col(c) for c in right_values],
+    )
+    for c in right_values:
+        l = l.withColumn(c, F.lit(None).cast(dict(r.dtypes)[c]))
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    u = l.unionByName(r.select(*l.columns))
+
+    if forward:
+        w = (
+            Window.partitionBy(on)
+            .orderBy("_t", "_ord")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy("_t", "_ord")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+
+    is_right = F.col("_ord") == r_ord
+    filled = u.select(
+        *lcols,
+        "_ord",
+        "_t",
+        pick(F.when(is_right, F.col("_t"))).over(w).alias("_rt"),
+        *[
+            pick(F.when(is_right, F.col(c))).over(w).alias(f"_f_{c}")
+            for c in right_values
+        ],
+    ).where(F.col("_ord") == l_ord)
+
+    gap = (F.col("_rt") - F.col("_t")) if forward else (F.col("_t") - F.col("_rt"))
+    in_tol = F.lit(True) if tolerance is None else gap <= tolerance
+    return filled.select(
+        *lcols,
+        F.when(in_tol, F.col("_rt")).alias(f"{out_prefix}_rt"),
+        *[
+            F.when(in_tol, F.col(f"_f_{c}")).alias(f"{out_prefix}{c}")
+            for c in right_values
+        ],
+    )
 
 
 def asof_join(
@@ -29,60 +105,48 @@ def asof_join(
     right_time: str,
     right_values: list[str],
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward (most recent right row with r.t <= l.t) as-of left join.
+    """As-of left join: for each left row, the single matching right row in
+    the requested ``direction`` (NULL ``right_values`` when none exists or
+    the match is outside ``tolerance``).
 
-    Returns all ``left`` columns plus ``right_values`` (NULL when no prior
-    right row exists, or when it is older than ``tolerance``).
+    direction: ``backward`` (most recent r.t <= l.t), ``forward`` (earliest
+    r.t >= l.t), or ``nearest`` (closer of the two, ties backward).
     """
     lcols = left.columns
-    l = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
-    r = right.select(
-        F.col(on),
-        F.col(right_time).alias("_t"),
-        F.lit(0).alias("_side"),
-        *[F.col(c) for c in right_values],
-    )
-    # align schemas for the union: left lacks right_values, right lacks
-    # left-only columns
-    for c in right_values:
-        l = l.withColumn(c, F.lit(None).cast(dict(r.dtypes)[c]))
-    for c in lcols:
-        if c not in r.columns:
-            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    u = l.unionByName(r.select(*l.columns))
+    if direction in ("backward", "forward"):
+        out = _asof_one_direction(
+            left, right, on=on, left_time=left_time, right_time=right_time,
+            right_values=right_values, tolerance=tolerance,
+            forward=(direction == "forward"),
+        )
+        return out.select(*lcols, *right_values)
+    if direction != "nearest":
+        raise ValueError(f"unknown direction: {direction!r}")
 
-    # right rows sort before left rows at equal t (side 0 < 1) => inclusive
-    # (r.t <= l.t) semantics, matching DuckDB's ASOF JOIN.
-    w = (
-        Window.partitionBy(on)
-        .orderBy("_t", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    back = _asof_one_direction(
+        left, right, on=on, left_time=left_time, right_time=right_time,
+        right_values=right_values, tolerance=tolerance, forward=False,
+        out_prefix="_b_",
     )
-    filled = u.select(
-        *lcols,
-        "_side",
-        "_t",
-        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True)
-        .over(w)
-        .alias("_rt"),
-        *[
-            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"_f_{c}")
-            for c in right_values
-        ],
-    ).where(F.col("_side") == 1)
-
-    in_tol = (
-        F.lit(True)
-        if tolerance is None
-        else (F.col("_t") - F.col("_rt")) <= tolerance
+    both = _asof_one_direction(
+        back, right, on=on, left_time=left_time, right_time=right_time,
+        right_values=right_values, tolerance=tolerance, forward=True,
+        out_prefix="_w_",
     )
-    return filled.select(
+    lt = F.col(left_time)
+    use_back = F.col("_b__rt").isNotNull() & (
+        F.col("_w__rt").isNull()
+        # tie -> backward, matching pandas merge_asof(direction="nearest")
+        | ((lt - F.col("_b__rt")) <= (F.col("_w__rt") - lt))
+    )
+    return both.select(
         *lcols,
         *[
-            F.when(in_tol, F.col(f"_f_{c}")).alias(c)
+            F.when(use_back, F.col(f"_b_{c}"))
+            .otherwise(F.col(f"_w_{c}"))
+            .alias(c)
             for c in right_values
         ],
     )

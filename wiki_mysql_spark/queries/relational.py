@@ -842,6 +842,44 @@ def join_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_forward_next_error",
+    """
+    SELECT p.event_id, p.user_id, e.event_id AS next_error_event_id,
+           e.ts AS next_error_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id AND p.ts <= e.ts
+    """,
+)
+def join_asof_forward_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase matched to the user's next
+    same-or-later error event — the post-event attribution shape. Same
+    union-and-fill machinery as backward (one shuffle), frame reversed;
+    oracle is DuckDB's native ASOF JOIN with the inequality flipped."""
+    from wiki_mysql_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("next_error_event_id"),
+        F.col("ts").alias("next_error_ts"),
+    )
+    return asof_join(
+        purchases,
+        errors,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["next_error_event_id", "next_error_ts"],
+        direction="forward",
+    ).select("event_id", "user_id", "next_error_event_id", "next_error_ts")
+
+
+@query(
     "join_range_bands",
     """
     SELECT b.band_id, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
