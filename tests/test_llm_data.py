@@ -248,3 +248,38 @@ def test_pagerank_hand_computed_star(spark):
     edges = spark.createDataFrame([("a", "b"), ("c", "b")], ["src", "dst"])
     got = {r["node"]: r["rank"] for r in pagerank(edges, n_iters=3).collect()}
     assert got == {"a": 0.15, "c": 0.15, "b": 0.405}
+
+
+def test_wav_codec_roundtrip_and_features():
+    import numpy as np
+
+    from wiki_mysql_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    # mono and stereo, odd and even lengths
+    for n, ch in [(1, 1), (7, 1), (8, 2), (160, 1), (333, 2)]:
+        s = rng.integers(-32768, 32767, size=(n, ch), dtype=np.int16)
+        wav = encode_wav(s if ch > 1 else s[:, 0], rate=16000)
+        rate, got_ch, back = decode_wav(wav)
+        assert (rate, got_ch) == (16000, ch)
+        assert back.shape == (n, ch)
+        assert (back == s).all()
+
+    # silence has zero RMS; a constant signal's RMS is its magnitude
+    rate, ch, frames, rms = audio_features(
+        encode_wav(np.zeros(100, dtype=np.int16))
+    )
+    assert (rate, ch, frames, rms) == (8000, 1, 100, 0.0)
+    _, _, _, rms2 = audio_features(
+        encode_wav(np.full(50, 1000, dtype=np.int16))
+    )
+    assert abs(rms2 - 1000.0) < 1e-9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"not riff data at all")

@@ -121,6 +121,56 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
     return img[::-1] if flipped else img
 
 
+# ---------------------------------------------------------------------------
+# real codec: 16-bit PCM WAV (RIFF header + raw samples — also library-free)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: "np.ndarray", *, rate: int = 8000) -> bytes:
+    """Encode int16 PCM samples ((n,) mono or (n, ch)) as a WAV file."""
+    ch = 1 if samples.ndim == 1 else samples.shape[1]
+    data = samples.astype("<i2").tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Decode a 16-bit PCM WAV to (sample_rate, channels, samples[n, ch])."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    # walk the chunk list (fmt / data may be preceded by others, e.g. LIST)
+    pos, rate, ch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"fmt ":
+            fmt_code, ch, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8
+            )
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError("only 16-bit PCM WAV supported")
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    return rate, ch, samples.reshape(-1, ch)
+
+
+def audio_features(payload: bytes) -> tuple[int, int, int, float]:
+    """(sample_rate, channels, n_frames, rms) from a real WAV decode."""
+    rate, ch, samples = decode_wav(payload)
+    x = samples.astype(np.float64)
+    rms = float(np.sqrt(np.mean(x * x))) if samples.size else 0.0
+    return rate, ch, samples.shape[0], rms
+
+
 def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 

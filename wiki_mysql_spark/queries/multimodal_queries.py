@@ -151,3 +151,67 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "payload")
         .mapInPandas(_roundtrip, schema)
     )
+
+
+@query(
+    "multimodal_decode_wav",
+    """
+    -- the builder turns each doc's bytes into ((len % 50) + 1) * 8 int16
+    -- samples at 8 kHz; the oracle recomputes the REAL codec's header
+    -- arithmetic: 44-byte RIFF/fmt/data framing + 2 bytes per sample.
+    SELECT doc_id,
+           8000::BIGINT AS sample_rate,
+           (((octet_length(encode(text)) % 50) + 1) * 8)::BIGINT AS n_frames,
+           (44 + 2 * (((octet_length(encode(text)) % 50) + 1) * 8))::BIGINT
+               AS n_wav_bytes,
+           round((((octet_length(encode(text)) % 50) + 1) * 8) / 8.0, 3) + 0
+               AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: each document's bytes become 16-bit PCM
+    samples of an actual WAV file (RIFF codec in `operators/multimodal.py`),
+    which the real chunk-walking decoder parses back — sample rate and frame
+    count from the headers, total size validating the encoder's framing. The
+    oracle recomputes the WAV format arithmetic independently."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from wiki_mysql_spark.operators.multimodal import decode_wav, encode_wav
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("sample_rate", LongType()),
+            StructField("n_frames", LongType()),
+            StructField("n_wav_bytes", LongType()),
+            StructField("duration_ms", DoubleType()),
+        ]
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_frames",
+                                   "n_wav_bytes", "duration_ms")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = ((len(b) % 50) + 1) * 8
+                raw = (b * (2 * n // max(1, len(b)) + 1))[: 2 * n] if b else b"\0" * (2 * n)
+                wav = encode_wav(np.frombuffer(raw, dtype="<i2"), rate=8000)
+                rate, ch, samples = decode_wav(wav)  # REAL decode
+                assert ch == 1
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(samples.shape[0])
+                out["n_wav_bytes"].append(len(wav))
+                out["duration_ms"].append(round(samples.shape[0] * 1000.0 / rate, 3))
+            yield pd.DataFrame(out)
+
+    return (
+        _payload_docs(spark, sf_dir)
+        .select("doc_id", "payload")
+        .mapInPandas(_roundtrip, schema)
+    )
