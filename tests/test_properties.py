@@ -165,3 +165,46 @@ def test_asof_join_matches_python_model(spark, inp):
         candidates = [(rt, v) for (rk, rt, v) in right_rows if rk == k and rt <= t]
         want = max(candidates)[1] if candidates else None
         assert got[i] == want, (i, k, t, candidates, got[i])
+
+
+asof_series = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)),  # (key, time)
+    min_size=1,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(asof_series, asof_series, st.sampled_from(["backward", "forward", "nearest"]))
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows, direction):
+    """All three as-of directions must agree with pandas merge_asof — the
+    canonical reference semantics (including tie handling)."""
+    import pandas as pd
+
+    from wiki_mysql_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], ["k", "t", "lid"]
+    )
+    # dedupe right on (k, t): merge_asof picks the LAST equal-time row while
+    # a window fill picks one arbitrarily — identical values sidestep that
+    runiq = {(k, t): (k, t, k * 1000 + t) for k, t in rrows}
+    right = spark.createDataFrame(list(runiq.values()), ["k", "t", "v"])
+
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_values=["v"], direction=direction,
+        ).collect()
+    }
+
+    lpd = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(lrows)],
+                       columns=["k", "t", "lid"]).sort_values("t")
+    rpd = pd.DataFrame(list(runiq.values()), columns=["k", "t", "v"]).sort_values("t")
+    want_df = pd.merge_asof(lpd, rpd, on="t", by="k", direction=direction)
+    want = {
+        int(r.lid): (None if pd.isna(r.v) else int(r.v))
+        for r in want_df.itertuples()
+    }
+    assert got == want
