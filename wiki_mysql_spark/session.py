@@ -33,13 +33,29 @@ RUNTIME_CONFS: dict[str, str] = {
     # Arrow for every pandas_udf / mapInPandas / applyInPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
-    # Match shuffle parallelism to the local core budget. Batch queries get
-    # coalesced by AQE anyway; STREAMING state does not (AQE is disabled in
-    # stateful workloads), so a vanilla 200-partition default means 200 state
-    # store instances per micro-batch on a 32-core box. On a real cluster
-    # raise this to ~2-3x total cores.
-    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }
+
+
+def _cpu_budget() -> int:
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    except ValueError:  # e.g. SPARK_GRAFT_CPUS="*"
+        return os.cpu_count() or 32
+
+
+# Two parallelism knobs with different consumers:
+#  * shuffle.partitions is what STREAMING state uses (AQE is disabled in
+#    stateful workloads, so this is the state-store count per micro-batch —
+#    each store has fixed per-batch overhead). cores/4 keeps stores few at
+#    local scale; on a real cluster set ~1-2x total cores.
+#  * BATCH queries take their pre-coalesce width from AQE's
+#    initialPartitionNum instead (2x cores here; ~2-3x total cores on a
+#    cluster) and AQE coalesces down to the data, so batch parallelism is
+#    unaffected by the small streaming value.
+RUNTIME_CONFS["spark.sql.shuffle.partitions"] = str(max(8, _cpu_budget() // 4))
+RUNTIME_CONFS["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] = str(
+    2 * _cpu_budget()
+)
 
 
 _PYFILES_SHIPPED: set[str] = set()
@@ -89,16 +105,15 @@ def get_session(app_name: str = "wiki_mysql_spark") -> SparkSession:
     """Build (or reuse) a local session sized from the environment.
 
     ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
-    Shuffle partitions are pinned to the core count: at local scale the
-    200-partition default just adds scheduling overhead, while on a real
-    cluster this value should be raised to ~2-3x total executor cores (AQE
-    coalescing makes over-provisioning cheap).
+    Shuffle sizing comes from RUNTIME_CONFS: AQE's initialPartitionNum
+    (2x cores) is the batch pre-coalesce width, while shuffle.partitions
+    (cores/4) only governs streaming state-store count — see the comment on
+    the confs above for the cluster-scale settings.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", cpus if cpus != "*" else "32")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # managed tables (bucketed layouts) go to a temp warehouse, not cwd
