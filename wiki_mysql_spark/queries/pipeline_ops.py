@@ -408,3 +408,76 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(
         ev, key="user_id", attr="event_type", ts_col="ts", tiebreak="event_id"
     )
+
+
+@query(
+    "validate_expectations",
+    """
+    SELECT 'not_null:c_name' AS check_name,
+           count(*) FILTER (c_name IS NULL)::BIGINT AS n_violations
+    FROM customer
+    UNION ALL
+    SELECT 'unique:c_custkey',
+           coalesce(sum(n - 1), 0)::BIGINT
+    FROM (SELECT c_custkey, count(*) AS n FROM customer GROUP BY 1)
+    UNION ALL
+    SELECT 'unique:user_id,event_type',
+           coalesce(sum(n - 1), 0)::BIGINT
+    FROM (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+    UNION ALL
+    SELECT 'fk:o_custkey', count(*)::BIGINT
+    FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+    WHERE o_custkey NOT IN (SELECT DISTINCT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'fk:l_orderkey', count(*)::BIGINT
+    FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+    WHERE l_orderkey NOT IN (SELECT DISTINCT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'range:l_quantity',
+           count(*) FILTER (l_quantity IS NOT NULL
+                            AND (l_quantity < 1 OR l_quantity > 50))::BIGINT
+    FROM lineitem
+    UNION ALL
+    SELECT 'range:value',
+           count(*) FILTER (value IS NOT NULL
+                            AND (value < 0 OR value > 10))::BIGINT
+    FROM events
+    UNION ALL
+    SELECT 'accepted:o_orderstatus',
+           count(*) FILTER (o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('O', 'F', 'P'))::BIGINT
+    FROM orders
+    """,
+)
+def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (dbt-test/Deequ shape) over the
+    fixture warehouse: null/unique/FK/range/accepted-value checks, each a
+    pruned scan + aggregate or anti-join, unioned into one
+    (check_name, n_violations) report. Includes checks designed to FAIL on
+    this data (events (user_id, event_type) is far from unique; value
+    exceeds 10) so the report is non-vacuous."""
+    from wiki_mysql_spark.operators.validate import (
+        check_accepted_values,
+        check_foreign_key,
+        check_not_null,
+        check_range,
+        check_unique,
+        run_expectations,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    return run_expectations(
+        [
+            check_not_null(customer, "c_name"),
+            check_unique(customer, ["c_custkey"]),
+            check_unique(events, ["user_id", "event_type"]),
+            check_foreign_key(orders, "o_custkey", customer, "c_custkey"),
+            check_foreign_key(lineitem, "l_orderkey", orders, "o_orderkey"),
+            check_range(lineitem, "l_quantity", 1, 50),
+            check_range(events, "value", 0, 10),
+            check_accepted_values(orders, "o_orderstatus", ["O", "F", "P"]),
+        ]
+    )
