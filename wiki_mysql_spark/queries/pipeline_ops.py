@@ -481,3 +481,87 @@ def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             check_accepted_values(orders, "o_orderstatus", ["O", "F", "P"]),
         ]
     )
+
+
+@query(
+    "drift_psi",
+    """
+    -- md5-parity split of the event stream into reference (a) and current
+    -- (b) samples, 10 equi-width bins over the GLOBAL value range, PSI
+    -- terms with 1e-6 smoothing. Population drift monitor for pipelines.
+    WITH tagged AS (
+        SELECT value,
+               CASE WHEN (('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT
+                          % 2) = 0 THEN 'a' ELSE 'b' END AS grp
+        FROM events WHERE value IS NOT NULL
+    ),
+    s AS (SELECT min(value) AS lo, max(value) AS hi FROM tagged),
+    binned AS (
+        SELECT grp,
+               CAST(least(floor((value - lo) / ((hi - lo) / 10.0)), 9) AS BIGINT)
+                   AS bin
+        FROM tagged, s
+    ),
+    counts AS (
+        SELECT bin,
+               count(*) FILTER (grp = 'a') AS n_a,
+               count(*) FILTER (grp = 'b') AS n_b
+        FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM counts)
+    SELECT bin, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+           round(n_a / t_a, 6) + 0 AS p_a,
+           round(n_b / t_b, 6) + 0 AS p_b,
+           round((n_a / t_a - n_b / t_b)
+                 * ln((n_a / t_a + 1e-6) / (n_b / t_b + 1e-6)), 6) + 0
+               AS psi_term
+    FROM counts, tot
+    """,
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report: split events into reference/
+    current halves by md5 parity (deterministic, layout-independent), bin
+    values over the global range (1-row min/max broadcast, binning is pure
+    arithmetic on the scan), and emit per-bin PSI terms with epsilon
+    smoothing. Two shuffles total (bin-count aggregate + the 1-row totals
+    broadcast back); the corpus-monitoring primitive for detecting
+    distribution shift between ingests."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    tagged = ev.select(
+        "value",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2 == 0,
+            F.lit("a"),
+        )
+        .otherwise(F.lit("b"))
+        .alias("grp"),
+    )
+    s = tagged.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = tagged.join(F.broadcast(s)).select(
+        "grp",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10.0)),
+            F.lit(9),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count_if(F.col("grp") == "a").alias("n_a"),
+        F.count_if(F.col("grp") == "b").alias("n_b"),
+    )
+    tot = counts.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
+    p_a = F.col("n_a") / F.col("t_a")
+    p_b = F.col("n_b") / F.col("t_b")
+    return counts.join(F.broadcast(tot)).select(
+        "bin",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (F.round(p_a, 6) + F.lit(0.0)).alias("p_a"),
+        (F.round(p_b, 6) + F.lit(0.0)).alias("p_b"),
+        (
+            F.round((p_a - p_b) * F.log((p_a + 1e-6) / (p_b + 1e-6)), 6)
+            + F.lit(0.0)
+        ).alias("psi_term"),
+    )
