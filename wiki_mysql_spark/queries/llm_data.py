@@ -876,3 +876,83 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket", "tf"),
     ).select("doc_id", F.col("bucket").cast("long").alias("bucket"), "tf")
+
+
+@query(
+    "text_unigram_lm_score",
+    f"""
+    WITH tokenized AS (
+        SELECT doc_id, list_transform({SQL_WORDS}, w -> lower(w)) AS ws
+        FROM documents
+    ),
+    exploded AS (SELECT doc_id, unnest(ws) AS w FROM tokenized WHERE len(ws) > 0),
+    lm AS (
+        SELECT w, count(*) AS n FROM exploded GROUP BY w
+    ),
+    tot AS (SELECT sum(n)::DOUBLE AS t FROM lm)
+    SELECT e.doc_id,
+           count(*)::BIGINT AS n_tokens,
+           round(avg(-ln(lm.n / tot.t)), 6) + 0 AS avg_neg_logp
+    FROM exploded e JOIN lm USING (w), tot
+    GROUP BY e.doc_id
+    """,
+)
+def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality score: train a corpus unigram LM
+    (one explode + count aggregate), then score each document by its mean
+    token negative log-probability — low = in-distribution boilerplate,
+    high = rare-token noise. The LM and its total ride broadcast joins back
+    onto the exploded tokens; two shuffles end-to-end (LM count, per-doc
+    aggregate). Self-trained on the scored corpus, so the query is fully
+    deterministic and the oracle replays it exactly."""
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    toks = docs.select(
+        "doc_id", F.transform(words(F.col("text")), F.lower).alias("ws")
+    ).where(F.size("ws") > 0)
+    exploded = toks.select("doc_id", F.explode("ws").alias("w"))
+    lm = exploded.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    tot = lm.agg(F.sum("n").cast("double").alias("t"))
+    return (
+        exploded.join(lm, "w")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.round(F.avg(-F.log(F.col("n") / F.col("t"))), 6) + F.lit(0.0)
+            ).alias("avg_neg_logp"),
+        )
+    )
+
+
+@query(
+    "sample_topk_per_stratum",
+    """
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic sampling per stratum (reservoir-sampling's
+    batch equivalent): order each language's docs by md5 of their id — a
+    layout-independent pseudo-random permutation — and keep the first 20.
+    One shuffle on the stratum key; rank(k) early-stops per group. Unlike
+    rate-based stratified sampling (`sample_stratified`), the output size
+    per stratum is exact."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
