@@ -141,3 +141,38 @@ def test_fetch_stage_roundtrip(tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         download_dump("/nonexistent/dump.xml")
+
+
+def test_cli_flag_parity_limit_and_unicode(spark, tmp_path):
+    """Reference CLI parity: --limit caps pages exact-n; --valid/invalid
+    unichr ranges (hex or decimal, inclusive) reach the cleaning chain."""
+    from wiki_mysql_spark.plans.wiki_pipeline import (
+        parse_unichr_range,
+        run_wiki_etl,
+    )
+
+    # the reference's range format (dbfy.py:19-30)
+    assert parse_unichr_range("0x2466,0x2588") == (0x2466, 0x2588)
+    assert parse_unichr_range("65,90") == (65, 90)
+
+    dump = tmp_path / "mini.xml"
+    pages = "".join(
+        f"<page><title>P{i}</title><ns>0</ns><id>{i}</id>"
+        f"<revision><text>abc XYZ {i} ⑧ end</text></revision></page>"
+        for i in range(6)
+    )
+    dump.write_text(f"<mediawiki>{pages}</mediawiki>")
+
+    counts = run_wiki_etl(
+        spark,
+        str(dump),
+        str(tmp_path / "out"),
+        limit=4,
+        # blacklist the circled-digit block: U+2467 must vanish
+        invalid_unicodes=((0x2460, 0x24FF),),
+    )
+    assert counts == {"articles": 4, "bodies": 4, "quarantine": 0}
+    bodies = spark.read.parquet(str(tmp_path / "out" / "bodies"))
+    texts = [r["body"] for r in bodies.collect()]
+    assert all("⑧" not in t for t in texts)
+    assert all("abc XYZ" in t for t in texts)

@@ -105,6 +105,14 @@ def build_wiki_tables(
     return articles, bodies
 
 
+def parse_unichr_range(txt: str) -> tuple[int, int]:
+    """The reference's CLI range format (``/root/reference/dbfy.py:19-30``):
+    two comma-delimited ints, hex (``0x2466``) or decimal, inclusive."""
+    lo, hi = txt.split(",")
+    as_int = lambda s: int(s, 16) if "x" in s else int(s)  # noqa: E731
+    return as_int(lo), as_int(hi)
+
+
 def run_wiki_etl(
     spark,
     dump_path: str,
@@ -113,11 +121,16 @@ def run_wiki_etl(
     jdbc_url: str | None = None,
     jdbc_user: str = "root",
     jdbc_password: str = "",
+    limit: int | None = None,
     **build_kwargs,
 ) -> dict[str, int]:
     """The full CLI workload (``/root/reference/dbfy.py:254-313`` analog):
     dump -> articles/bodies -> quarantine split -> parquet (always) ->
-    MySQL via JDBC (when a URL is given). Returns row counts."""
+    MySQL via JDBC (when a URL is given). Returns row counts.
+
+    ``limit`` caps the number of pages processed — exact-n ``df.limit``
+    semantics (the reference's ``--limit`` was off-by-chunk between its
+    1-proc and MP paths; SURVEY documents choosing exact-n)."""
     from wiki_mysql_spark.sinks import (
         ARTICLES_DDL,
         BODIES_DDL,
@@ -128,6 +141,8 @@ def run_wiki_etl(
     from wiki_mysql_spark.sources.wikixml import read_wiki_dump
 
     pages = read_wiki_dump(spark, dump_path)
+    if limit is not None:
+        pages = pages.limit(limit)
     articles, bodies = build_wiki_tables(pages, **build_kwargs)
     articles, bodies, quarantine = split_quarantine(articles, bodies)
 
@@ -163,6 +178,22 @@ if __name__ == "__main__":  # pragma: no cover — thin CLI (dbfy.py analog)
     p.add_argument("--jdbc-url", default=None, help="optional MySQL JDBC URL")
     p.add_argument("--jdbc-user", default="root")
     p.add_argument("--jdbc-password", default="")
+    # reference-parity filtering flags (dbfy.py:52-66)
+    p.add_argument("--limit", type=int, default=None,
+                   help="process at most N pages (exact-n)")
+    p.add_argument("--remove-html", type=int, default=1,
+                   help="decode HTML entities (reference --remove_html)")
+    p.add_argument("--valid-unichrs", type=parse_unichr_range, action="append",
+                   default=None, metavar="LO,HI",
+                   help="whitelist unicode range, hex or decimal, inclusive; "
+                        "repeatable (reference --valid_unichrs)")
+    p.add_argument("--invalid-unichrs", type=parse_unichr_range, action="append",
+                   default=None, metavar="LO,HI",
+                   help="blacklist unicode range; repeatable")
+    p.add_argument("--remove-multiple-whitespaces", action="store_true",
+                   help="accepted for drop-in compatibility; the collapse is "
+                        "always applied, matching the reference's ACTUAL "
+                        "behavior (its flag was parsed but never wired)")
     args = p.parse_args()
     counts = run_wiki_etl(
         get_session("wiki-etl"),
@@ -171,5 +202,9 @@ if __name__ == "__main__":  # pragma: no cover — thin CLI (dbfy.py analog)
         jdbc_url=args.jdbc_url,
         jdbc_user=args.jdbc_user,
         jdbc_password=args.jdbc_password,
+        limit=args.limit,
+        remove_html=bool(args.remove_html),
+        valid_unicodes=tuple(args.valid_unichrs or ()),
+        invalid_unicodes=tuple(args.invalid_unichrs or ()),
     )
     print(counts)
