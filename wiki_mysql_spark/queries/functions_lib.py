@@ -274,10 +274,10 @@ def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            array_to_string(list_transform(
-               list_sort(list_transform(embedding[1:5]::DOUBLE[], x -> round(x, 3))),
+               list_sort(list_transform(embedding[1:5]::DOUBLE[], x -> round(x, 3) + 0)),
                x -> printf('%.3f', x)), ',')   AS sorted_head,
            array_to_string(list_transform(
-               list_reverse_sort(list_transform(embedding[1:3]::DOUBLE[], x -> round(x, 3))),
+               list_reverse_sort(list_transform(embedding[1:3]::DOUBLE[], x -> round(x, 3) + 0)),
                x -> printf('%.3f', x)), ',')   AS top3_desc,
            to_json(range(0, len(embedding), 16))::VARCHAR AS stride_idx,
            list_contains(list_transform(embedding, x -> x > 0.1), true) AS has_big
@@ -292,11 +292,15 @@ def fn_array_utils(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the driver's canonicalizer; element order is still asserted because
     the string preserves it."""
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    # + 0.0 normalizes round()'s zero sign — the engines disagree on
+    # whether round(-0.0004, 3) is -0.0, and %.3f renders the sign
     head = F.transform(
-        F.slice(F.col("embedding").cast("array<double>"), 1, 5), lambda x: F.round(x, 3)
+        F.slice(F.col("embedding").cast("array<double>"), 1, 5),
+        lambda x: F.round(x, 3) + F.lit(0.0),
     )
     top3 = F.transform(
-        F.slice(F.col("embedding").cast("array<double>"), 1, 3), lambda x: F.round(x, 3)
+        F.slice(F.col("embedding").cast("array<double>"), 1, 3),
+        lambda x: F.round(x, 3) + F.lit(0.0),
     )
     fmt3 = lambda arr: F.array_join(  # noqa: E731
         F.transform(arr, lambda x: F.format_string("%.3f", x)), ","
