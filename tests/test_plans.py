@@ -75,3 +75,8 @@ def test_metadata_queries_prune_scan(spark, name):
     if "ReadSchema:" in plan:
         read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
         assert "embedding" not in read
+
+
+def test_interval_join_is_equi_not_cartesian(spark):
+    plan = _plan("join_interval_points", spark)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,69 @@
+"""Scalable interval-point range join (bin-and-join).
+
+Spark has no native interval join: the naive spelling
+``points JOIN intervals ON key = key AND lo <= t AND t <= hi`` degrades to a
+per-key row explosion with a residual filter, and with no equi-key at all it
+is a BroadcastNestedLoop/cartesian — the classic range-join scale killer
+(SURVEY J3 family; the reference has no joins at all).
+
+The scale formulation used by every engine that does this well (and what
+Databricks' range-join optimization does under the hood): quantize time into
+fixed-width bins, explode each interval into the bins it covers, equi-join
+points on (key, bin), then apply the exact containment predicate as a
+residual. The shuffle is keyed on (key, bin) — sized by data density per
+bin, never |points| x |intervals| — and bin width trades explode factor
+against join selectivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bin_of(ts: Column, bin_seconds: int) -> Column:
+    # NTZ-safe epoch arithmetic: cast to TIMESTAMP first (exact under the
+    # UTC session tz), then integer-divide seconds into bins
+    return (F.unix_micros(ts.cast("timestamp")) / 1_000_000 / bin_seconds).cast(
+        "long"
+    )
+
+
+def interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    key: str,
+    time_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Inner-join each point to every interval of the same ``key`` that
+    contains it (``lo <= t <= hi``, inclusive).
+
+    Returns all columns of ``points`` plus ``intervals``'s non-key columns.
+    Plan shape: one explode of intervals into covered bins, one equi-join on
+    (key, bin), residual containment filter, then a dedup on the pair of
+    row identities (a point whose bin straddles an interval edge can meet
+    that interval in only one bin, but an interval spanning n bins meets
+    the same point once — the dedup guards the general case where callers
+    pass duplicate bins).
+    """
+    p = points.withColumn("_bin", _bin_of(F.col(time_col), bin_seconds))
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                _bin_of(F.col(lo_col), bin_seconds),
+                _bin_of(F.col(hi_col), bin_seconds),
+            )
+        ),
+    )
+    joined = p.join(iv, on=[key, "_bin"]).where(
+        (F.col(time_col) >= F.col(lo_col)) & (F.col(time_col) <= F.col(hi_col))
+    )
+    out_cols = [c for c in points.columns] + [
+        c for c in intervals.columns if c not in points.columns
+    ]
+    return joined.select(*out_cols).dropDuplicates(out_cols)

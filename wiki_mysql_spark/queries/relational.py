@@ -1164,3 +1164,38 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.nth_value("o_totalprice", 2).over(w).alias("second_highest"),
     )
+
+
+@query(
+    "join_interval_points",
+    """
+    WITH iv AS (
+        SELECT user_id, min(ts) AS lo, min(ts) + INTERVAL 2 HOUR AS hi
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id, iv.lo AS window_lo
+    FROM events e JOIN iv
+      ON e.user_id = iv.user_id AND e.ts >= iv.lo AND e.ts <= iv.hi
+    """,
+)
+def join_interval_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-x-large interval-point range join, bin-and-join formulation
+    (`operators/intervals.py`): each user's first-2-hours activity window
+    joined to that user's events. Intervals explode into covered hour bins
+    and the join is EQUI on (user, bin) with exact containment as a
+    residual — never a cartesian/BNL (plan-asserted in test_plans.py); the
+    oracle runs the naive inequality join, which DuckDB can afford at
+    fixture scale."""
+    from wiki_mysql_spark.operators.intervals import interval_point_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    iv = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("lo"))
+        .withColumn("hi", F.col("lo") + F.expr("INTERVAL 2 HOUR"))
+    )
+    out = interval_point_join(
+        ev, iv, key="user_id", time_col="ts", lo_col="lo", hi_col="hi",
+        bin_seconds=3600,
+    )
+    return out.select("user_id", "event_id", F.col("lo").alias("window_lo"))
