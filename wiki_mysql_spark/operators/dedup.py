@@ -293,11 +293,23 @@ def ngram_jaccard_pairs(
 
 def embedding_near_dup_pairs(
     emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.3,
+    threshold: float = 0.3, max_input_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Cosine near-dup pairs, brute force (exact). This is the oracle-matched
     baseline and the post-bucket verifier for :func:`embedding_lsh_pairs`,
-    which is the 100 TB path — never run this on a full corpus."""
+    which is the 100 TB path. The all-pairs theta join is O(n^2), so it
+    REFUSES inputs above ``max_input_bytes`` (the same size-gate the engine
+    uses for broadcast-analog strategy picks) rather than silently launching
+    a corpus-squared shuffle — use ``embedding_lsh_pairs`` there instead.
+    """
+    from wiki_mysql_spark.sources.tables import is_small_input
+
+    if not is_small_input(emb, max_bytes=max_input_bytes, max_rows=1_000_000):
+        raise ValueError(
+            "embedding_near_dup_pairs is an all-pairs O(n^2) baseline and the "
+            f"input exceeds the {max_input_bytes}-byte gate; use "
+            "embedding_lsh_pairs (banded LSH + exact-cosine verify) at scale."
+        )
     l = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     r = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cos = cosine(F.col("va"), F.col("vb"))

@@ -32,6 +32,7 @@ def pagerank(
     n_iters: int = 3,
     damping: float = 0.85,
     round_digits: int = 9,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (Pregel-style
     join-aggregate — the canonical iterative graph workload).
@@ -39,11 +40,23 @@ def pagerank(
     Per iteration: one join of edges against current ranks on ``src`` (edges
     are checkpointed once and never re-shuffled) and one partial-aggregatable
     sum per ``dst`` — so data movement per round is O(edges), the minimum.
-    Simple formulation ``rank = (1-d) + d * sum(in_rank / out_degree)``
-    (dangling mass not redistributed); ranks are rounded each iteration so
-    results are deterministic across engines and summation orders — the
-    DuckDB oracle replays the identical unrolled iterations. Nodes with no
-    incoming edges settle at ``1 - d``.
+    The zero-contribution rows for every node are UNIONED into the aggregate
+    (instead of a post-agg left join back to ``nodes``), so each round is a
+    single groupBy barrier. Ranks are rounded each iteration so results are
+    deterministic across engines and summation orders — the DuckDB oracle
+    replays the identical unrolled iterations.
+
+    Two formulations:
+
+    - default (``redistribute_dangling=False``): the simple
+      ``rank = (1-d) + d * sum(in_rank / out_degree)`` — dangling (zero
+      out-degree) mass is dropped, nodes with no incoming edges settle at
+      ``1 - d``.
+    - ``redistribute_dangling=True``: the standard definition (what
+      NetworkX/GraphFrames compute, up to their normalization): each round
+      adds ``d * (sum of dangling ranks) / N`` uniformly to every node, so
+      total rank stays ~N. The dangling sum is a 1-row aggregate
+      broadcast-crossed into the update — no extra per-round driver action.
 
     Returns ``(node, rank)`` for every node appearing in any edge.
     """
@@ -61,6 +74,7 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    n_nodes = nodes.count() if redistribute_dangling else 0
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(n_iters):
         # join order matters at scale: first ranks⋈deg (both node-sized,
@@ -70,14 +84,35 @@ def pagerank(
         per_src = ranks.join(deg, ranks.node == deg.src).select(
             "src", (F.col("rank") / F.col("outdeg")).alias("c")
         )
-        contrib = e.join(per_src, "src").groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
-            "node",
-            F.round(
-                F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("s", F.lit(0.0)),
-                round_digits,
-            ).alias("rank"),
+        contrib = (
+            e.join(per_src, "src")
+            .select(F.col("dst").alias("node"), "c")
+            # zero row per node fused into the SAME aggregate: keeps nodes
+            # with no in-edges without a second join barrier after the agg
+            .unionByName(nodes.select("node", F.lit(0.0).alias("c")))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
         )
+        base = F.lit(1.0 - damping) + F.lit(damping) * F.col("s")
+        if redistribute_dangling:
+            # dangling mass: total rank sitting on zero-out-degree nodes.
+            # A 1-row aggregate — broadcast-crossed into the node-wise
+            # update, so the plan stays fully lazy and distributed.
+            dangling = (
+                ranks.join(deg, ranks.node == deg.src, "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+            )
+            ranks = contrib.crossJoin(F.broadcast(dangling)).select(
+                "node",
+                F.round(
+                    base + F.lit(damping) * F.col("_dm") / F.lit(float(n_nodes)),
+                    round_digits,
+                ).alias("rank"),
+            )
+        else:
+            ranks = contrib.select(
+                "node", F.round(base, round_digits).alias("rank")
+            )
         ranks = ranks.localCheckpoint(eager=False)
     return ranks
 

@@ -42,28 +42,38 @@ def interval_point_join(
     """Inner-join each point to every interval of the same ``key`` that
     contains it (``lo <= t <= hi``, inclusive).
 
-    Returns all columns of ``points`` plus ``intervals``'s non-key columns.
-    Plan shape: one explode of intervals into covered bins, one equi-join on
-    (key, bin), residual containment filter, then a dedup on the pair of
-    row identities (a point whose bin straddles an interval edge can meet
-    that interval in only one bin, but an interval spanning n bins meets
-    the same point once — the dedup guards the general case where callers
-    pass duplicate bins).
+    Returns all columns of ``points`` plus ``intervals``'s non-key,
+    non-colliding columns.  Plan shape: one explode of intervals into covered
+    bins, one equi-join on (key, bin), residual containment filter.  No dedup
+    is needed: a point occupies exactly one bin, and each interval contributes
+    exactly one exploded row per bin, so every (point, interval) pair can meet
+    at most once — duplicate input rows keep their inner-join multiplicity,
+    matching the naive-join semantics.
     """
+    # Rename interval columns that collide with point columns (the key is the
+    # join column and coalesces; everything else would be ambiguous after the
+    # join). lo/hi are tracked through the rename for the residual filter.
+    collisions = (set(points.columns) & set(intervals.columns)) - {key}
+    iv_renamed = intervals
+    for c in collisions:
+        iv_renamed = iv_renamed.withColumnRenamed(c, f"_iv_{c}")
+    lo = f"_iv_{lo_col}" if lo_col in collisions else lo_col
+    hi = f"_iv_{hi_col}" if hi_col in collisions else hi_col
+
     p = points.withColumn("_bin", _bin_of(F.col(time_col), bin_seconds))
-    iv = intervals.withColumn(
+    iv = iv_renamed.withColumn(
         "_bin",
         F.explode(
             F.sequence(
-                _bin_of(F.col(lo_col), bin_seconds),
-                _bin_of(F.col(hi_col), bin_seconds),
+                _bin_of(F.col(lo), bin_seconds),
+                _bin_of(F.col(hi), bin_seconds),
             )
         ),
     )
     joined = p.join(iv, on=[key, "_bin"]).where(
-        (F.col(time_col) >= F.col(lo_col)) & (F.col(time_col) <= F.col(hi_col))
+        (F.col(time_col) >= F.col(lo)) & (F.col(time_col) <= F.col(hi))
     )
-    out_cols = [c for c in points.columns] + [
-        c for c in intervals.columns if c not in points.columns
+    out_cols = list(points.columns) + [
+        c for c in intervals.columns if c not in points.columns and c not in collisions
     ]
-    return joined.select(*out_cols).dropDuplicates(out_cols)
+    return joined.select(*out_cols)

@@ -56,10 +56,22 @@ def multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(_payload_docs(spark, sf_dir))
 
 
-@query("multimodal_decode_stub")  # rows-only: fake decoder has no SQL twin
+@query(
+    "multimodal_decode_stub",
+    """
+    -- the fake decoder is deterministic length arithmetic
+    -- (operators/multimodal.py decode_image fake=True), so the oracle
+    -- recomputes it exactly: width = len % 64 + 1, height = len % 48 + 1
+    SELECT doc_id,
+           (octet_length(encode(text)) % 64 + 1)::BIGINT AS width,
+           (octet_length(encode(text)) % 48 + 1)::BIGINT AS height
+    FROM documents
+    """,
+)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake image-decode (real codec stubbed behind
-    NotImplementedError) exercising the decode-shaped mapInPandas plumbing."""
+    NotImplementedError) exercising the decode-shaped mapInPandas plumbing;
+    the fake's size arithmetic is oracled exactly like the real BMP codec's."""
     return decode_image_features(_payload_docs(spark, sf_dir), fake=True)
 
 

@@ -792,3 +792,72 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "node", (F.round("rank", 6) + F.lit(0.0)).alias("rank")
     )
+
+
+def _pagerank_dangling_iter_cte(prev: str, cur: str) -> str:
+    # same join-aggregate as the simple oracle plus the standard dangling
+    # term: every node gains d * (sum of dangling ranks) / N per round.
+    # Arithmetic is parenthesized to evaluate in the same order as the Spark
+    # expression (base first, then the dangling term), so per-iteration
+    # 9-digit rounding pins both engines to identical doubles.
+    return f"""
+    dang_{prev} AS (
+        SELECT coalesce(sum(rank), 0.0) AS m FROM {prev}
+        WHERE node NOT IN (SELECT src FROM deg)
+    ),
+    {cur} AS (
+        SELECT n.node,
+               round((0.15 + 0.85 * coalesce(c.s, 0.0))
+                     + 0.85 * (SELECT m FROM dang_{prev})
+                       / (SELECT cnt FROM ncnt), 9) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst, sum(r.rank / e.outdeg) AS s
+            FROM e_deg e JOIN {prev} r ON r.node = e.src
+            GROUP BY e.dst
+        ) c ON c.dst = n.node
+    )"""
+
+
+@query(
+    "graph_pagerank_dangling",
+    f"""
+    WITH edges AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    e_deg AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+    nodes AS (
+        SELECT DISTINCT node FROM
+        (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+    ),
+    ncnt AS (SELECT count(*)::DOUBLE AS cnt FROM nodes),
+    r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+    {_pagerank_dangling_iter_cte('r0', 'r1')},
+    {_pagerank_dangling_iter_cte('r1', 'r2')},
+    {_pagerank_dangling_iter_cte('r2', 'r3')}
+    SELECT node, round(rank, 6) + 0 AS rank FROM r3
+    """,
+)
+def graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-definition PageRank (dangling mass redistributed uniformly
+    each round — what NetworkX/GraphFrames compute, up to normalization) over
+    the customer->supplier trade graph. Suppliers have no outgoing edges, so
+    at every iteration their entire rank mass is dangling — this entry
+    exercises the redistribution term hard rather than incidentally. The
+    DuckDB oracle replays the identical unrolled iterations including the
+    per-round dangling scalar."""
+    from wiki_mysql_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    ranks = pagerank(
+        edges, n_iters=3, damping=0.85, round_digits=9, redistribute_dangling=True
+    )
+    return ranks.select(
+        "node", (F.round("rank", 6) + F.lit(0.0)).alias("rank")
+    )

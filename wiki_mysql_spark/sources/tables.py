@@ -62,10 +62,13 @@ def is_small_input(
     free, no job — and decide on bytes when every leaf reports a real size
     (parquet scans always do, so the 100 TB case never leaves this tier);
     (2) for unknown-stats leaves (RDD-backed frames, python createDataFrame),
-    probe with a row-LIMITed count — a bounded job that early-stops after
-    ``max_rows + 1`` rows regardless of input size. Used by dense_ids and
-    resolve_redirects the way joins use a broadcast threshold: the data
-    picks the physical strategy, semantics are identical either way.
+    probe with a row-LIMITed count AND a byte estimate over the same probe —
+    a bounded job that early-stops after ``max_rows + 1`` rows regardless of
+    input size; the byte estimate keeps a narrow-count frame of very wide
+    rows (long strings) from being declared small on row count alone. Used
+    by dense_ids and resolve_redirects the way joins use a broadcast
+    threshold: the data picks the physical strategy, semantics are identical
+    either way.
     """
     try:
         leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
@@ -82,7 +85,30 @@ def is_small_input(
             return True
     except Exception:
         return False
-    return df.limit(max_rows + 1).count() <= max_rows
+    probe = df.limit(max_rows + 1).select(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(F.sum(_row_bytes_estimate(df)), F.lit(0)).alias("_bytes"),
+    ).collect()[0]
+    return int(probe["_n"]) <= max_rows and int(probe["_bytes"]) < max_bytes
+
+
+def _row_bytes_estimate(df: DataFrame) -> "F.Column":
+    """Cheap per-row byte estimate for the unknown-stats probe: real octet
+    lengths for string/binary columns (where all the width variance lives),
+    a flat 16 bytes for fixed-width scalars, 16/element for containers."""
+    parts = []
+    for name, dtype in df.dtypes:
+        c = F.col(name)
+        if dtype in ("string", "binary"):
+            parts.append(F.coalesce(F.octet_length(c), F.lit(0)))
+        elif dtype.startswith(("array", "map")):
+            parts.append(F.coalesce(F.size(c), F.lit(0)) * 16)
+        else:
+            parts.append(F.lit(16))
+    expr = parts[0]
+    for p in parts[1:]:
+        expr = expr + p
+    return expr
 
 
 def spread_small_scan(

@@ -114,5 +114,16 @@ def run_stream_upsert(
     finally:
         q.stop()
         shutil.rmtree(staging, ignore_errors=True)
-    final = spark.read.parquet(str(state["path"]))
+    try:
+        if state["path"] is None:
+            # zero micro-batches (empty source): an empty profile table, not a
+            # confusing read-from-None path error
+            final = profile(ev).limit(0).localCheckpoint(eager=True)
+        else:
+            # materialize executor-side (localCheckpoint, not collect) so the
+            # versioned target directory can be retired before returning —
+            # otherwise every call leaks its final parquet version
+            final = spark.read.parquet(str(state["path"])).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(target_root, ignore_errors=True)
     return final, int(state["batches"])  # type: ignore[call-overload]
