@@ -61,17 +61,61 @@ def gen_dump(path: str, n_pages: int, seed: int = 42) -> None:
         f.write("</mediawiki>\n")
 
 
+def _ui_metrics(spark) -> dict:
+    """Shuffle volume + peak memory from the live UI REST API (the bench
+    session enables the UI for exactly this; the engine's default sessions
+    keep it off). Linearity evidence for the 100 TB posture: shuffle bytes
+    should scale ~linearly with pages, peak heap should stay bounded."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl + "/api/v1/applications"
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(f"{base}/{app_id}/stages?status=complete") as r:
+            stages = json.load(r)
+        with urllib.request.urlopen(f"{base}/{app_id}/executors") as r:
+            execs = json.load(r)
+        peak = max(
+            (e.get("peakMemoryMetrics", {}).get("JVMHeapMemory", 0) for e in execs),
+            default=0,
+        )
+        return {
+            "shuffle_write_mb": round(
+                sum(s.get("shuffleWriteBytes", 0) for s in stages) / 1e6, 1
+            ),
+            "shuffle_read_mb": round(
+                sum(s.get("shuffleReadBytes", 0) for s in stages) / 1e6, 1
+            ),
+            "input_mb": round(sum(s.get("inputBytes", 0) for s in stages) / 1e6, 1),
+            "peak_jvm_heap_mb": round(peak / 1e6, 1),
+            "n_stages": len(stages),
+        }
+    except Exception as exc:  # UI off / API shape change: metrics are optional
+        return {"metrics_err": str(exc)}
+
+
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     from wiki_mysql_spark.plans.wiki_pipeline import run_wiki_etl
-    from wiki_mysql_spark.session import get_session
+    from wiki_mysql_spark.session import RUNTIME_CONFS, configure
 
     workdir = tempfile.mkdtemp(prefix="wiki_bench_")
     dump = os.path.join(workdir, "dump.xml.bz2")
     gen_dump(dump, n_pages)
     dump_mb = os.path.getsize(dump) / 1e6
 
-    spark = get_session("wiki-etl-bench")
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("wiki-etl-bench")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "true")  # REST metrics for this bench
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = configure(builder.getOrCreate())
     t0 = time.perf_counter()
     counts = run_wiki_etl(spark, dump, os.path.join(workdir, "out"))
     elapsed = time.perf_counter() - t0
@@ -83,6 +127,7 @@ def main() -> None:
         "elapsed_sec": round(elapsed, 2),
         "dump_mb_bz2": round(dump_mb, 1),
         "counts": counts,
+        **_ui_metrics(spark),
     }
     print(json.dumps(result))
     if len(sys.argv) > 2:

@@ -12,6 +12,11 @@ never imported by the engine.
 
 Transcription notes: logic and regexes are kept verbatim where Python allows;
 only cosmetic renames (module-level docstrings, comments) differ.
+
+License: the transcribed portions originate from gensim, which is released
+under the GNU LGPL-2.1 (https://github.com/piskvorky/gensim — LGPL-2.1-only);
+they are reproduced here solely as a test-side parity oracle and carry that
+license. The engine itself neither imports nor derives from this module.
 """
 
 from __future__ import annotations

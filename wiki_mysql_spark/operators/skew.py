@@ -73,3 +73,85 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
     return l.join(r, [key, "_salt"]).drop("_salt")
+
+
+def _triangle_pairs(df: DataFrame, *, block: str, id_col: str, n_salt: int) -> DataFrame:
+    """Within-block all-pairs via triangle decomposition: rows are salted
+    into ``n_salt`` groups on a hash of their identity, and the block's pair
+    space is covered by one task per UNORDERED group pair (i <= j) — so a
+    block of n rows costs n_salt*(n_salt+1)/2 tasks of (n/n_salt)^2
+    comparisons instead of one n^2 straggler. Exactness: a cross-group pair
+    meets in exactly one task (in arbitrary order — canonicalized by swap);
+    a same-group pair meets twice (both orders) and the ``id`` ordering
+    filter keeps one. Returns (block, l, r) with l[id_col] < r[id_col].
+    """
+    cols = df.columns
+    row = F.struct(*[F.col(c) for c in cols])
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)).cast("int")
+    a = df.select(
+        F.col(block).alias("_blk"), row.alias("l"), salt.alias("_ti")
+    ).withColumn("_tj", F.explode(F.sequence(F.col("_ti"), F.lit(n_salt - 1))))
+    b = df.select(
+        F.col(block).alias("_blk"), row.alias("r"), salt.alias("_tj2")
+    ).withColumn("_ti2", F.explode(F.sequence(F.lit(0), F.col("_tj2"))))
+    joined = a.join(
+        b,
+        [a["_blk"] == b["_blk"], a["_ti"] == b["_ti2"], a["_tj"] == b["_tj2"]],
+    )
+    li, ri = F.col("l")[id_col], F.col("r")[id_col]
+    return (
+        joined.where((F.col("_ti") < F.col("_tj")) | (li < ri))
+        .select(
+            a["_blk"].alias(block),
+            F.when(li < ri, F.col("l")).otherwise(F.col("r")).alias("_lo"),
+            F.when(li < ri, F.col("r")).otherwise(F.col("l")).alias("_hi"),
+        )
+        .select(block, F.col("_lo").alias("l"), F.col("_hi").alias("r"))
+    )
+
+
+def skew_safe_block_self_pairs(
+    df: DataFrame,
+    *,
+    block: str,
+    id_col: str,
+    n_salt: int = 8,
+    hot_threshold: int = 10_000,
+) -> DataFrame:
+    """All unordered within-block row pairs (``l[id] < r[id]``) of a blocked
+    self-join, immune to hot blocks.
+
+    The blocking-key distribution in real corpora is Zipfian: one hot first
+    token can put millions of rows in a single block and recreate the O(n^2)
+    straggler blocking was meant to prevent (AQE's skew splitting cannot
+    help — it can split a partition, but every task still sees the whole
+    build side of the hot key). Two-phase plan:
+
+    1. one cheap partial-aggregated block-size count; blocks above
+       ``hot_threshold`` become a broadcast hot-list (bounded: at most
+       |df| / hot_threshold keys),
+    2. cold blocks take the plain self-join; hot blocks take the triangle
+       decomposition (``_triangle_pairs``), whose per-task cost is capped at
+       (block/n_salt)^2 regardless of block size.
+
+    A block is entirely hot or entirely cold, so the union is exactly the
+    naive pair set — result-identical, which the oracle asserts.
+
+    Returns columns ``(block, l, r)`` where ``l``/``r`` are full-row structs.
+    """
+    sizes = df.groupBy(block).agg(F.count(F.lit(1)).alias("_n"))
+    hot = F.broadcast(sizes.where(F.col("_n") > hot_threshold).select(block))
+    cold_df = df.join(hot, block, "left_anti")
+    hot_df = df.join(hot, block, "left_semi")
+
+    cols = df.columns
+    row = F.struct(*[F.col(c) for c in cols])
+    a = cold_df.select(F.col(block).alias("_blk"), row.alias("l"))
+    b = cold_df.select(F.col(block).alias("_blk"), row.alias("r"))
+    cold_pairs = (
+        a.join(b, "_blk")
+        .where(F.col("l")[id_col] < F.col("r")[id_col])
+        .select(F.col("_blk").alias(block), "l", "r")
+    )
+    hot_pairs = _triangle_pairs(hot_df, block=block, id_col=id_col, n_salt=n_salt)
+    return cold_pairs.unionByName(hot_pairs)

@@ -752,26 +752,30 @@ def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs inside blocks — the standard blocking trick that makes fuzzy
     matching feasible at scale (the block key becomes the shuffle key; a
     production pipeline picks keys that bound block size, exactly as
-    MinHash bands do for documents). The levenshtein predicate is a
-    residual filter on the equi-join, not a BNL condition."""
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    blk = F.split("p_name", " ").getItem(0)
-    a = p.select(
-        F.col("p_partkey").alias("a_key"),
-        F.col("p_name").alias("a_name"),
-        blk.alias("blk"),
+    MinHash bands do for documents). Block keys are Zipfian in real corpora,
+    so pairs are generated through the skew-safe two-phase path
+    (`operators/skew.py:skew_safe_block_self_pairs`): blocks above the hot
+    threshold are triangle-decomposed across salt-group tasks instead of
+    landing on one O(n^2) straggler — result-identical to the naive blocked
+    join, which the oracle asserts. The levenshtein predicate is a residual
+    filter on the equi-join, not a BNL condition."""
+    from wiki_mysql_spark.operators.skew import skew_safe_block_self_pairs
+
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_name")
+        .withColumn("blk", F.split("p_name", " ").getItem(0))
     )
-    b = p.select(
-        F.col("p_partkey").alias("b_key"),
-        F.col("p_name").alias("b_name"),
-        blk.alias("blk"),
-    )
-    dist = F.levenshtein("a_name", "b_name")
+    pairs = skew_safe_block_self_pairs(p, block="blk", id_col="p_partkey")
+    dist = F.levenshtein(F.col("l")["p_name"], F.col("r")["p_name"])
     return (
-        a.join(b, "blk")
-        .where((F.col("a_key") < F.col("b_key")) & (dist <= 3))
+        pairs.where(dist <= 3)
         .select(
-            "a_key", "b_key", "a_name", "b_name", dist.cast("long").alias("dist")
+            F.col("l")["p_partkey"].alias("a_key"),
+            F.col("r")["p_partkey"].alias("b_key"),
+            F.col("l")["p_name"].alias("a_name"),
+            F.col("r")["p_name"].alias("b_name"),
+            dist.cast("long").alias("dist"),
         )
     )
 
