@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
     "dedup_ngram_jaccard",
+    "dedup_substring_spans",
     "ann_topk_bruteforce",
     "text_quality",
     "text_tokens_fingerprint",

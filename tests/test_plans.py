@@ -80,3 +80,16 @@ def test_metadata_queries_prune_scan(spark, name):
 def test_interval_join_is_equi_not_cartesian(spark):
     plan = _plan("join_interval_points", spark)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_spans_no_cartesian_single_shingle_pass(spark):
+    plan = _plan("dedup_substring_spans", spark)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # both consumers (dup-shingle agg + join-back) must read the one
+    # checkpointed shingle materialization, not re-explode the corpus
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_fuzzy_editdist_skew_path_no_cartesian(spark):
+    plan = _plan("dedup_fuzzy_editdist", spark)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -960,3 +960,85 @@ def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "dedup_substring_spans",
+    f"""
+    -- maximal cross-document repeated 5-gram spans (suffix-array substring
+    -- dedup, shingle formulation): gaps-and-islands over the positions of
+    -- shingles that occur in >= 2 distinct docs
+    WITH toks AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+    sh AS (
+        SELECT doc_id, i + 1 AS pos, array_to_string(ws[i+1:i+5], ' ') AS g
+        FROM toks, unnest(range(greatest(len(ws) - 4, 0))) t(i)
+    ),
+    dup AS (SELECT g FROM sh GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (g)),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM hits
+    )
+    SELECT doc_id,
+           min(pos)::BIGINT AS span_start,
+           (max(pos) + 4)::BIGINT AS span_end,
+           count(*)::BIGINT AS n_shingles
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring detection, the span-level half of training-data
+    dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): find each document's MAXIMAL word spans whose every 5-gram
+    also appears in some other document — the batch formulation of
+    suffix-array substring dedup, as shingles + gaps-and-islands.
+
+    Plan: one explode into positioned 5-grams, one groupBy to find shingles
+    spanning >= 2 docs, one join back, one per-doc window to merge adjacent
+    positions into maximal spans. Shuffles are keyed on the shingle (sized
+    by corpus token count, never corpus^2) and on doc_id (window). At 100 TB
+    the shingle key would be ``xxhash64(g)`` so the exchange moves 8-byte
+    keys instead of strings — kept as the raw string here for exact oracle
+    parity, the hash variant changes one expression.
+
+    Output: (doc_id, span_start, span_end, n_shingles), positions 1-based
+    word offsets, span_end inclusive of the last shingle's 5th word.
+    """
+    k = 5
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    idx = F.when(
+        F.size(ws) >= k, F.sequence(F.lit(0), F.size(ws) - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            (i + 1).cast("long").alias("pos"),
+            F.array_join(F.slice(ws, i + 1, k), " ").alias("g"),
+        ),
+    )
+    sh = docs.select(
+        "doc_id", F.explode(grams).alias("s")
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    sh = sh.localCheckpoint(eager=False)  # both consumers read one materialization
+    dup = (
+        sh.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = sh.join(dup, "g").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_shingles")
+    )

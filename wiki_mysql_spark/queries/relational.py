@@ -404,6 +404,38 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_theta_sketch_distinct",
+    """
+    -- theta sketches store raw hashes until the nominal-entries threshold
+    -- (lgk=20 -> 1M), so below it the estimate IS the exact distinct count
+    -- and an exact SQL oracle exists (same trick as agg_approx_percentile)
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey)::BIGINT AS n_customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_theta_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches theta-sketch distinct count (Spark 4 native) — unlike
+    HLL, theta sketches support set operations (intersection/difference via
+    `theta_union`/`theta_difference` of sketch blobs) and are the
+    mergeable-sketch path for distinct counting across partitioned corpora:
+    partial sketches merge associatively map-side, the corpus never
+    reshuffles rows. Below the sketch's nominal capacity the estimate is
+    EXACT, which is what makes this entry fully oracle-able; above it (real
+    100 TB cardinalities) the same plan degrades gracefully to ~1.6% error
+    at lgk=20."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.theta_sketch_estimate(
+                F.theta_sketch_agg("o_custkey", F.lit(20))
+            ).alias("n_customers")
+        )
+    )
+
+
+@query(
     "agg_stats",
     """
     SELECT c_mktsegment,
