@@ -237,7 +237,65 @@ def test_bmp_codec_rejects_non_bmp():
     with _pytest.raises(ValueError):
         decode_bmp(b"JFIF not a bmp")
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG....")  # real decode of non-BMP stays blocked
+        decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG decode stays blocked
+
+
+def test_png_codec_roundtrip_all_filters_and_colortypes():
+    """The real PNG codec (stdlib-zlib DEFLATE): encode->decode is
+    pixel-exact for grey/RGB/RGBA across every scanline filter type (0-4)
+    and the per-row cycling mode, on sizes that stress the left-pixel
+    recurrences (w=1 edge, wide rows) and on gradient data where
+    Average/Paeth actually differ from Sub/Up."""
+    import numpy as np
+
+    from wiki_mysql_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for w, h in [(1, 1), (1, 5), (7, 3), (16, 12), (40, 2)]:
+        for ch in (None, 3, 4):
+            shape = (h, w) if ch is None else (h, w, ch)
+            pix = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            for ft in [0, 1, 2, 3, 4, None]:
+                png = encode_png(pix, filter_type=ft)
+                assert png[:8] == b"\x89PNG\r\n\x1a\n"
+                back = decode_png(png)
+                assert back.shape == pix.shape and (back == pix).all(), (
+                    w, h, ch, ft,
+                )
+            assert decode_image(png) == (w, h)  # header-only real decode
+    grad = np.tile(np.arange(256, dtype=np.uint8), (4, 1))[:, :100]
+    for ft in range(5):
+        assert (decode_png(encode_png(grad, filter_type=ft)) == grad).all()
+
+
+def test_png_codec_compresses_and_rejects_malformed():
+    import numpy as np
+    import pytest as _pytest
+
+    from wiki_mysql_spark.operators.multimodal import decode_png, encode_png
+
+    # constant image under filter 1 (Sub) deflates far below raw size —
+    # proof the DEFLATE path is really compressing, not storing
+    flat = np.full((64, 64, 3), 200, dtype=np.uint8)
+    png = encode_png(flat, filter_type=1)
+    assert len(png) < 64 * 64 * 3 // 10
+    with _pytest.raises(ValueError):
+        decode_png(b"BM not a png")
+    with _pytest.raises(NotImplementedError):
+        # 16-bit depth is out of scope and must be refused, not mis-decoded
+        import struct as _struct
+        import zlib as _zlib
+
+        ihdr = _struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        chunk = (
+            _struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
 
 
 def test_pagerank_hand_computed_star(spark):
@@ -395,3 +453,70 @@ def test_wav_codec_roundtrip_and_features():
 
     with _pytest.raises(ValueError):
         decode_wav(b"not riff data at all")
+
+
+def test_gopher_rules_fire_per_fixture(spark):
+    """Each Gopher rule rejects its designed fixture doc and the
+    all-rules-pass doc passes (rules from the public Gopher paper A1.1)."""
+    from wiki_mysql_spark.functions.text import gopher_features
+    from wiki_mysql_spark.queries.llm_data import _QF_FIXTURE
+
+    df = spark.createDataFrame(_QF_FIXTURE, ["doc_id", "text"])
+    feats = gopher_features(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[feats[k].alias(k) for k in (
+                "n_words", "mean_word_len", "symbol_word_ratio",
+                "frac_alpha_words", "n_stop_present", "bullet_line_frac",
+                "ellipsis_line_frac", "gopher_pass",
+            )],
+        ).collect()
+    }
+    assert rows[300001]["gopher_pass"] is True
+    assert rows[300001]["n_words"] >= 50 and rows[300001]["n_stop_present"] >= 2
+    # bullets: 3 of 4 lines start with a bullet char
+    assert abs(rows[300002]["bullet_line_frac"] - 0.75) < 1e-9
+    # ellipsis: 2 of 3 lines end with "..." -> fails the <= 0.3 rule
+    assert rows[300003]["ellipsis_line_frac"] > 0.3
+    assert not rows[300003]["gopher_pass"]
+    # symbol-heavy: 4 '#' over 5 words -> 0.8 > 0.1
+    assert rows[300004]["symbol_word_ratio"] > 0.1
+    # numeric-only words fail the alpha-word floor
+    assert rows[300005]["frac_alpha_words"] == 0.0
+    # empty doc: guards give zeros, no NaN/KeyError
+    assert rows[300009]["n_words"] == 0 and rows[300009]["mean_word_len"] == 0.0
+    assert not rows[300009]["gopher_pass"]
+
+
+def test_c4_rules_fire_per_fixture(spark):
+    from wiki_mysql_spark.functions.text import c4_features
+    from wiki_mysql_spark.queries.llm_data import _QF_FIXTURE
+
+    df = spark.createDataFrame(_QF_FIXTURE, ["doc_id", "text"])
+    feats = c4_features(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[feats[k].alias(k) for k in (
+                "n_lines", "n_kept_lines", "kept_chars", "has_lorem",
+                "has_brace", "c4_keep_doc",
+            )],
+        ).collect()
+    }
+    # the clean doc keeps all 4 terminal-punctuated >=5-word lines
+    assert rows[300001]["n_kept_lines"] == 4 and rows[300001]["c4_keep_doc"]
+    assert rows[300001]["kept_chars"] == 4 * len(
+        "the quick brown fox jumps over lazy dogs and runs with great speed of night."
+    )
+    # lorem ipsum and brace docs are dropped doc-level
+    assert rows[300006]["has_lorem"] and not rows[300006]["c4_keep_doc"]
+    assert rows[300007]["has_brace"] and not rows[300007]["c4_keep_doc"]
+    # the javascript line is removed line-level: 4 lines, 3 kept -> keep_doc
+    assert rows[300008]["n_lines"] == 4 and rows[300008]["n_kept_lines"] == 3
+    assert rows[300008]["c4_keep_doc"]
+    # bullet/short lines don't end in terminal punctuation -> nothing kept
+    assert rows[300002]["n_kept_lines"] == 0 and not rows[300002]["c4_keep_doc"]
+    assert rows[300009]["n_lines"] == 0 and not rows[300009]["c4_keep_doc"]

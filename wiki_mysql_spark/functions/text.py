@@ -134,3 +134,104 @@ def quality_features(text: Column) -> dict[str, Column]:
             F.length(F.regexp_replace(text, r"[^a-zA-Z]", "")) / n_chars.cast("double")
         ),
     }
+
+
+# the 8 "stop words" the Gopher quality rules require >= 2 of (Rae et al.
+# 2021, "Scaling Language Models: ... Gopher", App. A1.1 — public paper)
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def lines_of(text: Column) -> Column:
+    """Non-empty trimmed lines (the unit of the line-level corpus filters)."""
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
+def gopher_features(text: Column) -> dict[str, Column]:
+    """The Gopher corpus-quality rule set as native columns — word count,
+    mean word length, symbol ratios, bullet/ellipsis line fractions, alpha
+    word fraction, stopword presence, and the conjunctive ``gopher_pass``
+    flag. Per-row expressions only: zero shuffles, scales linearly."""
+    ws = words(text)
+    lower_ws = F.transform(ws, lambda w: F.lower(w))
+    n_words = F.size(ws).cast("long")
+    lines = lines_of(text)
+    n_lines = F.size(lines)
+    mean_word_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.aggregate(ws, F.lit(0.0), lambda acc, w: acc + F.length(w))
+        / n_words.cast("double")
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    symbol_word_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        (n_hash + n_ellipsis) / n_words.cast("double")
+    )
+    frac_alpha_words = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]"))) / n_words.cast("double")
+    )
+    n_stop_present = sum(
+        F.array_contains(lower_ws, s).cast("int") for s in GOPHER_STOPWORDS
+    ).cast("long")
+    bullet_line_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(lines, lambda l: F.substring(l, 1, 1).isin("-", "*", "•")))
+        / n_lines.cast("double")
+    )
+    ellipsis_line_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(lines, lambda l: l.endswith("...")))
+        / n_lines.cast("double")
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_word_ratio": symbol_word_ratio,
+        "frac_alpha_words": frac_alpha_words,
+        "n_stop_present": n_stop_present,
+        "bullet_line_frac": bullet_line_frac,
+        "ellipsis_line_frac": ellipsis_line_frac,
+        "gopher_pass": (
+            n_words.between(50, 100_000)
+            & mean_word_len.between(3.0, 10.0)
+            & (symbol_word_ratio <= 0.1)
+            & (bullet_line_frac <= 0.9)
+            & (ellipsis_line_frac <= 0.3)
+            & (frac_alpha_words >= 0.8)
+            & (n_stop_present >= 2)
+        ),
+    }
+
+
+def c4_features(text: Column) -> dict[str, Column]:
+    """The C4 line/document cleaning rules (Raffel et al. 2020 §2.2, public)
+    as native columns: a line is KEPT iff it ends in terminal punctuation
+    (. ! ? \"), has >= 5 words, and doesn't mention javascript; a document
+    is kept iff it has no 'lorem ipsum', no '{', and >= 3 kept lines."""
+    lines = lines_of(text)
+
+    def _kept(l: Column) -> Column:
+        line_words = F.filter(F.split(l, r"\s+"), lambda w: w != "")
+        return (
+            F.substring(l, -1, 1).isin(".", "!", "?", '"')
+            & (F.size(line_words) >= 5)
+            & ~F.contains(F.lower(l), F.lit("javascript"))
+        )
+
+    kept = F.filter(lines, _kept)
+    n_kept = F.size(kept).cast("long")
+    has_lorem = F.contains(F.lower(text), F.lit("lorem ipsum"))
+    has_brace = F.contains(text, F.lit("{"))
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_kept_lines": n_kept,
+        "kept_chars": F.aggregate(
+            kept, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+        ),
+        "has_lorem": has_lorem,
+        "has_brace": has_brace,
+        "c4_keep_doc": ~has_lorem & ~has_brace & (n_kept >= 3),
+    }

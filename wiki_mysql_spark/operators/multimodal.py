@@ -6,10 +6,13 @@ The Spark-side machinery — schema, partition-friendly layout, Arrow-batched
 for 24-bit BMP (a pure numpy/struct codec below — no external library
 needed): :func:`decode_image` sniffs the ``BM`` magic and parses/round-trips
 actual pixels; :func:`resize_image` nearest-neighbor-resamples real BMPs.
-Compressed codecs (JPEG/PNG/video) still need a codec library that is not
-in this environment (checked again round 2: no Pillow) and raise
-``NotImplementedError`` — the ``fake=`` deterministic stand-ins keep that
-plumbing testable.
+PNG — a genuinely COMPRESSED format — is also REAL as of round 3: DEFLATE
+comes from the stdlib ``zlib`` module, so :func:`encode_png` /
+:func:`decode_png` below implement the container + all five scanline
+filters with no external library. JPEG/video still need a codec library
+that is not in this environment (checked again round 3: no Pillow) and
+raise ``NotImplementedError`` — the ``fake=`` deterministic stand-ins keep
+that plumbing testable.
 
 At 100 TB the rules encoded here:
   * keep payload bytes in their own column so column pruning skips them for
@@ -22,6 +25,7 @@ At 100 TB the rules encoded here:
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -122,6 +126,152 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
 
 
 # ---------------------------------------------------------------------------
+# real codec: PNG (a genuinely COMPRESSED format — DEFLATE via the stdlib
+# zlib module, so no external codec library is needed after all). 8-bit
+# greyscale / RGB / RGBA, no interlace; the decoder implements all five
+# scanline filter types (None/Sub/Up/Average/Paeth) and the encoder can
+# apply any of them, so round-trip tests exercise the full filter matrix.
+# ---------------------------------------------------------------------------
+
+
+def encode_png(pixels: "np.ndarray", *, filter_type: int | None = 0) -> bytes:
+    """Encode a uint8 array ((h, w) grey, (h, w, 3) RGB or (h, w, 4) RGBA)
+    as a PNG. ``filter_type`` picks the scanline filter (0-4); ``None``
+    cycles ``row % 5`` so every filter appears — handy for decoder tests."""
+    if pixels.ndim == 2:
+        color_type, bpp = 0, 1
+        flat = pixels
+    elif pixels.ndim == 3 and pixels.shape[2] in (3, 4):
+        color_type = {3: 2, 4: 6}[pixels.shape[2]]
+        bpp = pixels.shape[2]
+        flat = pixels.reshape(pixels.shape[0], -1)
+    else:
+        raise ValueError("expected (h,w), (h,w,3) or (h,w,4) uint8")
+    h, w = pixels.shape[0], pixels.shape[1]
+    flat = flat.astype(np.uint8)
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        row = flat[y]
+        ft = (y % 5) if filter_type is None else filter_type
+        raw.append(ft)
+        raw.extend(_png_filter_row(row, prev, ft, bpp).tobytes())
+        prev = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        )
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Decode an 8-bit non-interlaced PNG (grey/RGB/RGBA, filters 0-4) to a
+    uint8 array of shape (h, w[, channels])."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (size,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + type + data + CRC
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color_type, _, _, interlace = ihdr
+    if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+        raise NotImplementedError(
+            "only 8-bit non-interlaced grey/RGB/RGBA PNG supported"
+        )
+    bpp = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        ft = raw[off]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        prev = _png_unfilter_row(row, prev, ft, bpp)
+        out[y] = prev
+    return out if color_type == 0 else out.reshape(h, w, bpp)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(
+    row: "np.ndarray", prev: "np.ndarray", ft: int, bpp: int
+) -> "np.ndarray":
+    """Apply PNG scanline filter ``ft`` (spec §6: a=left, b=up, c=up-left;
+    all arithmetic mod 256, which uint8 wraparound gives for free)."""
+    r = row.astype(np.int32)
+    a = np.concatenate([np.zeros(bpp, np.int32), r[:-bpp]])
+    b = prev.astype(np.int32)
+    c = np.concatenate([np.zeros(bpp, np.int32), b[:-bpp]])
+    if ft == 0:
+        out = r
+    elif ft == 1:
+        out = r - a
+    elif ft == 2:
+        out = r - b
+    elif ft == 3:
+        out = r - (a + b) // 2
+    elif ft == 4:
+        out = r - _paeth(a, b, c)
+    else:
+        raise ValueError(f"bad filter type {ft}")
+    return (out % 256).astype(np.uint8)
+
+
+def _png_unfilter_row(
+    row: "np.ndarray", prev: "np.ndarray", ft: int, bpp: int
+) -> "np.ndarray":
+    """Invert a scanline filter. Up/None vectorize whole-row; Sub/Average/
+    Paeth recur on the just-reconstructed left pixel, so they run per-pixel
+    (rows are short — one scanline — and this is the decode hot loop only
+    for genuinely filtered data)."""
+    if ft == 0:
+        return row.copy()
+    if ft == 2:
+        return ((row.astype(np.int32) + prev) % 256).astype(np.uint8)
+    out = np.zeros_like(row)
+    for i in range(len(row)):
+        a = int(out[i - bpp]) if i >= bpp else 0
+        b = int(prev[i])
+        c = int(prev[i - bpp]) if i >= bpp else 0
+        if ft == 1:
+            rec = row[i] + a
+        elif ft == 3:
+            rec = row[i] + (a + b) // 2
+        elif ft == 4:
+            rec = row[i] + int(_paeth(np.int32(a), np.int32(b), np.int32(c)))
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[i] = rec % 256
+    return out
+
+
+def _paeth(a: "np.ndarray", b: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+# ---------------------------------------------------------------------------
 # real codec: 16-bit PCM WAV (RIFF header + raw samples — also library-free)
 # ---------------------------------------------------------------------------
 
@@ -184,8 +334,11 @@ def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
     if payload[:2] == b"BM":
         w, h = struct.unpack_from("<ii", payload, 18)
         return (w, abs(h))
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack_from(">II", payload, 16)  # IHDR is always first
+        return (w, h)
     raise NotImplementedError(
-        "only BMP decodes natively; JPEG/PNG need a codec library "
+        "only BMP and PNG decode natively; JPEG/video need a codec library "
         "(e.g. Pillow) — wire it in here, the Spark-side plumbing "
         "(binary column, mapInPandas batching, schema) is already in place"
     )

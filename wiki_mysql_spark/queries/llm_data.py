@@ -1042,3 +1042,180 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "span_start", "span_end", "n_shingles")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher / C4 corpus-quality rule sets (public papers: Rae et al. 2021 App.
+# A1.1; Raffel et al. 2020 §2.2). The synthetic corpus has no newlines,
+# bullets, or terminal punctuation, so a fixture exercises every rule.
+# ---------------------------------------------------------------------------
+
+_QF_PASS_LINE = (
+    "the quick brown fox jumps over lazy dogs and runs with great speed of night."
+)
+_QF_FIXTURE: list[tuple[int, str]] = [
+    (300001, "\n".join([_QF_PASS_LINE] * 4)),  # passes Gopher AND C4
+    (300002, "- alpha beta\n* gamma delta\n• epsilon zeta\nplain line"),
+    (300003, "to be continued...\nwait for it...\nthe end."),
+    (300004, "# # # # tag"),
+    (300005, "123 456 789 000"),
+    (300006, "This page is lorem ipsum filler text with plenty of words here."),
+    (300007, "function() { return 42; }"),
+    (
+        300008,
+        "Enable javascript to view this page now.\n"
+        "A good sentence with enough words here.\n"
+        "Another proper sentence with many fine words.\n"
+        "A third proper sentence rounds this out.",
+    ),
+    (300009, ""),  # empty doc: every division guard fires
+]
+
+
+def _qf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return docs.unionByName(spark.createDataFrame(_QF_FIXTURE, ["doc_id", "text"]))
+
+
+def _sql_qf_corpus() -> str:
+    rows = ", ".join(
+        "({}::BIGINT, e'{}')".format(
+            i, t.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n")
+        )
+        for i, t in _QF_FIXTURE
+    )
+    return (
+        "SELECT doc_id, text FROM documents "
+        f"UNION ALL SELECT * FROM (VALUES {rows}) fixture(doc_id, text)"
+    )
+
+
+_SQL_LINES = (
+    "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),"
+    " l -> l <> '')"
+)
+_SQL_STOP_PRESENT = " + ".join(
+    f"list_contains(lws, '{s}')::INT"
+    for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+
+@query(
+    "text_gopher_quality",
+    f"""
+    WITH corpus AS ({_sql_qf_corpus()}),
+    tok AS (
+        SELECT doc_id, text, {SQL_WORDS} AS ws, {_SQL_LINES} AS lines
+        FROM corpus
+    ),
+    feat AS (
+        SELECT doc_id,
+               len(ws)::BIGINT AS n_words,
+               CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                   list_reduce(list_prepend(0.0,
+                       list_transform(ws, w -> length(w)::DOUBLE)),
+                       (a, b) -> a + b) / len(ws)::DOUBLE END AS mean_word_len,
+               CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                   ((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '...', ''))) // 3)
+                   / len(ws)::DOUBLE END AS symbol_word_ratio,
+               CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                   len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+                   / len(ws)::DOUBLE END AS frac_alpha_words,
+               ({_SQL_STOP_PRESENT})::BIGINT AS n_stop_present,
+               CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+                   len(list_filter(lines,
+                       l -> substr(l, 1, 1) IN ('-', '*', '•')))
+                   / len(lines)::DOUBLE END AS bullet_line_frac,
+               CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+                   len(list_filter(lines, l -> ends_with(l, '...')))
+                   / len(lines)::DOUBLE END AS ellipsis_line_frac
+        FROM (SELECT *, list_transform(ws, w -> lower(w)) AS lws FROM tok)
+    )
+    SELECT doc_id, n_words,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(symbol_word_ratio, 6) AS symbol_word_ratio,
+           round(frac_alpha_words, 6) AS frac_alpha_words,
+           n_stop_present,
+           round(bullet_line_frac, 6) AS bullet_line_frac,
+           round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND frac_alpha_words >= 0.8
+            AND n_stop_present >= 2) AS gopher_pass
+    FROM feat
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality rule set (word count / mean word length / symbol
+    ratio / bullet & ellipsis line fractions / alpha-word fraction /
+    stopword presence + the conjunctive pass flag) — all native higher-order
+    expressions, zero UDFs, zero shuffles: a per-row filter that scales
+    linearly over 100 TB. Pass flags are computed from the UNROUNDED
+    doubles on both sides; only the reported ratios are rounded."""
+    from wiki_mysql_spark.functions.text import gopher_features
+
+    feats = gopher_features(F.col("text"))
+    return _qf_corpus(spark, sf_dir).select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        F.round(feats["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(feats["symbol_word_ratio"], 6).alias("symbol_word_ratio"),
+        F.round(feats["frac_alpha_words"], 6).alias("frac_alpha_words"),
+        feats["n_stop_present"].alias("n_stop_present"),
+        F.round(feats["bullet_line_frac"], 6).alias("bullet_line_frac"),
+        F.round(feats["ellipsis_line_frac"], 6).alias("ellipsis_line_frac"),
+        feats["gopher_pass"].alias("gopher_pass"),
+    )
+
+
+@query(
+    "text_c4_filters",
+    f"""
+    WITH corpus AS ({_sql_qf_corpus()}),
+    tok AS (SELECT doc_id, text, {_SQL_LINES} AS lines FROM corpus),
+    k AS (
+        SELECT doc_id, text, lines,
+               list_filter(lines,
+                   l -> substr(l, -1, 1) IN ('.', '!', '?', '"')
+                        AND len(list_filter(string_split_regex(l, '\\s+'),
+                                            w -> w <> '')) >= 5
+                        AND NOT contains(lower(l), 'javascript')) AS kept
+        FROM tok
+    )
+    SELECT doc_id,
+           len(lines)::BIGINT AS n_lines,
+           len(kept)::BIGINT AS n_kept_lines,
+           list_reduce(list_prepend(0::BIGINT,
+               list_transform(kept, l -> length(l)::BIGINT)),
+               (a, b) -> a + b)::BIGINT AS kept_chars,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           contains(text, '{{') AS has_brace,
+           (NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{{')
+            AND len(kept) >= 3) AS c4_keep_doc
+    FROM k
+    """,
+)
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 line/document cleaning rules: keep lines ending in terminal
+    punctuation with >= 5 words and no 'javascript'; drop documents with
+    'lorem ipsum', '{', or < 3 kept lines. Native nested higher-order
+    functions over the line array — per-row, shuffle-free, linear."""
+    from wiki_mysql_spark.functions.text import c4_features
+
+    feats = c4_features(F.col("text"))
+    return _qf_corpus(spark, sf_dir).select(
+        "doc_id",
+        feats["n_lines"].alias("n_lines"),
+        feats["n_kept_lines"].alias("n_kept_lines"),
+        feats["kept_chars"].alias("kept_chars"),
+        feats["has_lorem"].alias("has_lorem"),
+        feats["has_brace"].alias("has_brace"),
+        feats["c4_keep_doc"].alias("c4_keep_doc"),
+    )

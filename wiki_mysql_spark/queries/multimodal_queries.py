@@ -166,6 +166,92 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_png",
+    """
+    -- the builder tiles each doc's bytes into the pixels of a REAL
+    -- compressed PNG (DEFLATE via stdlib zlib; scanline filters cycle 0-4),
+    -- then the real decoder reconstructs them. The oracle recomputes the
+    -- builder arithmetic independently: ((len % 16) + 1) x ((len % 12) + 1)
+    -- RGB, pixel i = byte (i % len) of the doc text, and expects the
+    -- decode-vs-input comparison (done pixel-exact Spark-side) to be TRUE.
+    SELECT doc_id,
+           ((octet_length(encode(text)) % 16) + 1)::BIGINT AS width,
+           ((octet_length(encode(text)) % 12) + 1)::BIGINT AS height,
+           (CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                ELSE list_sum(list_transform(
+                       range((((octet_length(encode(text)) % 16) + 1)
+                              * ((octet_length(encode(text)) % 12) + 1)
+                              * 3)::BIGINT),
+                       i -> ascii(substr(text,
+                                         ((i % octet_length(encode(text)))
+                                          + 1)::INT, 1))))
+           END)::BIGINT AS pixel_sum,
+           TRUE AS roundtrip_exact
+    FROM documents
+    """,
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL **compressed** image decode end-to-end: each document's bytes
+    become the pixels of an actual PNG (DEFLATE from the stdlib ``zlib`` —
+    container + all five scanline filters implemented in
+    ``operators/multimodal.py``, filters cycling per row so every filter
+    type runs in production), which the real decoder then parses back —
+    width/height from IHDR, ``pixel_sum`` over the reconstructed (i.e.
+    inflated + unfiltered) pixels, and a Spark-side pixel-exact comparison
+    against the pre-compression input. The oracle recomputes the builder
+    arithmetic independently, so a decoder that inflates or unfilters wrong
+    changes ``pixel_sum``/``roundtrip_exact`` and fails the hash."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from wiki_mysql_spark.operators.multimodal import decode_png, encode_png
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("pixel_sum", LongType()),
+            StructField("roundtrip_exact", BooleanType()),
+        ]
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "width", "height", "pixel_sum", "roundtrip_exact")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                w, h = (len(b) % 16) + 1, (len(b) % 12) + 1
+                need = w * h * 3
+                pix = np.frombuffer(
+                    (b * (need // max(1, len(b)) + 1))[:need] if b else b"\0" * need,
+                    dtype=np.uint8,
+                ).reshape(h, w, 3)
+                png = encode_png(pix, filter_type=None)  # cycle all 5 filters
+                dec = decode_png(png)  # REAL inflate + unfilter
+                out["doc_id"].append(doc_id)
+                out["width"].append(dec.shape[1])
+                out["height"].append(dec.shape[0])
+                out["pixel_sum"].append(int(dec.astype(np.int64).sum()))
+                out["roundtrip_exact"].append(bool((dec == pix).all()))
+            yield pd.DataFrame(out)
+
+    return (
+        _payload_docs(spark, sf_dir)
+        .select("doc_id", "payload")
+        .mapInPandas(_roundtrip, schema)
+    )
+
+
+@query(
     "multimodal_decode_wav",
     """
     -- the builder turns each doc's bytes into ((len % 50) + 1) * 8 int16

@@ -390,16 +390,46 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct")  # rows-only: HLL estimate has no exact SQL oracle
+@query(
+    "agg_approx_count_distinct",
+    """
+    -- the HLL++ estimate itself is implementation-defined, so the oracle
+    -- checks the CONTRACT instead: Spark returns the exact counts plus
+    -- booleans asserting the sketch landed within 5x the requested rsd
+    -- (0.01 -> 5%); the oracle recomputes the exact counts and expects TRUE.
+    SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders_exact,
+           count(DISTINCT l_partkey)::BIGINT AS n_parts_exact,
+           TRUE AS hll_orders_ok,
+           TRUE AS hll_parts_ok
+    FROM lineitem
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch distinct — the scale path: one pass, fixed memory, no
-    shuffle explosion at 100 TB (vs exact distinct's expand + reshuffle)."""
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .agg(
-            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        )
+    shuffle explosion at 100 TB (vs exact distinct's expand + reshuffle).
+    The estimate is implementation-defined, so the oracled surface is the
+    accuracy contract: |approx - exact| / exact <= 5 * rsd. The exact counts
+    ride along only to make the check (and the driver's value-hash) exact;
+    the HLL aggregate still runs and is still what the booleans grade."""
+    rsd = 0.01
+    agg = _t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_orderkey", rsd).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+    )
+    tol = 5 * rsd
+
+    def _ok(approx, exact):
+        return (
+            F.abs(F.col(approx) - F.col(exact)) <= F.col(exact) * F.lit(tol)
+        ).alias("hll_" + approx.split("_")[1] + "_ok")
+
+    return agg.select(
+        "n_orders_exact",
+        "n_parts_exact",
+        _ok("approx_orders", "n_orders_exact"),
+        _ok("approx_parts", "n_parts_exact"),
     )
 
 
