@@ -200,3 +200,55 @@ def test_scd2_history_intervals(spark):
     assert [r["is_current"] for r in u1] == [False, False, True]
     u2 = [r for r in hist if r["k"] == 2]
     assert len(u2) == 1 and u2[0]["is_current"]
+
+
+def test_bloom_no_false_negatives_and_native_probe(spark):
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.bloom import build_bloom, might_contain
+
+    members = spark.createDataFrame(
+        [(f"member {i}",) for i in range(500)], ["s"]
+    )
+    bloom = build_bloom(members, "s", n_bits=1 << 14, n_hashes=5)
+    assert len(bloom) == (1 << 14) // 64 and any(bloom)
+    # no false negatives: every member passes the probe
+    n_pass = members.where(might_contain(F.col("s"), bloom, n_bits=1 << 14,
+                                         n_hashes=5)).count()
+    assert n_pass == 500
+    # false positives bounded: 500 members in 16 Kbits, k=5 -> fp ~ 0.1%;
+    # allow 2% slack on 2000 non-members
+    non = spark.createDataFrame([(f"stranger {i}",) for i in range(2000)], ["s"])
+    probe = non.where(might_contain(F.col("s"), bloom, n_bits=1 << 14, n_hashes=5))
+    assert probe.count() <= 40
+    # the probe is pure JVM expression work — no Python eval in the plan
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_bloom_equals_exact_join(spark):
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.bloom import decontaminate_bloom
+    from wiki_mysql_spark.operators.corpus import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words in this training document here"),
+            (3, "quick brown fox appears again in this one too"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "quick brown fox")], ["eval_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["n_eval_docs"])
+        for r in decontaminate_bloom(train, ev, n=3).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["n_eval_docs"])
+        for r in decontaminate(train, ev).collect()
+    }
+    assert got == want and set(got) == {1, 3}

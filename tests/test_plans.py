@@ -93,3 +93,91 @@ def test_substring_spans_no_cartesian_single_shingle_pass(spark):
 def test_fuzzy_editdist_skew_path_no_cartesian(spark):
     plan = _plan("dedup_fuzzy_editdist", spark)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_morton_key_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.layout import morton_key
+
+    def py_morton(x, y, bits=16):
+        acc = 0
+        for i in range(bits):
+            acc |= ((x >> i) & 1) << (2 * i)
+            acc |= ((y >> i) & 1) << (2 * i + 1)
+        return acc
+
+    rows = [(x, y) for x in (0, 1, 2, 3, 255, 65535) for y in (0, 1, 7, 1024, 65535)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = df.select("x", "y", morton_key(F.col("x"), F.col("y")).alias("z")).collect()
+    for r in got:
+        assert r["z"] == py_morton(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_buckets_prune_on_both_dimensions(spark):
+    """The point of z-order: a predicate on EITHER key column alone skips
+    most buckets. An x-only sort prunes x perfectly but every bucket spans
+    the full y range, so y predicates scan everything; Morton bucketing
+    bounds both, at a modest cost in x selectivity."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from wiki_mysql_spark.operators.layout import zorder_bucket_stats
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(4096), rng.randrange(4096)) for _ in range(4096)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+
+    def touched(stats, dim, point):
+        lo, hi = dim + "_min", dim + "_max"
+        return sum(1 for r in stats if r[lo] <= point <= r[hi]) / len(stats)
+
+    z = zorder_bucket_stats(df, "x", "y", n_buckets=16).collect()
+    s = (
+        df.withColumn("bucket", F.ntile(16).over(Window.orderBy("x", "y")))
+        .groupBy("bucket")
+        .agg(F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+             F.min("y").alias("y_min"), F.max("y").alias("y_max"))
+        .collect()
+    )
+    probes = [100, 1500, 2900, 4000]
+    # x-only sort: y point queries touch EVERY bucket (no pruning at all)
+    assert all(touched(s, "y", p) == 1.0 for p in probes)
+    # z-order: both dimensions prune — on average a point query touches
+    # well under half the buckets in either dimension
+    zx = sum(touched(z, "x", p) for p in probes) / len(probes)
+    zy = sum(touched(z, "y", p) for p in probes) / len(probes)
+    assert zx <= 0.5 and zy <= 0.5, (zx, zy)
+
+
+def test_zorder_layout_writes_clustered_files(spark, tmp_path):
+    """zorder_layout + parquet write: each produced file's (x, y) min-max
+    rectangle must cover only a fraction of the key space — the property
+    file-level pruning relies on."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    from wiki_mysql_spark.operators.layout import zorder_layout
+
+    rng = random.Random(9)
+    rows = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(4096)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = str(tmp_path / "zorder")
+    zorder_layout(df, "x", "y", n_files=8).write.parquet(out)
+    import glob
+
+    areas = []
+    for f in glob.glob(out + "/*.parquet"):
+        t = pq.read_table(f)
+        if t.num_rows == 0:
+            continue
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        areas.append(
+            (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1) / (1024 * 1024)
+        )
+    assert len(areas) >= 4  # range partitioner actually spread the data
+    # every file covers a bounded rectangle, far below the full space
+    assert sum(areas) / len(areas) < 0.35, areas

@@ -3,6 +3,7 @@ registry; expose the merged QUERIES/ORACLE dicts."""
 
 from wiki_mysql_spark.queries import (  # noqa: F401  (registration side-effects)
     analytics,
+    formats,
     functions_lib,
     llm_data,
     multimodal_queries,

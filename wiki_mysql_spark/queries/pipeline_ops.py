@@ -565,3 +565,45 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("psi_term"),
     )
+
+
+@query(
+    "decontam_bloom",
+    f"""
+    -- the bloom prefilter is exact-after-verify, so the oracle is the plain
+    -- inverted-index join; a different eval stride (% 89) than
+    -- decontam_ngram_overlap keeps the two entries' answers independent
+    WITH ev AS (
+        SELECT doc_id AS eval_id, substr(text, 1, 200) AS text
+        FROM documents WHERE doc_id % 89 = 0
+    ),
+    evtok AS (SELECT eval_id, {_sql_words('text')} AS ws FROM ev),
+    evsh AS (SELECT eval_id, unnest(list_distinct({_SQL_SHINGLES3})) AS shingle FROM evtok),
+    trtok AS (SELECT doc_id, {_sql_words('text')} AS ws FROM documents),
+    trsh AS (SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES3})) AS shingle FROM trtok)
+    SELECT doc_id,
+           count(DISTINCT shingle) AS n_shared_ngrams,
+           count(DISTINCT eval_id) AS n_eval_docs
+    FROM trsh JOIN evsh USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination (`operators/bloom.py`):
+    the eval set's shingles build a native 64 Kbit bloom (one tiny bit_or
+    shuffle, <= 1024 longs to the driver), the TRAINING side is probed with
+    a pure whole-stage-codegen expression BEFORE any join, and only bloom
+    survivors reach the exact verify join that removes false positives —
+    at 100 TB the join shuffle is sized by the contamination rate, not the
+    corpus. Results are exactly the join-only implementation's (the bloom
+    has no false negatives), which is what the oracle checks."""
+    from wiki_mysql_spark.operators.bloom import decontaminate_bloom
+
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    ev = docs.where(F.col("doc_id") % 89 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    return decontaminate_bloom(docs, ev, n=3)

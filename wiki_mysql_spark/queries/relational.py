@@ -1261,3 +1261,47 @@ def join_interval_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_seconds=3600,
     )
     return out.select("user_id", "event_id", F.col("lo").alias("window_lo"))
+
+
+def _sql_layout_zorder() -> str:
+    from wiki_mysql_spark.operators.layout import sql_morton
+
+    z = sql_morton("(o_custkey % 65536)", "(o_orderkey % 65536)")
+    return f"""
+    WITH keyed AS (
+        SELECT o_custkey, o_orderkey, {z} AS zkey FROM orders
+    ),
+    bucketed AS (
+        SELECT o_custkey, o_orderkey,
+               ntile(32) OVER (ORDER BY zkey, o_custkey, o_orderkey) AS bucket
+        FROM keyed
+    )
+    SELECT bucket::INT AS bucket,
+           count(*)::BIGINT AS n_rows,
+           min(o_custkey) AS x_min, max(o_custkey) AS x_max,
+           min(o_orderkey) AS y_min, max(o_orderkey) AS y_max
+    FROM bucketed GROUP BY bucket
+    """
+
+
+@query("layout_zorder_stats", _sql_layout_zorder())
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering for multi-dimensional scan pruning
+    (`operators/layout.py`): orders keyed by the bit-interleave of
+    (custkey, orderkey), bucketed in Morton order, each bucket reporting
+    its key rectangle — tight rectangles are what make min-max pruning
+    work on BOTH columns at 100 TB. The write path uses
+    ``repartitionByRange`` (one shuffle, same as any sort); this
+    verification view uses exact ntile so the oracle can recompute the
+    identical bucket assignment."""
+    from wiki_mysql_spark.operators.layout import zorder_bucket_stats
+
+    orders = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 65536).alias("o_custkey"),
+        (F.col("o_orderkey") % 65536).alias("o_orderkey"),
+    )
+    return zorder_bucket_stats(
+        orders, "o_custkey", "o_orderkey", n_buckets=32
+    ).select(
+        "bucket", "n_rows", "x_min", "x_max", "y_min", "y_max"
+    )
