@@ -68,6 +68,13 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(
         eager=False
     )
+    # out-degree attached to the edge set ONCE, outside the loop: each
+    # round then needs a single edges-vs-ranks join (ranks is node-sized,
+    # AQE broadcasts it into the checkpointed edge layout) instead of the
+    # former per-round ranks⋈deg pre-join — one fewer shuffle per
+    # iteration. The per-edge arithmetic stays `rank / outdeg`, identical
+    # to the oracle's.
+    ew = e.join(deg, "src").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -77,16 +84,12 @@ def pagerank(
     n_nodes = nodes.count() if redistribute_dangling else 0
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(n_iters):
-        # join order matters at scale: first ranks⋈deg (both node-sized,
-        # co-keyed), so the EDGE-sized join's build side is the small
-        # per-source contribution table — AQE broadcasts it and the edge set
-        # never re-shuffles (it is checkpointed in src-hash layout once).
-        per_src = ranks.join(deg, ranks.node == deg.src).select(
-            "src", (F.col("rank") / F.col("outdeg")).alias("c")
-        )
         contrib = (
-            e.join(per_src, "src")
-            .select(F.col("dst").alias("node"), "c")
+            ew.join(ranks, ew.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
             # zero row per node fused into the SAME aggregate: keeps nodes
             # with no in-edges without a second join barrier after the agg
             .unionByName(nodes.select("node", F.lit(0.0).alias("c")))

@@ -81,10 +81,22 @@ def resolve_redirects(
     edges = redirects.select(
         F.col("title").alias("src"), F.col("target").alias("dst")
     )
+    if eager_checkpoint:
+        # Materialize BEFORE the size gate: both strategies consume `edges`
+        # repeatedly (the small path collects it, the doubling loop joins it
+        # every round), and checkpointing first makes the gate's probe jobs
+        # read the materialized blocks instead of re-running the upstream
+        # XML/cleaning DAG per probe (measured ~3s of re-execution per probe
+        # at sf0.1 before this ordering).
+        edges = edges.localCheckpoint(eager=True)
     from wiki_mysql_spark.sources.tables import is_small_input
 
+    # byte_probe: this gate feeds a DRIVER-side collect (_resolve_small), so
+    # a narrow-count frame of pathologically wide titles must not slip
+    # through on row count alone; the sampled byte estimate reads the
+    # checkpoint, not the upstream DAG.
     if not force_distributed and is_small_input(
-        edges, max_bytes=_SMALL_EDGES_BYTES
+        edges, max_bytes=_SMALL_EDGES_BYTES, byte_probe=True
     ):
         mapping = _resolve_small(edges, max_depth)
         resolved = mapping.join(
@@ -95,10 +107,6 @@ def resolve_redirects(
         return redirects.join(
             resolved, redirects.title == resolved.src, "inner"
         ).drop("src")
-    if eager_checkpoint:
-        # lazy: the initial `chained.count()` below materializes it — one job
-        # instead of two per checkpoint
-        edges = edges.localCheckpoint(eager=False)
     sources = edges.select(F.col("src").alias("open_src")).distinct()
     if eager_checkpoint:
         # referenced by every is_open/is_closed split (2 per round + 2 final):

@@ -1007,7 +1007,14 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     k = 5
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ws = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    # materialize the token array BEFORE the transform lambda: an inline
+    # words(text) expression would be substituted into the lambda body and
+    # re-run the regex split once per shingle — O(words^2) regex work per
+    # document (the shingles_of docstring trap; measured ~2x entry cost)
+    tok = docs.select(
+        "doc_id", F.filter(F.split("text", r"\s+"), lambda w: w != "").alias("ws")
+    )
+    ws = F.col("ws")
     idx = F.when(
         F.size(ws) >= k, F.sequence(F.lit(0), F.size(ws) - k)
     ).otherwise(F.array().cast("array<int>"))
@@ -1018,7 +1025,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(ws, i + 1, k), " ").alias("g"),
         ),
     )
-    sh = docs.select(
+    sh = tok.select(
         "doc_id", F.explode(grams).alias("s")
     ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
     sh = sh.localCheckpoint(eager=False)  # both consumers read one materialization

@@ -54,7 +54,8 @@ _STATS_UNKNOWN = (1 << 63) - 1  # Catalyst's default sizeInBytes
 
 
 def is_small_input(
-    df: DataFrame, *, max_bytes: int, max_rows: int = 100_000
+    df: DataFrame, *, max_bytes: int, max_rows: int = 100_000,
+    byte_probe: bool = False,
 ) -> bool:
     """Decide whether a frame is small enough for a single-task fast path.
 
@@ -62,13 +63,19 @@ def is_small_input(
     free, no job — and decide on bytes when every leaf reports a real size
     (parquet scans always do, so the 100 TB case never leaves this tier);
     (2) for unknown-stats leaves (RDD-backed frames, python createDataFrame),
-    probe with a row-LIMITed count AND a byte estimate over the same probe —
-    a bounded job that early-stops after ``max_rows + 1`` rows regardless of
-    input size; the byte estimate keeps a narrow-count frame of very wide
-    rows (long strings) from being declared small on row count alone. Used
-    by dense_ids and resolve_redirects the way joins use a broadcast
-    threshold: the data picks the physical strategy, semantics are identical
-    either way.
+    probe with a row-LIMITed count — a job whose LIMIT lets the optimizer
+    prune every column, so expensive upstream projections (e.g. the wiki
+    regex-cleaning chain) are never evaluated for the probe.
+
+    ``byte_probe=True`` adds a second, 1k-row sampled byte estimate so a
+    narrow-count frame of very wide rows can't be declared small on row
+    count alone. It is opt-in because the sample CANNOT be column-pruned —
+    it materializes full rows, re-running the upstream DAG (measured ~2x
+    the whole wiki_articles_bodies entry when enabled on its gates); use it
+    for gates that feed driver-side collects of frames whose row width is
+    unbounded by construction. Used by dense_ids and resolve_redirects the
+    way joins use a broadcast threshold: the data picks the physical
+    strategy, semantics are identical either way.
     """
     try:
         leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
@@ -85,11 +92,21 @@ def is_small_input(
             return True
     except Exception:
         return False
-    probe = df.limit(max_rows + 1).select(
-        F.count(F.lit(1)).alias("_n"),
+    n = int(
+        df.limit(max_rows + 1)
+        .select(F.count(F.lit(1)).alias("_n"))
+        .collect()[0]["_n"]
+    )
+    if n > max_rows:
+        return False
+    if n == 0 or not byte_probe:
+        return n <= max_rows
+    sample = df.limit(1024).select(
+        F.count(F.lit(1)).alias("_k"),
         F.coalesce(F.sum(_row_bytes_estimate(df)), F.lit(0)).alias("_bytes"),
     ).collect()[0]
-    return int(probe["_n"]) <= max_rows and int(probe["_bytes"]) < max_bytes
+    est_bytes = int(sample["_bytes"]) * n / max(1, int(sample["_k"]))
+    return est_bytes < max_bytes
 
 
 def _row_bytes_estimate(df: DataFrame) -> "F.Column":
