@@ -181,3 +181,15 @@ def test_zorder_layout_writes_clustered_files(spark, tmp_path):
     assert len(areas) >= 4  # range partitioner actually spread the data
     # every file covers a bounded rectangle, far below the full space
     assert sum(areas) / len(areas) < 0.35, areas
+
+
+def test_weighted_reservoir_is_takeordered(spark):
+    """The weighted sample must plan as TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a global sort of the corpus."""
+    from tests.conftest import SF_CORRECTNESS
+    from wiki_mysql_spark.queries import QUERIES
+
+    df = QUERIES["sample_weighted_reservoir"](spark, SF_CORRECTNESS)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]

@@ -607,3 +607,126 @@ def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 200).alias("text"),
     )
     return decontaminate_bloom(docs, ev, n=3)
+
+
+@query(
+    "sample_weighted_reservoir",
+    f"""
+    -- Efraimidis-Spirakis A-Res with a DETERMINISTIC uniform: u from the
+    -- md5-prefix hash of the text, weight = word count, score = ln(u)/w
+    -- (log-space key; the top-k by key IS a weighted sample without
+    -- replacement). Rounded before ranking; doc_id breaks rounded ties.
+    WITH scored AS (
+        SELECT doc_id,
+               len({_sql_words('text')})::BIGINT AS w,
+               round(
+                   ln((('0x' || substr(md5(text), 1, 8))::BIGINT + 1)
+                      / 4294967297.0)
+                   / greatest(len({_sql_words('text')}), 1), 6) AS score
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, w, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        FROM scored
+    )
+    SELECT doc_id, w, score FROM ranked WHERE rk <= 100
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-Res,
+    public algorithm): each doc gets key ``ln(u) / weight`` with a
+    DETERMINISTIC uniform u derived from the md5 hash of its text, and the
+    global top-k by key is an exact weighted sample. One TakeOrdered top-k
+    (per-partition heaps + driver merge — no global sort, no shuffle of the
+    corpus); layout-independent and reproducible across engines, which is
+    what lets DuckDB replay it exactly. Weight here = word count, so long
+    documents are proportionally favored (token-budget-aware sampling)."""
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    from wiki_mysql_spark.functions.text import hash64, words
+
+    w = F.greatest(F.size(words(F.col("text"))), F.lit(1)).cast("long")
+    u = (hash64(F.col("text")) + 1) / F.lit(4294967297.0)
+    scored = docs.select(
+        "doc_id",
+        F.size(words(F.col("text"))).cast("long").alias("w"),
+        F.round(F.log(u) / w, 6).alias("score"),
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id").limit(100)
+    )
+
+
+_MIX_TARGETS: dict[str, float] = {
+    # upsample a few "high-quality" sources, downsample the rest uniformly
+    "src0": 0.15, "src1": 0.15, "src2": 0.10,
+}
+
+
+def _sql_mix_targets() -> str:
+    rest = (1.0 - sum(_MIX_TARGETS.values())) / (20 - len(_MIX_TARGETS))
+    rows = ", ".join(
+        # ::DOUBLE: DuckDB types bare decimal literals as DECIMAL, whose
+        # division rounds differently from the float64 arithmetic Spark
+        # does — the 6th digit of `weight` flips without the cast
+        f"('src{i}', {_MIX_TARGETS.get(f'src{i}', rest)!r}::DOUBLE)"
+        for i in range(20)
+    )
+    return f"(VALUES {rows}) t(source, target_share)"
+
+
+@query(
+    "corpus_mix_weights",
+    f"""
+    -- domain-mixture reweighting: per-source token shares vs a target
+    -- mixture -> sampling weight and integer upsample epochs
+    WITH tok AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(len({_sql_words('text')}))::BIGINT AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens)::DOUBLE AS total FROM tok)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / total, 6) AS actual_share,
+           round(target_share, 6) AS target_share,
+           round(target_share / (n_tokens / total), 6) AS weight,
+           ceil(target_share / (n_tokens / total))::BIGINT AS epochs
+    FROM tok CROSS JOIN tot JOIN {_sql_mix_targets()} USING (source)
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting (the DoReMi/data-mixing prep step):
+    compare each source's actual token share against a target mixture and
+    emit the per-source sampling weight plus integer upsample epochs. One
+    partial-aggregated groupBy over the corpus; targets are a broadcast
+    literal table; the 1-row total joins back as a broadcast cross — no
+    second corpus pass."""
+    from wiki_mysql_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    rest = (1.0 - sum(_MIX_TARGETS.values())) / (20 - len(_MIX_TARGETS))
+    targets = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(f"src{i}", _MIX_TARGETS.get(f"src{i}", rest)) for i in range(20)],
+            ["source", "target_share"],
+        )
+    )
+    tok = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    tot = tok.agg(F.sum("n_tokens").cast("double").alias("total"))
+    share = F.col("n_tokens") / F.col("total")
+    return (
+        tok.crossJoin(F.broadcast(tot))
+        .join(targets, "source")
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round(share, 6).alias("actual_share"),
+            F.round("target_share", 6).alias("target_share"),
+            F.round(F.col("target_share") / share, 6).alias("weight"),
+            F.ceil(F.col("target_share") / share).cast("long").alias("epochs"),
+        )
+    )
