@@ -43,6 +43,12 @@ HEADLINE = [
     "graph_pagerank",
     "multimodal_features_arrow",
     "stream_tumbling_window",
+    # round-3 families: bloom-prefiltered decontam, compressed-codec decode,
+    # rule-set quality filtering, z-order layout
+    "decontam_bloom",
+    "multimodal_decode_png",
+    "text_gopher_quality",
+    "layout_zorder_stats",
 ]
 
 

@@ -520,3 +520,21 @@ def test_c4_rules_fire_per_fixture(spark):
     # bullet/short lines don't end in terminal punctuation -> nothing kept
     assert rows[300002]["n_kept_lines"] == 0 and not rows[300002]["c4_keep_doc"]
     assert rows[300009]["n_lines"] == 0 and not rows[300009]["c4_keep_doc"]
+
+
+def test_triangle_count_hand_graphs(spark):
+    """K4 (4 triangles) + pendant + separate triangle + a duplicate and a
+    reversed edge: dedup, canonicalization, and the degree-ordered wedge
+    closure must count each triangle exactly once."""
+    from wiki_mysql_spark.operators.graph import triangle_count
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+             (6, 7), (7, 8), (6, 8), (2, 1), (3, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    r = triangle_count(df).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (8, 10, 5)
+    # star graph: many wedges at the hub in the NAIVE formulation, but zero
+    # triangles — and the hub is a wedge SINK here (no wedge explosion)
+    star = spark.createDataFrame([(0, i) for i in range(1, 30)], ["src", "dst"])
+    r2 = triangle_count(star).collect()[0]
+    assert (r2["n_nodes"], r2["n_edges"], r2["n_triangles"]) == (30, 29, 0)

@@ -173,3 +173,65 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def triangle_count(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact global triangle count via degree-ordered orientation — the
+    standard distributed formulation (Suri & Vassilvitskii's MR algorithm;
+    public literature).
+
+    Each undirected edge is oriented from its lower-(degree, id) endpoint to
+    the higher one, making the oriented graph acyclic with per-node
+    out-degree O(sqrt(m)) on any graph — which bounds the wedge (2-path)
+    explosion that a naive join-on-shared-endpoint suffers on skewed
+    degrees: hub nodes become wedge SINKS, not wedge centers. Triangles are
+    then wedges (a->b, a->c) closed by an oriented edge (b->c); each
+    triangle is counted exactly once.
+
+    Plan: degree agg (one shuffle), orientation (map-side), wedge self-join
+    on the wedge center (one shuffle), closure semi-join against the edge
+    set (one shuffle). Never touches |V|^2 or unoriented wedge counts.
+
+    Returns a single row ``(n_nodes, n_edges, n_triangles)`` where
+    ``n_edges`` counts undirected edges after dedup/self-loop removal.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: lower (deg, node) -> higher (deg, node); total order, so the
+    # oriented graph is a DAG and every triangle has exactly one wedge form
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    keyed = e.join(da, "a").join(db, "b")
+    fwd = F.struct("da", "a") < F.struct("db", "b")
+    oriented = keyed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    ).localCheckpoint(eager=False)
+    l1 = oriented.select(F.col("lo").alias("c0"), F.col("hi").alias("w1"))
+    l2 = oriented.select(F.col("lo").alias("c0"), F.col("hi").alias("w2"))
+    wedges = l1.join(l2, "c0").where(F.col("w1") < F.col("w2"))
+    closing = oriented.select(
+        F.col("lo").alias("w1"), F.col("hi").alias("w2")
+    ).unionByName(
+        oriented.select(F.col("lo").alias("w2"), F.col("hi").alias("w1"))
+    )
+    tri = wedges.join(closing, ["w1", "w2"], "left_semi")
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
