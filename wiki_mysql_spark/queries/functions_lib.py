@@ -408,3 +408,41 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("obs").isNull().alias("filled"),
         )
     )
+
+
+@query(
+    "fn_bitwise_suite",
+    """
+    SELECT o_orderpriority,
+           bit_and(o_orderkey & 255)::BIGINT AS band,
+           bit_or(o_orderkey & 255)::BIGINT AS bor,
+           bit_xor(o_orderkey & 255)::BIGINT AS bxor,
+           sum(bit_count(o_orderkey))::BIGINT AS popcount_sum,
+           sum((o_orderkey << 2) % 1000)::BIGINT AS shl_sum,
+           sum(o_orderkey >> 3)::BIGINT AS shr_sum,
+           sum(xor(o_orderkey, o_custkey) % 997)::BIGINT AS xor_mod_sum
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate surface (the primitives behind the bloom
+    filter and z-order operators, exposed as a first-class suite): AND/OR/
+    XOR aggregates, popcount, shifts, scalar xor — all whole-stage-codegen
+    expressions with DuckDB twins."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.bit_and(k.bitwiseAND(F.lit(255))).alias("band"),
+            F.bit_or(k.bitwiseAND(F.lit(255))).alias("bor"),
+            F.bit_xor(k.bitwiseAND(F.lit(255))).alias("bxor"),
+            F.sum(F.bit_count(k)).cast("long").alias("popcount_sum"),
+            F.sum(F.shiftleft(k, 2) % 1000).cast("long").alias("shl_sum"),
+            F.sum(F.shiftright(k, 3)).cast("long").alias("shr_sum"),
+            F.sum(k.bitwiseXOR(F.col("o_custkey")) % 997)
+            .cast("long")
+            .alias("xor_mod_sum"),
+        )
+    )
