@@ -193,3 +193,52 @@ def test_weighted_reservoir_is_takeordered(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Spark's AQE skew-join handling is the engine-native complement to
+    the explicit salting operators (operators/skew.py): with a hot key
+    dominating one side of a sort-merge join, the adaptive plan must mark
+    the join skew=true and split the oversized partition — the mechanism
+    that makes unsalted fact-fact joins survive Zipfian keys at 100 TB."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        # 200k fact rows, 95% on one key, with a payload wide enough that
+        # the hot post-shuffle partition crosses the threshold
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("v"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        joined = fact.join(dim, "k")
+        # act on the frame ITSELF so its QueryExecution holds the FINAL
+        # adaptive plan (a sink write plans through a separate execution
+        # whose child would still print isFinalPlan=false here)
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
