@@ -538,3 +538,38 @@ def test_triangle_count_hand_graphs(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 30)], ["src", "dst"])
     r2 = triangle_count(star).collect()[0]
     assert (r2["n_nodes"], r2["n_edges"], r2["n_triangles"]) == (30, 29, 0)
+
+
+def test_png_entry_pixels_are_char_domain_unicode_safe(spark):
+    """The PNG decode entry's builder must stay exact for NON-ASCII text:
+    pixels are character codepoints mod 256, so a multibyte document
+    produces the same pixel_sum the char-indexed oracle computes (the
+    byte-domain formulation silently diverged on non-ASCII)."""
+    import duckdb
+
+    from wiki_mysql_spark.queries.registry import ORACLE
+
+    import tempfile
+
+    from wiki_mysql_spark.queries.multimodal_queries import multimodal_decode_png
+
+    rows = [(1, "héllo wörld ünïcode"), (2, "日本語テキスト"), (3, "plain ascii")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    with tempfile.TemporaryDirectory() as sf_dir:
+        docs.coalesce(1).write.parquet(sf_dir + "/documents.parquet")
+        got = {
+            r["doc_id"]: (r["width"], r["height"], r["pixel_sum"],
+                          r["roundtrip_exact"])
+            for r in multimodal_decode_png(spark, sf_dir).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+        )
+        want = {
+            r[0]: (r[1], r[2], r[3], r[4])
+            for r in con.sql(ORACLE["multimodal_decode_png"]).fetchall()
+        }
+    assert got == want
+    assert all(v[3] for v in got.values())  # every round-trip pixel-exact

@@ -96,6 +96,9 @@ def decontaminate_bloom(
             "eval_id", words(F.col("text")).alias("ws")
         )
         .select("eval_id", F.explode(F.array_distinct(shingles_of(F.col("ws"), n))).alias("shingle"))
+        # one materialization: the eval shingle pipeline is consumed twice —
+        # eagerly by the bloom build's collect and again by the verify join
+        .localCheckpoint(eager=False)
     )
     bloom = build_bloom(ev_sh.select("shingle").distinct(), "shingle",
                         n_bits=n_bits, n_hashes=n_hashes)

@@ -139,6 +139,10 @@ def skew_safe_block_self_pairs(
 
     Returns columns ``(block, l, r)`` where ``l``/``r`` are full-row structs.
     """
+    # one materialization: without it the input lineage (scan + derived
+    # block column) is re-evaluated in five subtrees of the final plan —
+    # the size count, both cold join sides, and both exploded hot sides
+    df = df.localCheckpoint(eager=False)
     sizes = df.groupBy(block).agg(F.count(F.lit(1)).alias("_n"))
     hot = F.broadcast(sizes.where(F.col("_n") > hot_threshold).select(block))
     cold_df = df.join(hot, block, "left_anti")

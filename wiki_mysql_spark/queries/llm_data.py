@@ -1011,9 +1011,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # words(text) expression would be substituted into the lambda body and
     # re-run the regex split once per shingle — O(words^2) regex work per
     # document (the shingles_of docstring trap; measured ~2x entry cost)
-    tok = docs.select(
-        "doc_id", F.filter(F.split("text", r"\s+"), lambda w: w != "").alias("ws")
-    )
+    tok = docs.select("doc_id", words(F.col("text")).alias("ws"))
     ws = F.col("ws")
     idx = F.when(
         F.size(ws) >= k, F.sequence(F.lit(0), F.size(ws) - k)

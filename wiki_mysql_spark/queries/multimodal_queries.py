@@ -168,23 +168,24 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_decode_png",
     """
-    -- the builder tiles each doc's bytes into the pixels of a REAL
-    -- compressed PNG (DEFLATE via stdlib zlib; scanline filters cycle 0-4),
-    -- then the real decoder reconstructs them. The oracle recomputes the
-    -- builder arithmetic independently: ((len % 16) + 1) x ((len % 12) + 1)
-    -- RGB, pixel i = byte (i % len) of the doc text, and expects the
-    -- decode-vs-input comparison (done pixel-exact Spark-side) to be TRUE.
+    -- the builder tiles each doc's CHARACTER codepoints (mod 256) into the
+    -- pixels of a REAL compressed PNG (DEFLATE via stdlib zlib; scanline
+    -- filters cycle 0-4), then the real decoder reconstructs them. The
+    -- whole construction is character-domain on BOTH engines (length /
+    -- substr / ascii are char-indexed here), so it stays exact even for
+    -- non-ASCII text — unlike byte-domain arithmetic, where char-indexed
+    -- substr with byte-derived indices would diverge.
     SELECT doc_id,
-           ((octet_length(encode(text)) % 16) + 1)::BIGINT AS width,
-           ((octet_length(encode(text)) % 12) + 1)::BIGINT AS height,
-           (CASE WHEN octet_length(encode(text)) = 0 THEN 0
+           ((length(text) % 16) + 1)::BIGINT AS width,
+           ((length(text) % 12) + 1)::BIGINT AS height,
+           (CASE WHEN length(text) = 0 THEN 0
                 ELSE list_sum(list_transform(
-                       range((((octet_length(encode(text)) % 16) + 1)
-                              * ((octet_length(encode(text)) % 12) + 1)
+                       range((((length(text) % 16) + 1)
+                              * ((length(text) % 12) + 1)
                               * 3)::BIGINT),
                        i -> ascii(substr(text,
-                                         ((i % octet_length(encode(text)))
-                                          + 1)::INT, 1))))
+                                         ((i % length(text)) + 1)::INT,
+                                         1)) % 256))
            END)::BIGINT AS pixel_sum,
            TRUE AS roundtrip_exact
     FROM documents
@@ -200,7 +201,9 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     inflated + unfiltered) pixels, and a Spark-side pixel-exact comparison
     against the pre-compression input. The oracle recomputes the builder
     arithmetic independently, so a decoder that inflates or unfilters wrong
-    changes ``pixel_sum``/``roundtrip_exact`` and fails the hash."""
+    changes ``pixel_sum``/``roundtrip_exact`` and fails the hash. Pixels
+    come from CHARACTER codepoints (mod 256), matching the char-indexed
+    oracle for any text, ASCII or not."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
@@ -227,14 +230,15 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in
                    ("doc_id", "width", "height", "pixel_sum", "roundtrip_exact")}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                w, h = (len(b) % 16) + 1, (len(b) % 12) + 1
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = text or ""
+                n = len(s)
+                w, h = (n % 16) + 1, (n % 12) + 1
                 need = w * h * 3
-                pix = np.frombuffer(
-                    (b * (need // max(1, len(b)) + 1))[:need] if b else b"\0" * need,
-                    dtype=np.uint8,
-                ).reshape(h, w, 3)
+                vals = (
+                    [ord(s[i % n]) % 256 for i in range(need)] if n else [0] * need
+                )
+                pix = np.array(vals, dtype=np.uint8).reshape(h, w, 3)
                 png = encode_png(pix, filter_type=None)  # cycle all 5 filters
                 dec = decode_png(png)  # REAL inflate + unfilter
                 out["doc_id"].append(doc_id)
@@ -245,8 +249,8 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return (
-        _payload_docs(spark, sf_dir)
-        .select("doc_id", "payload")
+        spread_small_scan(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "text")
         .mapInPandas(_roundtrip, schema)
     )
 

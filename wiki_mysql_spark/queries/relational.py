@@ -1266,10 +1266,15 @@ def join_interval_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_layout_zorder() -> str:
     from wiki_mysql_spark.operators.layout import sql_morton
 
-    z = sql_morton("(o_custkey % 65536)", "(o_orderkey % 65536)")
+    z = sql_morton("o_custkey", "o_orderkey")
     return f"""
+    -- keys are %-65536-reduced FIRST (same as the Spark side), so min/max
+    -- and the ntile tie-break operate on identical values at any SF — at
+    -- sf0.1 raw o_orderkey exceeds 65536 and unmodded aggregation diverges
     WITH keyed AS (
-        SELECT o_custkey, o_orderkey, {z} AS zkey FROM orders
+        SELECT o_custkey, o_orderkey, {z} AS zkey
+        FROM (SELECT (o_custkey % 65536) AS o_custkey,
+                     (o_orderkey % 65536) AS o_orderkey FROM orders)
     ),
     bucketed AS (
         SELECT o_custkey, o_orderkey,
