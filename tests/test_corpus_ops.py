@@ -252,3 +252,23 @@ def test_decontaminate_bloom_equals_exact_join(spark):
         for r in decontaminate(train, ev).collect()
     }
     assert got == want and set(got) == {1, 3}
+
+
+def test_url_canonicalization_rules_fire(spark):
+    """Port stripping, case folding, fragment dropping, and utm removal must
+    all fire, and the messy/clean twins must land in one dedup group."""
+    from wiki_mysql_spark.queries import QUERIES
+    from tests.conftest import SF_CORRECTNESS
+
+    rows = {
+        r["canonical"]: (r["n_urls"], r["keep_url_id"])
+        for r in QUERIES["text_url_normalize_dedup"](spark, SF_CORRECTNESS).collect()
+    }
+    # 500001 (messy: port 80, case, utm, fragment) == 500005 (utm at tail)
+    assert rows["http://example.com/Path/Page?id=2&b=1"] == (2, 500001)
+    # 500003 (port 443 + utm-only query) == 500004 (clean)
+    assert rows["https://example.com/other"] == (2, 500003)
+    # subdomain stays distinct
+    assert rows["https://sub.example.com/other"] == (1, 500006)
+    # param ORDER is preserved (sorting out of scope): b=1&id=2 is separate
+    assert rows["http://example.com/Path/Page?b=1&id=2"] == (1, 500002)

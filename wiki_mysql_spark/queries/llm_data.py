@@ -1224,3 +1224,65 @@ def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats["has_brace"].alias("has_brace"),
         feats["c4_keep_doc"].alias("c4_keep_doc"),
     )
+
+
+@query(
+    "text_char_entropy",
+    """
+    -- per-row Shannon entropy over the character histogram; the distinct
+    -- chars are SORTED before the fold so both engines sum in the same
+    -- order and the rounded doubles match bit-for-bit
+    WITH c AS (
+        SELECT doc_id, length(text) AS n,
+               list_transform(range(length(text)),
+                              i -> substr(text, (i + 1)::INT, 1)) AS chars
+        FROM documents
+    ),
+    d AS (SELECT doc_id, n, chars, list_sort(list_distinct(chars)) AS dchars FROM c)
+    SELECT doc_id,
+           n::BIGINT AS n_chars,
+           len(dchars)::BIGINT AS n_distinct_chars,
+           round(CASE WHEN n = 0 THEN 0.0 ELSE
+               -list_reduce(list_prepend(0.0, list_transform(dchars,
+                   ch -> (len(list_filter(chars, x -> x = ch)) / n::DOUBLE)
+                         * log2(len(list_filter(chars, x -> x = ch))
+                                / n::DOUBLE))),
+                 (a, b) -> a + b) END, 6) + 0 AS char_entropy
+    FROM d
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy — the gibberish/boilerplate quality
+    signal (low entropy = repeated filler, high = encrypted/binary junk;
+    used alongside the Gopher rules in web-corpus filtering). Pure
+    higher-order expressions: char array -> sorted distinct -> per-char
+    frequency fold. O(n_chars x distinct_chars) per ROW, zero shuffles —
+    scales linearly like every other per-row signal."""
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    n = F.length("text")
+    chars = F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.col("text").substr(i, F.lit(1))
+        )
+    )
+    tok = docs.select("doc_id", n.alias("n"), chars.alias("chars"))
+    dchars = F.array_sort(F.array_distinct(F.col("chars")))
+    freq = lambda ch: F.size(  # noqa: E731
+        F.filter(F.col("chars"), lambda x: x == ch)
+    ) / F.col("n").cast("double")
+    entropy = -F.aggregate(
+        dchars,
+        F.lit(0.0),
+        lambda acc, ch: acc + freq(ch) * F.log2(freq(ch)),
+    )
+    return tok.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars"),
+        F.size(dchars).cast("long").alias("n_distinct_chars"),
+        (
+            F.round(F.when(F.col("n") == 0, F.lit(0.0)).otherwise(entropy), 6)
+            + F.lit(0.0)
+        ).alias("char_entropy"),
+    )

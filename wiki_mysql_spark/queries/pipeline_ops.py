@@ -730,3 +730,95 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.col("target_share") / share).cast("long").alias("epochs"),
         )
     )
+
+
+_URL_FIXTURE: list[tuple[int, str]] = [
+    (500001, "HTTP://Example.COM:80/Path/Page?utm_source=x&id=2&b=1#frag"),
+    (500002, "http://example.com/Path/Page?b=1&id=2"),
+    (500003, "https://Example.com:443/other?utm_campaign=y"),
+    (500004, "https://example.com/other"),
+    (500005, "http://example.com/Path/Page?id=2&b=1&utm_medium=z"),
+    (500006, "https://sub.example.com/other"),
+]
+
+
+def _sql_url_fixture() -> str:
+    rows = ", ".join(f"({i}::BIGINT, '{u}')" for i, u in _URL_FIXTURE)
+    return f"(VALUES {rows}) u(url_id, url)"
+
+
+_SQL_URL_CANON = """
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                concat(lower(regexp_extract(url, '^([a-zA-Z]+://[^/?#]+)', 1)),
+                       coalesce(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), ''),
+                       CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) <> ''
+                            THEN concat('?', regexp_extract(url, '\\?([^#]*)', 1))
+                            ELSE '' END),
+                ':80(/|\\?|$)', '\\1'),
+              ':443(/|\\?|$)', '\\1'),
+            'utm_[a-z]+=[^&#]*', ''),
+          '&&+', '&'),
+        '\\?&', '?'),
+      '[?&]+$', '')
+"""
+
+
+@query(
+    "text_url_normalize_dedup",
+    f"""
+    -- canonical form: lowercase scheme+host, default ports stripped,
+    -- fragment dropped, utm_* params removed; dedup groups on the result.
+    -- (Query-param SORTING is deliberately out of scope: both engines
+    -- apply the identical rule set, which is what the oracle checks.)
+    WITH canon AS (
+        SELECT url_id, url, {_SQL_URL_CANON} AS canonical
+        FROM {_sql_url_fixture()}
+    )
+    SELECT canonical,
+           count(*)::BIGINT AS n_urls,
+           min(url_id)::BIGINT AS keep_url_id
+    FROM canon GROUP BY canonical
+    """,
+)
+def text_url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup (the RefinedWeb/CCNet web-corpus prep
+    step): lowercase scheme+authority, strip default :80/:443 ports, drop
+    the fragment, remove utm_* tracking params, then exact-dedup on the
+    canonical form. Pure regexp_replace chain (Java-regex/RE2 common
+    subset, like the PII redactor) + one groupBy — per-row then one
+    shuffle keyed by canonical URL. The fixture covers every rule firing;
+    the corpus has no URL column, so this is fixture-driven like the PII
+    entry."""
+    urls = spark.createDataFrame(_URL_FIXTURE, ["url_id", "url"])
+    scheme_host = F.lower(F.regexp_extract("url", r"^([a-zA-Z]+://[^/?#]+)", 1))
+    path = F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
+    qs = F.regexp_extract("url", r"\?([^#]*)", 1)
+    canonical = F.concat(
+        scheme_host, path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    # ordered, unambiguous rule set (identical non-overlapping left-to-right
+    # semantics in Java regex and RE2): strip default ports, remove utm_*
+    # params, then repair the separators the removal orphaned
+    for pat, rep in (
+        (r":80(/|\?|$)", r"$1"),
+        (r":443(/|\?|$)", r"$1"),
+        (r"utm_[a-z]+=[^&#]*", ""),
+        (r"&&+", "&"),
+        (r"\?&", "?"),
+        (r"[?&]+$", ""),
+    ):
+        canonical = F.regexp_replace(canonical, pat, rep)
+    return (
+        urls.select("url_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("url_id").alias("keep_url_id"),
+        )
+    )
