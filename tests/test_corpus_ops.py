@@ -272,3 +272,35 @@ def test_url_canonicalization_rules_fire(spark):
     assert rows["https://sub.example.com/other"] == (1, 500006)
     # param ORDER is preserved (sorting out of scope): b=1&id=2 is separate
     assert rows["http://example.com/Path/Page?b=1&id=2"] == (1, 500002)
+
+
+def test_pack_context_windows_spans_and_conservation(spark):
+    """Every token lands in exactly one window; docs split across a window
+    boundary emit multiple spans whose lengths sum to the doc's count; each
+    window holds exactly 256 tokens except a source's last."""
+    from collections import defaultdict
+
+    from wiki_mysql_spark.queries import QUERIES
+    from tests.conftest import SF_CORRECTNESS
+
+    rows = QUERIES["pack_context_windows"](spark, SF_CORRECTNESS).collect()
+    per_doc = defaultdict(int)
+    per_window = defaultdict(int)
+    for r in rows:
+        assert r["n_toks_in_window"] > 0
+        per_doc[r["doc_id"]] += r["n_toks_in_window"]
+        per_window[(r["source"], r["window_id"])] += r["n_toks_in_window"]
+    # token conservation per source: full windows are exactly 256
+    last_per_source = {}
+    for (src, wid) in per_window:
+        last_per_source[src] = max(last_per_source.get(src, -1), wid)
+    for (src, wid), tot in per_window.items():
+        if wid < last_per_source[src]:
+            assert tot == 256, (src, wid, tot)
+        else:
+            assert 0 < tot <= 256
+    # at least one document was split across windows (multi-span)
+    spans = defaultdict(int)
+    for r in rows:
+        spans[r["doc_id"]] += 1
+    assert any(v > 1 for v in spans.values())

@@ -822,3 +822,76 @@ def text_url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("url_id").alias("keep_url_id"),
         )
     )
+
+
+@query(
+    "pack_context_windows",
+    f"""
+    -- cross-document packing into fixed 256-token context windows: docs are
+    -- concatenated in (source, doc_id) order and CUT at window boundaries,
+    -- so one doc can span several windows (the training-sequence builder
+    -- one step after pack_token_budget's bin ASSIGNMENT). Integer window
+    -- arithmetic only — exact on both engines.
+    WITH toks AS (
+        SELECT doc_id, source, len({_sql_words('text')})::BIGINT AS n
+        FROM documents
+    ),
+    offs AS (
+        SELECT doc_id, source, n,
+               (sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n) AS off
+        FROM toks WHERE n > 0
+    ),
+    spans AS (
+        SELECT doc_id, source, n, off,
+               unnest(range((off // 256)::BIGINT,
+                            (((off + n - 1) // 256) + 1)::BIGINT)) AS window_id
+        FROM offs
+    )
+    SELECT source, window_id::BIGINT AS window_id, doc_id,
+           greatest(0, window_id * 256 - off)::BIGINT AS start_in_doc,
+           (least(n, (window_id + 1) * 256 - off)
+            - greatest(0, window_id * 256 - off))::BIGINT AS n_toks_in_window
+    FROM spans
+    """,
+)
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-context-window sequence packing: concatenate documents in
+    (source, doc_id) order and cut every 256 tokens, emitting one row per
+    (doc, window) span — including documents SPLIT across windows. One
+    running-sum window (one shuffle keyed by source) + a per-row explode
+    over the spanned window range; all integer arithmetic, so the oracle
+    is exact. At 100 TB the shuffle is the per-source token cumsum — the
+    same cost as any deterministic global ordering — and the explode is
+    output-sized (each doc emits ceil(n/W)+1 rows at most)."""
+    from pyspark.sql.window import Window
+
+    W = 256
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    from wiki_mysql_spark.functions.text import words
+
+    toks = docs.select(
+        "doc_id", "source", F.size(words(F.col("text"))).cast("long").alias("n")
+    ).where(F.col("n") > 0)
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = toks.withColumn("off", F.sum("n").over(w) - F.col("n"))
+    spans = offs.select(
+        "doc_id", "source", "n", "off",
+        F.explode(
+            F.sequence(
+                (F.col("off") / W).cast("long"),
+                ((F.col("off") + F.col("n") - 1) / W).cast("long"),
+            )
+        ).alias("window_id"),
+    )
+    start = F.greatest(F.lit(0), F.col("window_id") * W - F.col("off"))
+    end = F.least(F.col("n"), (F.col("window_id") + 1) * W - F.col("off"))
+    return spans.select(
+        "source",
+        F.col("window_id").cast("long").alias("window_id"),
+        "doc_id",
+        start.cast("long").alias("start_in_doc"),
+        (end - start).cast("long").alias("n_toks_in_window"),
+    )
