@@ -248,6 +248,12 @@ def _png_unfilter_row(
         return row.copy()
     if ft == 2:
         return ((row.astype(np.int32) + prev) % 256).astype(np.uint8)
+    if ft == 1:
+        # Sub's recurrence out[i] = row[i] + out[i-bpp] is a per-channel
+        # prefix sum — vectorized instead of the per-pixel loop below
+        return (
+            np.cumsum(row.reshape(-1, bpp).astype(np.int64), axis=0) % 256
+        ).astype(np.uint8).reshape(-1)
     out = np.zeros_like(row)
     for i in range(len(row)):
         a = int(out[i - bpp]) if i >= bpp else 0

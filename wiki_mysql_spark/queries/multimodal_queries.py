@@ -235,10 +235,17 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = len(s)
                 w, h = (n % 16) + 1, (n % 12) + 1
                 need = w * h * 3
-                vals = (
-                    [ord(s[i % n]) % 256 for i in range(need)] if n else [0] * need
-                )
-                pix = np.array(vals, dtype=np.uint8).reshape(h, w, 3)
+                if n:
+                    # codepoints mod 256, vectorized (utf-32-le = one u4
+                    # per character), tiled to the pixel count
+                    codes = (
+                        np.frombuffer(s.encode("utf-32-le"), dtype="<u4") % 256
+                    ).astype(np.uint8)
+                    reps = need // n + 1
+                    pix = np.tile(codes, reps)[:need]
+                else:
+                    pix = np.zeros(need, dtype=np.uint8)
+                pix = pix.reshape(h, w, 3)
                 png = encode_png(pix, filter_type=None)  # cycle all 5 filters
                 dec = decode_png(png)  # REAL inflate + unfilter
                 out["doc_id"].append(doc_id)
