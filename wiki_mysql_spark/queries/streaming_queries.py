@@ -249,3 +249,77 @@ def stream_upsert_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 2).alias("total_value"),
         "last_ts",
     )
+
+
+@query(
+    "stream_gopher_filter",
+    """
+    -- the batch Gopher pass/fail tally over the same corpus: a drained
+    -- stateless stream must equal it exactly
+    WITH tok AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws,
+               text
+        FROM documents
+    ),
+    feat AS (
+        SELECT source,
+               (len(ws) BETWEEN 50 AND 100000
+                AND (CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                     list_reduce(list_prepend(0.0,
+                         list_transform(ws, w -> length(w)::DOUBLE)),
+                         (a, b) -> a + b) / len(ws)::DOUBLE END)
+                    BETWEEN 3.0 AND 10.0
+                AND (CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                     ((length(text) - length(replace(text, '#', '')))
+                      + (length(text) - length(replace(text, '...', ''))) // 3)
+                     / len(ws)::DOUBLE END) <= 0.1
+                AND (CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                     len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+                     / len(ws)::DOUBLE END) >= 0.8
+                AND (list_contains(lws, 'the')::INT + list_contains(lws, 'be')::INT
+                     + list_contains(lws, 'to')::INT + list_contains(lws, 'of')::INT
+                     + list_contains(lws, 'and')::INT + list_contains(lws, 'that')::INT
+                     + list_contains(lws, 'have')::INT + list_contains(lws, 'with')::INT)
+                    >= 2) AS ok
+        FROM (SELECT *, list_transform(ws, w -> lower(w)) AS lws FROM tok)
+    )
+    SELECT source,
+           count(*) FILTER (ok)::BIGINT AS n_pass,
+           count(*) FILTER (NOT ok)::BIGINT AS n_fail
+    FROM feat GROUP BY source
+    """,
+)
+def stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality rules applied INSIDE a streaming micro-batch
+    pipeline (readStream over the documents files -> stateless per-row rule
+    columns -> per-source pass/fail tally in complete mode) — the
+    continuous-ingest corpus-filtering shape. The rule expressions are the
+    exact batch ones (functions/text.py gopher_features); a drained stream
+    must equal the batch tally, which is what the oracle computes. The
+    corpus has no newlines, so the line-based bullet/ellipsis rules are
+    vacuously satisfied here and the conjunction reduces to the word-level
+    rules — the batch entry's fixture covers those; this entry pins the
+    STREAMING execution path."""
+    import os
+
+    from wiki_mysql_spark.functions.text import gopher_features
+    from wiki_mysql_spark.streaming.events import run_stream_to_memory
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    ok = gopher_features(F.col("text"))["gopher_pass"]
+    tally = (
+        docs.select("source", ok.alias("ok"))
+        .groupBy("source")
+        .agg(
+            F.count_if(F.col("ok")).alias("n_pass"),
+            F.count_if(~F.col("ok")).alias("n_fail"),
+        )
+    )
+    return run_stream_to_memory(tally, output_mode="complete")
