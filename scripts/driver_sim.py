@@ -63,6 +63,9 @@ def build_spark(cpus: int = 32):
         .appName("driver_sim")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
+        # sizing only, not query tuning: the pyspark default 1g driver heap
+        # OOMs a long sf0.1 sweep (the JVM dies -> py4j ConnectionRefused)
+        .config("spark.driver.memory", "24g")
         .getOrCreate()
     )
 
