@@ -573,3 +573,85 @@ def test_png_entry_pixels_are_char_domain_unicode_safe(spark):
         }
     assert got == want
     assert all(v[3] for v in got.values())  # every round-trip pixel-exact
+
+
+def _png_decode_independent(payload: bytes):
+    """Minimal INDEPENDENT PNG decoder for parity testing: pure Python (no
+    numpy), written directly from the PNG spec (RFC 2083 §6) as a separate
+    code path from operators/multimodal.decode_png — a bug in the
+    production decoder's vectorized unfilter cannot be mirrored here.
+    8-bit grey/RGB/RGBA, no interlace."""
+    import struct
+    import zlib
+
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        crc = struct.unpack_from(">I", payload, pos + 8 + size)[0]
+        assert crc == (zlib.crc32(ctype + data) & 0xFFFFFFFF), "bad CRC"
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    assert depth == 8 and comp == 0 and filt == 0 and interlace == 0
+    bpp = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = zlib.decompress(idat)
+    stride = w * bpp
+    out = []
+    prev = [0] * stride
+    for y in range(h):
+        off = y * (stride + 1)
+        ft = raw[off]
+        line = list(raw[off + 1 : off + 1 + stride])
+        cur = [0] * stride
+        for i in range(stride):
+            x = line[i]
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                r = x
+            elif ft == 1:
+                r = x + a
+            elif ft == 2:
+                r = x + b
+            elif ft == 3:
+                r = x + (a + b) // 2
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r = x + pred
+            cur[i] = r % 256
+        out.append(cur)
+        prev = cur
+    return w, h, bpp, out
+
+
+def test_png_codec_vs_independent_spec_decoder():
+    """Cross-validation: bytes produced by encode_png decode identically
+    through the production decoder AND a from-the-spec pure-Python decoder
+    written independently in this test (incl. CRC verification, which the
+    production decoder skips)."""
+    import numpy as np
+
+    from wiki_mysql_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(23)
+    for shape in [(5, 7), (5, 7, 3), (3, 4, 4), (1, 1), (2, 40, 3)]:
+        pix = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in [0, 1, 2, 3, 4, None]:
+            png = encode_png(pix, filter_type=ft)
+            w, h, bpp, rows = _png_decode_independent(png)
+            flat = pix.reshape(pix.shape[0], -1)
+            assert (w, h) == (pix.shape[1], pix.shape[0])
+            assert rows == [list(map(int, r)) for r in flat], (shape, ft)
+            prod = decode_png(png)
+            assert (prod.reshape(prod.shape[0], -1) == flat).all()
