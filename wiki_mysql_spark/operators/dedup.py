@@ -304,7 +304,12 @@ def embedding_near_dup_pairs(
     """
     from wiki_mysql_spark.sources.tables import is_small_input
 
-    if not is_small_input(emb, max_bytes=max_input_bytes, max_rows=1_000_000):
+    # byte_probe: this is a SAFETY gate against launching a corpus-squared
+    # join, so unknown-stats inputs must be measured in bytes, not assumed
+    # small on row count (embedding rows are KBs-wide by construction)
+    if not is_small_input(
+        emb, max_bytes=max_input_bytes, max_rows=1_000_000, byte_probe=True
+    ):
         raise ValueError(
             "embedding_near_dup_pairs is an all-pairs O(n^2) baseline and the "
             f"input exceeds the {max_input_bytes}-byte gate; use "

@@ -1238,17 +1238,24 @@ def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
                               i -> substr(text, (i + 1)::INT, 1)) AS chars
         FROM documents
     ),
-    d AS (SELECT doc_id, n, chars, list_sort(list_distinct(chars)) AS dchars FROM c)
+    d AS (SELECT doc_id, n, chars, list_sort(list_distinct(chars)) AS dchars FROM c),
+    -- counts materialized ONCE per distinct char (one O(n) filter each),
+    -- then the entropy fold runs over the counts — halves the hot path vs
+    -- recomputing the filter inside both factors of p*log2(p)
+    k AS (
+        SELECT doc_id, n, dchars,
+               list_transform(dchars,
+                   ch -> len(list_filter(chars, x -> x = ch))) AS cnts
+        FROM d
+    )
     SELECT doc_id,
            n::BIGINT AS n_chars,
            len(dchars)::BIGINT AS n_distinct_chars,
            round(CASE WHEN n = 0 THEN 0.0 ELSE
-               -list_reduce(list_prepend(0.0, list_transform(dchars,
-                   ch -> (len(list_filter(chars, x -> x = ch)) / n::DOUBLE)
-                         * log2(len(list_filter(chars, x -> x = ch))
-                                / n::DOUBLE))),
+               -list_reduce(list_prepend(0.0, list_transform(cnts,
+                   c -> (c / n::DOUBLE) * log2(c / n::DOUBLE))),
                  (a, b) -> a + b) END, 6) + 0 AS char_entropy
-    FROM d
+    FROM k
     """,
 )
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1269,18 +1276,24 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = docs.select("doc_id", n.alias("n"), chars.alias("chars"))
     dchars = F.array_sort(F.array_distinct(F.col("chars")))
-    freq = lambda ch: F.size(  # noqa: E731
-        F.filter(F.col("chars"), lambda x: x == ch)
-    ) / F.col("n").cast("double")
+    # counts first (one O(n) filter per distinct char), then the fold over
+    # counts — the inline form would run the filter twice per p*log2(p)
+    tok = tok.select(
+        "doc_id", "n", F.size(dchars).alias("n_d"),
+        F.transform(
+            dchars, lambda ch: F.size(F.filter(F.col("chars"), lambda x: x == ch))
+        ).alias("cnts"),
+    )
+    p = lambda c: c / F.col("n").cast("double")  # noqa: E731
     entropy = -F.aggregate(
-        dchars,
+        F.col("cnts"),
         F.lit(0.0),
-        lambda acc, ch: acc + freq(ch) * F.log2(freq(ch)),
+        lambda acc, c: acc + p(c) * F.log2(p(c)),
     )
     return tok.select(
         "doc_id",
         F.col("n").cast("long").alias("n_chars"),
-        F.size(dchars).cast("long").alias("n_distinct_chars"),
+        F.col("n_d").cast("long").alias("n_distinct_chars"),
         (
             F.round(F.when(F.col("n") == 0, F.lit(0.0)).otherwise(entropy), 6)
             + F.lit(0.0)

@@ -188,7 +188,7 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          1)) % 256))
            END)::BIGINT AS pixel_sum,
            TRUE AS roundtrip_exact
-    FROM documents
+    FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     """,
 )
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -665,14 +665,25 @@ _MIX_TARGETS: dict[str, float] = {
 }
 
 
+def _mix_target_rows() -> list[tuple[str, float]]:
+    """Single source of truth for the target mixture — both the Spark
+    broadcast table and the oracle VALUES derive from this, so the shares
+    cannot drift between engines. Non-listed sources share the remainder
+    uniformly (guarded: zero remainder sources -> no division at all)."""
+    named = [(f"src{i}", _MIX_TARGETS[f"src{i}"]) for i in range(20)
+             if f"src{i}" in _MIX_TARGETS]
+    others = [f"src{i}" for i in range(20) if f"src{i}" not in _MIX_TARGETS]
+    rest = ((1.0 - sum(s for _, s in named)) / len(others)) if others else 0.0
+    full = dict(named, **{s: rest for s in others})
+    return [(f"src{i}", full[f"src{i}"]) for i in range(20)]
+
+
 def _sql_mix_targets() -> str:
-    rest = (1.0 - sum(_MIX_TARGETS.values())) / (20 - len(_MIX_TARGETS))
     rows = ", ".join(
         # ::DOUBLE: DuckDB types bare decimal literals as DECIMAL, whose
         # division rounds differently from the float64 arithmetic Spark
         # does — the 6th digit of `weight` flips without the cast
-        f"('src{i}', {_MIX_TARGETS.get(f'src{i}', rest)!r}::DOUBLE)"
-        for i in range(20)
+        f"('{src}', {share!r}::DOUBLE)" for src, share in _mix_target_rows()
     )
     return f"(VALUES {rows}) t(source, target_share)"
 
@@ -706,11 +717,9 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wiki_mysql_spark.functions.text import words
 
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    rest = (1.0 - sum(_MIX_TARGETS.values())) / (20 - len(_MIX_TARGETS))
     targets = F.broadcast(
         docs.sparkSession.createDataFrame(
-            [(f"src{i}", _MIX_TARGETS.get(f"src{i}", rest)) for i in range(20)],
-            ["source", "target_share"],
+            _mix_target_rows(), ["source", "target_share"]
         )
     )
     tok = docs.groupBy("source").agg(
@@ -739,6 +748,9 @@ _URL_FIXTURE: list[tuple[int, str]] = [
     (500004, "https://example.com/other"),
     (500005, "http://example.com/Path/Page?id=2&b=1&utm_medium=z"),
     (500006, "https://sub.example.com/other"),
+    # NOT a tracking param: the name merely ends in 'utm_source' and must
+    # survive canonicalization untouched (left-anchor regression case)
+    (500007, "http://example.com/a?xutm_source=1&id=2"),
 ]
 
 
@@ -761,7 +773,7 @@ _SQL_URL_CANON = """
                             ELSE '' END),
                 ':80(/|\\?|$)', '\\1'),
               ':443(/|\\?|$)', '\\1'),
-            'utm_[a-z]+=[^&#]*', ''),
+            '([?&])utm_[a-z]+=[^&#]*', '\\1'),
           '&&+', '&'),
         '\\?&', '?'),
       '[?&]+$', '')
@@ -808,7 +820,10 @@ def text_url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pat, rep in (
         (r":80(/|\?|$)", r"$1"),
         (r":443(/|\?|$)", r"$1"),
-        (r"utm_[a-z]+=[^&#]*", ""),
+        # LEFT-anchored on a separator so a non-tracking param whose name
+        # merely ends in 'utm_...' (e.g. xutm_source) is never mangled;
+        # the separator is kept and repaired by the following rules
+        (r"([?&])utm_[a-z]+=[^&#]*", r"$1"),
         (r"&&+", "&"),
         (r"\?&", "?"),
         (r"[?&]+$", ""),

@@ -259,6 +259,8 @@ def stream_upsert_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
         SELECT doc_id, source,
                list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws,
+               list_filter(list_transform(string_split(text, chr(10)),
+                                          l -> trim(l)), l -> l <> '') AS lines,
                text
         FROM documents
     ),
@@ -277,6 +279,13 @@ def stream_upsert_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AND (CASE WHEN len(ws) = 0 THEN 0.0 ELSE
                      len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
                      / len(ws)::DOUBLE END) >= 0.8
+                AND (CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+                     len(list_filter(lines,
+                         l -> substr(l, 1, 1) IN ('-', '*', '•')))
+                     / len(lines)::DOUBLE END) <= 0.9
+                AND (CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+                     len(list_filter(lines, l -> ends_with(l, '...')))
+                     / len(lines)::DOUBLE END) <= 0.3
                 AND (list_contains(lws, 'the')::INT + list_contains(lws, 'be')::INT
                      + list_contains(lws, 'to')::INT + list_contains(lws, 'of')::INT
                      + list_contains(lws, 'and')::INT + list_contains(lws, 'that')::INT
@@ -296,11 +305,11 @@ def stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns -> per-source pass/fail tally in complete mode) — the
     continuous-ingest corpus-filtering shape. The rule expressions are the
     exact batch ones (functions/text.py gopher_features); a drained stream
-    must equal the batch tally, which is what the oracle computes. The
-    corpus has no newlines, so the line-based bullet/ellipsis rules are
-    vacuously satisfied here and the conjunction reduces to the word-level
-    rules — the batch entry's fixture covers those; this entry pins the
-    STREAMING execution path."""
+    must equal the batch tally, which is what the oracle computes — and the
+    oracle replays the FULL conjunction including the line-level bullet/
+    ellipsis rules (a newline-free doc is exactly ONE line, so those rules
+    are live, not vacuous). This entry pins the STREAMING execution
+    path."""
     import os
 
     from wiki_mysql_spark.functions.text import gopher_features

@@ -156,18 +156,26 @@ def udf_cogroup_balance_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SENT_FIXTURE: list[tuple[int, str]] = [
+    (400001, "First sentence. Second one! Third? "),
+    (400002, "no terminal punctuation at all"),
+    (400003, "..."),
+]
+_SQL_SENT_FIXTURE = ", ".join(
+    f"({i}::BIGINT, '{t}')" for i, t in _SENT_FIXTURE
+)
+
+
 @query(
     "udtf_sentence_split",
-    """
+    f"""
     -- the same split rule replayed in SQL: segments on [.!?]+ runs,
-    -- trimmed, empties dropped, indexed in document order
+    -- SPACE-trimmed (trim() default — the Python side strips ' ' only, for
+    -- parity on tab/other whitespace), empties dropped, document order
     WITH corpus AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
         UNION ALL
-        SELECT * FROM (VALUES
-            (400001::BIGINT, 'First sentence. Second one! Third? '),
-            (400002::BIGINT, 'no terminal punctuation at all'),
-            (400003::BIGINT, '...')) f(doc_id, text)
+        SELECT * FROM (VALUES {_SQL_SENT_FIXTURE}) f(doc_id, text)
     ),
     segs AS (
         SELECT doc_id,
@@ -200,7 +208,10 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return
             idx = 0
             for seg in re.split(r"[.!?]+", text):
-                seg = seg.strip()
+                # strip SPACES only: DuckDB's trim() default is spaces, and
+                # str.strip() (all whitespace) would silently diverge on
+                # tabs/vertical whitespace around sentence boundaries
+                seg = seg.strip(" ")
                 if seg:
                     yield idx, seg
                     idx += 1
@@ -209,14 +220,7 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 97 == 0
     ).select("doc_id", "text")
-    fix = spark.createDataFrame(
-        [
-            (400001, "First sentence. Second one! Third? "),
-            (400002, "no terminal punctuation at all"),
-            (400003, "..."),
-        ],
-        ["doc_id", "text"],
-    )
+    fix = spark.createDataFrame(_SENT_FIXTURE, ["doc_id", "text"])
     corpus = docs.unionByName(fix)
     corpus.createOrReplaceTempView("udtf_sentence_corpus")
     return spark.sql(

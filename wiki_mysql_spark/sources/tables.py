@@ -53,6 +53,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _STATS_UNKNOWN = (1 << 63) - 1  # Catalyst's default sizeInBytes
 
 
+def leaf_bytes(df: DataFrame) -> tuple[int | None, bool]:
+    """(sum of KNOWN leaf sizes, any-leaf-unknown) from optimizer stats —
+    free, no job. ``(None, True)`` when the plan can't be inspected."""
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        total, unknown = 0, False
+        for i in range(leaves.length()):
+            s = int(leaves.apply(i).stats().sizeInBytes())
+            if s >= _STATS_UNKNOWN:
+                unknown = True
+            else:
+                total += s
+        return total, unknown
+    except Exception:
+        return None, True
+
+
 def is_small_input(
     df: DataFrame, *, max_bytes: int, max_rows: int = 100_000,
     byte_probe: bool = False,
@@ -73,25 +90,22 @@ def is_small_input(
     it materializes full rows, re-running the upstream DAG (measured ~2x
     the whole wiki_articles_bodies entry when enabled on its gates); use it
     for gates that feed driver-side collects of frames whose row width is
-    unbounded by construction. Used by dense_ids and resolve_redirects the
+    unbounded by construction, and ``localCheckpoint`` the frame FIRST so
+    the probe reads materialized blocks (the pattern in resolve_redirects
+    and dense_ids). Note the estimate extrapolates from the frame's FIRST
+    1k rows — an estimate in the broadcast-threshold sense, not a bound; a
+    frame whose wide rows all sit past the sample can still under-estimate,
+    which is why every gated fast path also caps ``max_rows``. Used by dense_ids and resolve_redirects the
     way joins use a broadcast threshold: the data picks the physical
     strategy, semantics are identical either way.
     """
-    try:
-        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
-        total, unknown = 0, False
-        for i in range(leaves.length()):
-            s = int(leaves.apply(i).stats().sizeInBytes())
-            if s >= _STATS_UNKNOWN:
-                unknown = True
-            else:
-                total += s
-        if total >= max_bytes:
-            return False
-        if not unknown:
-            return True
-    except Exception:
+    total, unknown = leaf_bytes(df)
+    if total is None:
         return False
+    if total >= max_bytes:
+        return False
+    if not unknown:
+        return True
     n = int(
         df.limit(max_rows + 1)
         .select(F.count(F.lit(1)).alias("_n"))
