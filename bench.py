@@ -73,8 +73,31 @@ def _concurrent_spark_jvms() -> int:
     return n
 
 
+def _calibration_sec(spark) -> float:
+    """Fixed, fixture-independent workload (codegen hash + one shuffle +
+    agg over a generated range) timed as min-of-2. Identical work every
+    round, so the ratio between two rounds' calibration numbers measures
+    MACHINE drift — divide a round-over-round entry comparison by it
+    before calling a change a regression."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000)
+            .select(((F.col("id") * 2654435761) % 1_000_003).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     from wiki_mysql_spark.queries import QUERIES
     from wiki_mysql_spark.session import get_session
 
@@ -93,15 +116,23 @@ def main() -> None:
     # Warm the JVM/codegen once on the smallest SF so per-query numbers
     # measure execution, not first-call classloading.
     QUERIES[names[0]](spark, "/root/testdata/sf0.001").collect()
+    calibration = _calibration_sec(spark)
+    print(f"# calibration: {calibration:.3f}s", file=sys.stderr)
 
+    # Per-entry min over `repeats` runs: the min is the least-contended
+    # observation — one GC pause / page-cache miss / cron neighbor no
+    # longer reads as a query regression (VERDICT r3 What's-wrong #2).
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        # noop sink fully materializes every column (a bare .count() would let
-        # the optimizer prune window/projection work).
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            # noop sink fully materializes every column (a bare .count()
+            # would let the optimizer prune window/projection work).
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
@@ -116,6 +147,8 @@ def main() -> None:
                 "sf": float(sf) if sf else None,
                 "concurrent_spark_jvms": other_jvms,
                 "load1_at_start": round(load1, 2),
+                "calibration_sec": calibration,
+                "repeats_per_entry_min_reported": repeats,
             }
         )
     )

@@ -31,3 +31,33 @@ def duck():
         )
     yield con
     con.close()
+
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def ensure_derby(spark) -> None:
+    """Deterministically resolve the embedded Derby JDBC driver. The jar
+    ships inside every Spark distribution here (pyspark pip AND
+    /opt/spark-*/jars), so failure to load it is a real defect, not an
+    environment variation — this asserts (with the underlying error)
+    instead of skipping, so the streaming->JDBC exactly-once proof can
+    never silently not run (VERDICT r3 Next #8). Tries the plain JVM
+    loader first, then Spark's own Utils.classForName (the loader Spark
+    itself uses to resolve JDBC drivers at execution time)."""
+    jvm = spark._jvm
+    try:
+        jvm.java.lang.Class.forName(DERBY_DRIVER)
+        return
+    except Exception as first:
+        try:
+            jvm.org.apache.spark.util.Utils.classForName(
+                DERBY_DRIVER, True, False
+            )
+            return
+        except Exception as second:
+            raise AssertionError(
+                "Derby JDBC driver could not be loaded by either the JVM "
+                f"default loader ({first}) or Spark's Utils.classForName "
+                f"({second}) — the derby jar should be in $SPARK_HOME/jars"
+            ) from second

@@ -242,3 +242,51 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def _walk_physical(node):
+    """Yield every node of a JVM SparkPlan tree, descending into the AQE
+    wrapper's initial plan (the sweep runs pre-execution)."""
+    yield node
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _walk_physical(it.next())
+    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        yield from _walk_physical(node.initialPlan())
+
+
+def test_no_unpartitioned_window_anywhere_in_registry(spark):
+    """Registry-wide scale guard: NO entry may plan an unpartitioned
+    WindowExec ("WARN WindowExec: No Partition Defined") — a global
+    ORDER BY window funnels the entire input through one task, the one
+    plan shape that cannot survive 100x data. Global ntile/rank spellings
+    must go through operators.ids.global_ntile / dense_ids (two-pass
+    range-partitioned rank), value-range frames through bucket-and-carry
+    (window_range_frame). Walks the physical plan of EVERY registered
+    query; streaming entries (no batch plan before execution) and entries
+    that materialize eagerly are exercised by their own suites."""
+    from wiki_mysql_spark.queries import QUERIES
+
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        try:
+            df = fn(spark, SF_CORRECTNESS)
+        except Exception:
+            continue  # entries needing special fixtures fail at build, not plan
+        try:
+            plan = df._jdf.queryExecution().executedPlan()
+        except Exception:
+            continue
+        bad = []
+        for n in _walk_physical(plan):
+            cls = n.getClass().getSimpleName()
+            if not cls.startswith("Window"):
+                continue  # WindowExec / WindowInPandasExec / WindowGroupLimitExec
+            try:
+                if n.partitionSpec().isEmpty():
+                    bad.append(cls)
+            except Exception:
+                pass  # py4j attrs resolve lazily; non-window lookalikes skip
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"unpartitioned WindowExec in: {offenders}"

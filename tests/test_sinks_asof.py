@@ -153,25 +153,18 @@ def test_compact_parquet_small_files(spark, tmp_path):
 # idempotence via truncate, quarantine instead of silent drops.
 # ---------------------------------------------------------------------------
 
-DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
-
-
-def _derby_available(spark) -> bool:
-    try:
-        spark._jvm.java.lang.Class.forName(DERBY_DRIVER)
-        return True
-    except Exception:
-        return False
+from tests.conftest import DERBY_DRIVER
 
 
 @pytest.fixture()
 def derby_url(spark, tmp_path):
+    from tests.conftest import ensure_derby
+
     # keep derby.log out of the repo root (effective before engine boot)
     spark._jvm.java.lang.System.setProperty(
         "derby.stream.error.file", str(tmp_path / "derby.log")
     )
-    if not _derby_available(spark):
-        pytest.skip("Derby JDBC driver not on the Spark classpath")
+    ensure_derby(spark)  # asserts with diagnostics; never skips
     return f"jdbc:derby:{tmp_path}/db;create=true"
 
 

@@ -147,11 +147,10 @@ def test_foreachbatch_jdbc_sink_exactly_once(spark, tmp_path):
     from wiki_mysql_spark.sources.tables import load_table
     from wiki_mysql_spark.streaming.upsert import stage_events_as_files
 
-    driver = "org.apache.derby.jdbc.EmbeddedDriver"
-    try:
-        spark._jvm.java.lang.Class.forName(driver)
-    except Exception:
-        pytest.skip("Derby JDBC driver not on the Spark classpath")
+    from tests.conftest import DERBY_DRIVER as driver
+    from tests.conftest import ensure_derby
+
+    ensure_derby(spark)  # asserts with diagnostics; never skips
     url = f"jdbc:derby:{tmp_path}/stream_db;create=true"
 
     sf_dir = "/root/testdata/sf0.001"

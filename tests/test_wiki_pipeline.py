@@ -176,3 +176,46 @@ def test_cli_flag_parity_limit_and_unicode(spark, tmp_path):
     texts = [r["body"] for r in bodies.collect()]
     assert all("⑧" not in t for t in texts)
     assert all("abc XYZ" in t for t in texts)
+
+
+def test_global_ntile_matches_single_task_ntile_on_range_path(spark, monkeypatch):
+    """global_ntile must reproduce ANSI NTILE bucket sizes/assignment
+    exactly while planning the DISTRIBUTED rank (no unpartitioned
+    WindowExec). The size gate is forced shut so the range-partitioned
+    path — the one that runs at real scale — is the path under test,
+    including a row count that does not divide the tile count."""
+    import wiki_mysql_spark.operators.ids as ids_mod
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from wiki_mysql_spark.operators.ids import global_ntile
+
+    monkeypatch.setattr(ids_mod, "_SMALL_SORT_BYTES", 0)  # force range path
+    n, k = 10_007, 7  # 10007 = 7*1429 + 4 -> first 4 tiles get 1430 rows
+    df = spark.range(n).select(
+        ((F.col("id") * 2654435761) % 1_000_003).alias("key"),
+        F.col("id").alias("rowid"),
+    ).repartition(8)
+    out = global_ntile(df, ["key", "rowid"], k, tile_col="t")
+    expected = df.select(
+        "key", "rowid",
+        F.ntile(k).over(Window.orderBy("key", "rowid")).cast("long").alias("t"),
+    )
+    got = {(r["key"], r["rowid"]): r["t"] for r in out.collect()}
+    want = {(r["key"], r["rowid"]): r["t"] for r in expected.collect()}
+    assert got == want
+    # and the distributed spelling must not contain an unpartitioned window
+    from tests.test_plans import _walk_physical
+
+    plan = out._jdf.queryExecution().executedPlan()
+    for node in _walk_physical(plan):
+        cls = node.getClass().getSimpleName()
+        if cls.startswith("Window"):
+            assert not node.partitionSpec().isEmpty(), cls
+
+
+def test_global_ntile_fewer_rows_than_tiles(spark):
+    from wiki_mysql_spark.operators.ids import global_ntile
+
+    df = spark.createDataFrame([(3,), (1,), (2,)], ["v"])
+    out = {r["v"]: r["t"] for r in global_ntile(df, ["v"], 10, tile_col="t").collect()}
+    assert out == {1: 1, 2: 2, 3: 3}

@@ -117,3 +117,56 @@ def dense_ids(
             *out_cols,
         )
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: list[str | Column],
+    n_tiles: int,
+    *,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (ORDER BY ...)`` without the single-task window.
+
+    ``F.ntile(n).over(Window.orderBy(...))`` requires AllTuples — Spark
+    funnels the entire input through ONE WindowExec task (the
+    "No Partition Defined" warning), which dies at 100 TB. Instead: a dense
+    global rank via :func:`dense_ids` (range-partitioned parallel sort +
+    per-partition offset broadcast — only one row per partition ever
+    reaches the driver) and the ANSI NTILE arithmetic applied to the rank
+    as a pure codegen expression: with ``n`` rows and ``k`` tiles, the
+    first ``n % k`` tiles hold ``n div k + 1`` rows and the rest ``n div
+    k`` — exactly the bucket sizes every SQL engine (and the DuckDB
+    oracles) produce. ``order_by`` should be a total order; within ties
+    the assignment is partition-placement-dependent, same as any engine's
+    ntile tie-break.
+
+    The row count comes from one extra ``count()`` job — metadata-cheap on
+    parquet-backed frames; expensive upstreams are checkpointed first
+    (mirroring dense_ids) so neither the count nor the rank re-runs them.
+    """
+    from wiki_mysql_spark.sources.tables import leaf_bytes
+
+    _, stats_unknown = leaf_bytes(df)
+    if stats_unknown:
+        df = df.localCheckpoint(eager=True)
+    n = df.count()
+    ranked = dense_ids(df, order_by, id_col="_rk", start=1)
+    q, r = divmod(n, n_tiles)
+    rk = F.col("_rk")
+    if q == 0:
+        # fewer rows than tiles: each row is its own tile (ANSI semantics)
+        bucket = rk
+    else:
+        cutoff = r * (q + 1)
+        # ceil via integer DIV — exact at any row count (no double rounding)
+        bucket = F.when(
+            rk <= F.lit(cutoff),
+            F.expr(f"CAST((_rk + {q}) DIV {q + 1} AS BIGINT)"),
+        ).otherwise(
+            F.lit(r).cast("long")
+            + F.expr(f"CAST((_rk - {cutoff} + {q - 1}) DIV {q} AS BIGINT)")
+        )
+    return ranked.select(
+        *[F.col(c) for c in df.columns], bucket.cast("long").alias(tile_col)
+    )

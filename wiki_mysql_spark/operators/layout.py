@@ -53,17 +53,22 @@ def zorder_bucket_stats(
     df: DataFrame, x_col: str, y_col: str, *, n_buckets: int, bits: int = 16
 ) -> DataFrame:
     """Deterministic view of the layout for verification: assign rows to
-    ``n_buckets`` equal-size buckets by Morton order (ntile — exact, unlike
+    ``n_buckets`` equal-size buckets by Morton order (exact ntile, unlike
     the sampling-based range partitioner) and report each bucket's key
     rectangle. Tight rectangles == good pruning; the oracle recomputes the
-    identical arithmetic."""
-    from pyspark.sql.window import Window
+    identical arithmetic. The bucket assignment is a DISTRIBUTED exact
+    ntile (range-partitioned rank + ANSI tile arithmetic,
+    ``operators.ids.global_ntile``) — the naive global-window spelling
+    funnels the whole frame through one task and dies at 100 TB."""
+    from wiki_mysql_spark.operators.ids import global_ntile
 
     z = morton_key(F.col(x_col), F.col(y_col), bits=bits)
-    w = Window.orderBy("_zkey", x_col, y_col)
+    keyed = df.withColumn("_zkey", z)
+    tiled = global_ntile(
+        keyed, ["_zkey", x_col, y_col], n_buckets, tile_col="bucket"
+    ).withColumn("bucket", F.col("bucket").cast("int"))
     return (
-        df.withColumn("_zkey", z)
-        .withColumn("bucket", F.ntile(n_buckets).over(w))
+        tiled
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

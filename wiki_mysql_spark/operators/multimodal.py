@@ -240,10 +240,11 @@ def _png_filter_row(
 def _png_unfilter_row(
     row: "np.ndarray", prev: "np.ndarray", ft: int, bpp: int
 ) -> "np.ndarray":
-    """Invert a scanline filter. Up/None vectorize whole-row; Sub/Average/
-    Paeth recur on the just-reconstructed left pixel, so they run per-pixel
-    (rows are short — one scanline — and this is the decode hot loop only
-    for genuinely filtered data)."""
+    """Invert a scanline filter. None/Up vectorize whole-row; Sub is a
+    per-channel prefix sum (cumsum); only Average/Paeth genuinely recur on
+    the just-reconstructed left pixel and run per-pixel (rows are short —
+    one scanline — and this is the decode hot loop only for filtered
+    data)."""
     if ft == 0:
         return row.copy()
     if ft == 2:
@@ -259,9 +260,7 @@ def _png_unfilter_row(
         a = int(out[i - bpp]) if i >= bpp else 0
         b = int(prev[i])
         c = int(prev[i - bpp]) if i >= bpp else 0
-        if ft == 1:
-            rec = row[i] + a
-        elif ft == 3:
+        if ft == 3:
             rec = row[i] + (a + b) // 2
         elif ft == 4:
             rec = row[i] + int(_paeth(np.int32(a), np.int32(b), np.int32(c)))

@@ -46,11 +46,21 @@ def source_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, key cardinality, price sum, timestamp min/max) must match the
     parquet original — which is exactly what the oracle computes. The
     result is localCheckpoint-materialized so the temp files can be
-    removed before returning (lazy frames would read deleted paths)."""
+    removed before returning (lazy frames would read deleted paths).
+
+    Scratch location: ``spark.wiki_mysql_spark.scratchDir`` when set (on a
+    real cluster this MUST be a shared filesystem — HDFS/S3/NFS — visible
+    to every executor); otherwise a driver-local tempdir, which is correct
+    only under a ``local[*]`` master where driver and executors share one
+    filesystem (the sandbox/test configuration)."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"
     )
-    tmp = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    scratch_root = spark.conf.get("spark.wiki_mysql_spark.scratchDir", None)
+    if scratch_root:
+        tmp = os.path.join(scratch_root, f"fmt_roundtrip_{os.getpid()}")
+    else:
+        tmp = tempfile.mkdtemp(prefix="fmt_roundtrip_")
     frames = []
     try:
         for fmt in _FORMATS:

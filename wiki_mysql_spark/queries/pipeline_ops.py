@@ -751,6 +751,10 @@ _URL_FIXTURE: list[tuple[int, str]] = [
     # NOT a tracking param: the name merely ends in 'utm_source' and must
     # survive canonicalization untouched (left-anchor regression case)
     (500007, "http://example.com/a?xutm_source=1&id=2"),
+    # TWO utm_* params + a double-'&' run: pins the 'g' (replace-all)
+    # option in the DuckDB oracle — without it only the first occurrence
+    # per rule is rewritten and this row diverges between engines
+    (500008, "http://example.com/a?utm_source=1&utm_medium=2&&id=2&b=1"),
 ]
 
 
@@ -771,12 +775,12 @@ _SQL_URL_CANON = """
                        CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) <> ''
                             THEN concat('?', regexp_extract(url, '\\?([^#]*)', 1))
                             ELSE '' END),
-                ':80(/|\\?|$)', '\\1'),
-              ':443(/|\\?|$)', '\\1'),
-            '([?&])utm_[a-z]+=[^&#]*', '\\1'),
-          '&&+', '&'),
-        '\\?&', '?'),
-      '[?&]+$', '')
+                ':80(/|\\?|$)', '\\1', 'g'),
+              ':443(/|\\?|$)', '\\1', 'g'),
+            '([?&])utm_[a-z]+=[^&#]*', '\\1', 'g'),
+          '&&+', '&', 'g'),
+        '\\?&', '?', 'g'),
+      '[?&]+$', '', 'g')
 """
 
 

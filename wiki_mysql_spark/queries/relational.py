@@ -674,12 +674,31 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-based (RANGE) frame — note the single global window: fine here,
-    but at 100 TB a global ORDER BY window is one task; partition it."""
-    w = Window.orderBy("o_totalprice").rangeBetween(-1000, Window.currentRow)
+    """Value-based (RANGE) global frame, DISTRIBUTED. The naive
+    ``Window.orderBy(price).rangeBetween(-1000, 0)`` has no partition key,
+    so Spark funnels the entire table through one WindowExec task. Because
+    the frame has a FIXED value width (1000), it spans at most two
+    width-1000 value buckets: partition by ``floor(price/1000)``, and ship
+    each row once more as a frame-only "carry" copy into the next bucket.
+    Inside each bucket the same RANGE window sees every row of its frame
+    exactly once (natives from this bucket + carries from the previous),
+    then carries are dropped. One hash shuffle over 2N rows, width scales
+    with the value range — no single-task stage at any size."""
+    width = 1000
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = F.floor(F.col("o_totalprice") / width).cast("long")
+    anchors = orders.withColumn("_b", b).withColumn("_anchor", F.lit(True))
+    carries = orders.withColumn("_b", b + 1).withColumn("_anchor", F.lit(False))
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("o_totalprice")
+        .rangeBetween(-width, Window.currentRow)
+    )
     return (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice", F.count(F.lit(1)).over(w).alias("n_within_1k"))
+        anchors.unionByName(carries)
+        .withColumn("n_within_1k", F.count(F.lit(1)).over(w))
+        .where(F.col("_anchor"))
+        .select("o_orderkey", "o_totalprice", "n_within_1k")
     )
 
 
@@ -695,19 +714,28 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w_global = Window.orderBy("c_acctbal", "c_custkey")
+    """The global quartile is a DISTRIBUTED exact ntile
+    (``operators.ids.global_ntile``: range-partitioned rank + ANSI tile
+    arithmetic) — ``ntile().over(Window.orderBy(...))`` would funnel the
+    whole table through one WindowExec task. The per-nation first_value
+    stays a (partitioned) window."""
+    from wiki_mysql_spark.operators.ids import global_ntile
+
     w_nation = (
         Window.partitionBy("c_nationkey")
         .orderBy(F.col("c_acctbal").desc(), "c_custkey")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    return (
-        _t(spark, sf_dir, "customer")
-        .select(
-            "c_custkey",
-            F.ntile(4).over(w_global).cast("long").alias("bal_quartile"),
-            F.first("c_custkey").over(w_nation).alias("richest_in_nation"),
-        )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    tiled = global_ntile(
+        cust, ["c_acctbal", "c_custkey"], 4, tile_col="bal_quartile"
+    )
+    return tiled.select(
+        "c_custkey",
+        "bal_quartile",
+        F.first("c_custkey").over(w_nation).alias("richest_in_nation"),
     )
 
 

@@ -92,10 +92,9 @@ def is_small_input(
     for gates that feed driver-side collects of frames whose row width is
     unbounded by construction, and ``localCheckpoint`` the frame FIRST so
     the probe reads materialized blocks (the pattern in resolve_redirects
-    and dense_ids). Note the estimate extrapolates from the frame's FIRST
-    1k rows — an estimate in the broadcast-threshold sense, not a bound; a
-    frame whose wide rows all sit past the sample can still under-estimate,
-    which is why every gated fast path also caps ``max_rows``. Used by dense_ids and resolve_redirects the
+    and dense_ids). The byte probe sums real widths over ALL rows up to the
+    row cap (not a prefix sample), so it is a bound over the admitted rows,
+    not an extrapolation. Used by dense_ids and resolve_redirects the
     way joins use a broadcast threshold: the data picks the physical
     strategy, semantics are identical either way.
     """
@@ -106,21 +105,24 @@ def is_small_input(
         return False
     if not unknown:
         return True
-    n = int(
-        df.limit(max_rows + 1)
-        .select(F.count(F.lit(1)).alias("_n"))
-        .collect()[0]["_n"]
-    )
-    if n > max_rows:
-        return False
-    if n == 0 or not byte_probe:
+    if not byte_probe:
+        n = int(
+            df.limit(max_rows + 1)
+            .select(F.count(F.lit(1)).alias("_n"))
+            .collect()[0]["_n"]
+        )
         return n <= max_rows
-    sample = df.limit(1024).select(
-        F.count(F.lit(1)).alias("_k"),
+    # Safety-critical byte gate: sum real widths over ALL rows up to the
+    # row cap (one bounded job — the limit caps materialization at
+    # max_rows+1 rows). No sampling/extrapolation: a frame whose wide rows
+    # sit past any prefix sample can no longer sneak under the gate.
+    probe = df.limit(max_rows + 1).select(
+        F.count(F.lit(1)).alias("_n"),
         F.coalesce(F.sum(_row_bytes_estimate(df)), F.lit(0)).alias("_bytes"),
     ).collect()[0]
-    est_bytes = int(sample["_bytes"]) * n / max(1, int(sample["_k"]))
-    return est_bytes < max_bytes
+    if int(probe["_n"]) > max_rows:
+        return False
+    return int(probe["_bytes"]) < max_bytes
 
 
 def _row_bytes_estimate(df: DataFrame) -> "F.Column":
