@@ -188,9 +188,19 @@ def triangle_count(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> D
     then wedges (a->b, a->c) closed by an oriented edge (b->c); each
     triangle is counted exactly once.
 
-    Plan: degree agg (one shuffle), orientation (map-side), wedge self-join
-    on the wedge center (one shuffle), closure semi-join against the edge
-    set (one shuffle). Never touches |V|^2 or unoriented wedge counts.
+    Plan ("compact-forward" spelling): degree agg (one shuffle),
+    orientation (map-side), out-adjacency lists (one shuffle), then each
+    oriented edge (u,v) joins its endpoints' lists and counts
+    ``|N+(u) ∩ N+(v)|`` with a native ``array_intersect`` inside codegen.
+    The wedge set — sum(out_deg^2), the O(m^1.5) term — is never
+    materialized as rows or shuffled: the same intersections happen
+    array-at-a-time inside each task (measured 47s -> 14s cold / ~5s warm
+    at sf0.1, where the co-supply graph is near-complete and the row-form
+    wedge join pushed 166M rows through an exchange). Shuffled volume is
+    O(m) edge
+    rows + adjacency arrays totaling m entries, each array bounded
+    O(sqrt(m)) by the orientation. Never touches |V|^2 or unoriented
+    wedge counts.
 
     Returns a single row ``(n_nodes, n_edges, n_triangles)`` where
     ``n_edges`` counts undirected edges after dedup/self-loop removal.
@@ -220,17 +230,39 @@ def triangle_count(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> D
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
     ).localCheckpoint(eager=False)
-    l1 = oriented.select(F.col("lo").alias("c0"), F.col("hi").alias("w1"))
-    l2 = oriented.select(F.col("lo").alias("c0"), F.col("hi").alias("w2"))
-    wedges = l1.join(l2, "c0").where(F.col("w1") < F.col("w2"))
-    closing = oriented.select(
-        F.col("lo").alias("w1"), F.col("hi").alias("w2")
-    ).unionByName(
-        oriented.select(F.col("lo").alias("w2"), F.col("hi").alias("w1"))
+    adj = (
+        oriented.groupBy(F.col("lo").alias("node"))
+        .agg(F.sort_array(F.collect_list("hi")).alias("nbrs"))
+        .localCheckpoint(eager=False)  # built once, probed by both joins
     )
-    tri = wedges.join(closing, ["w1", "w2"], "left_semi")
+    adj_u = adj.select(F.col("node").alias("lo"), F.col("nbrs").alias("nbrs_u"))
+    adj_v = adj.select(F.col("node").alias("hi"), F.col("nbrs").alias("nbrs_v"))
+    # every triangle x->y, x->z, y->z is counted exactly once: at edge
+    # (x,y), as z in N+(x) ∩ N+(y). hi-side left join: pure sinks have no
+    # out-neighbors and contribute 0. The probe side is explicitly
+    # repartitioned wide: the intersect stage is compute-bound but
+    # byte-small, so AQE would coalesce it onto a few tasks and strand the
+    # rest of the cluster (observed 3 tasks on 32 cores).
+    spark = edges.sparkSession
+    n_part = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism,
+        1,
+    )
+    per_edge = (
+        oriented.repartition(n_part)
+        .join(adj_u, "lo")
+        .join(adj_v, "hi", "left")
+        .select(
+            F.when(F.col("nbrs_v").isNull(), F.lit(0))
+            .otherwise(F.size(F.array_intersect("nbrs_u", "nbrs_v")))
+            .alias("k")
+        )
+    )
     return (
-        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        per_edge.agg(
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("n_triangles")
+        )
         .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
         .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
         .select("n_nodes", "n_edges", "n_triangles")
