@@ -49,6 +49,10 @@ HEADLINE = [
     "multimodal_decode_png",
     "text_gopher_quality",
     "layout_zorder_stats",
+    # round-4: lossy transform-coding decode (DCT/Huffman JPEG), the
+    # distributed triangle count
+    "multimodal_decode_jpeg",
+    "graph_triangle_count",
 ]
 
 

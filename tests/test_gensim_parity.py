@@ -137,3 +137,141 @@ def test_transcription_self_check():
     assert remove_markup("{{unreferenced|date=2010}}text") == "text"
     # promote_remaining: plain [[link]] survives as its text
     assert remove_markup("[[a]] and [[b|c]]") == "a and c"
+
+
+# ---------------------------------------------------------------------------
+# Seeded-random fuzz: generated nested markup (templates in tables in links,
+# entity soup, non-BMP text, unclosed constructs) through BOTH engines.
+# The 51 fixtures above are points; this is the surrounding space.
+# ---------------------------------------------------------------------------
+
+_FUZZ_WORDS = (
+    "data wiki page spark query alpha beta gamma nested text word "
+    "title link row cell värld 世界 データ こんにちは Ωmega ñandú"
+).split()
+_FUZZ_EMOJI = ["🌍", "🚀", "𝄞", "🎉"]  # non-BMP (supplementary plane)
+_FUZZ_ENTITIES = ["&amp;", "&lt;", "&gt;", "&quot;", "&nbsp;", "&notreal;"]
+
+
+def _fuzz_span(rng, depth: int) -> str:
+    def words() -> str:
+        ws = [rng.choice(_FUZZ_WORDS) for _ in range(rng.randint(1, 4))]
+        if rng.random() < 0.08:
+            ws.append(rng.choice(_FUZZ_EMOJI))
+        return " ".join(ws)
+
+    if depth >= 3:
+        return words()
+    r = rng.random()
+    inner = lambda: _fuzz_span(rng, depth + 1)  # noqa: E731
+    if r < 0.30:
+        return words()
+    if r < 0.38:
+        return rng.choice(_FUZZ_ENTITIES)
+    if r < 0.48:
+        return (
+            f"[[{words()}|{inner()}]]" if rng.random() < 0.5 else f"[[{words()}]]"
+        )
+    if r < 0.58:
+        return f"{{{{{words()}|{inner()}}}}}" if rng.random() < 0.5 \
+            else f"{{{{{words()}}}}}"
+    if r < 0.64:
+        return f"{{| class=x\n|-\n| {inner()} || {inner()}\n|}}"
+    if r < 0.70:
+        return f"<ref name=a>{inner()}</ref>" if rng.random() < 0.7 \
+            else "<ref name=b/>"
+    if r < 0.76:
+        tag = rng.choice(["b", "i", "div", "span"])
+        return f"<{tag}>{inner()}</{tag}>"
+    if r < 0.80:
+        return f"<!-- {words()} -->"
+    if r < 0.85:
+        return f"[http://example.com/{rng.randint(0, 99)} {words()}]"
+    if r < 0.89:
+        return rng.choice(["\n\n", " \t ", "\n \n", "   "])
+    if r < 0.93:
+        return rng.choice(["{{", "}}", "[[", "]]", "[", "]", "|", "||"])
+    if r < 0.97:
+        return rng.choice([f"<math>{words()}</math>", f"<nowiki>{words()}</nowiki>"])
+    return f"[[File:x{rng.randint(0, 9)}.png|thumb|{inner()}]]"
+
+
+def _fuzz_doc(rng) -> str:
+    return " ".join(_fuzz_span(rng, 0) for _ in range(rng.randint(1, 10)))
+
+
+def _is_template_residual(doc: str) -> bool:
+    """True when the native regex template stage (innermost x3 + tail) and
+    the nesting-exact scan disagree on the DECODED text — the documented
+    residual class (stray single braces inside templates, e.g. a table in
+    a template, or nesting beyond the iteration budget)."""
+    import re as _re
+
+    from tests.gensim_reference import decode_htmlentities
+    from wiki_mysql_spark.functions.cleaning import remove_templates_scan
+
+    s = decode_htmlentities(doc)
+    t = s
+    for _ in range(3):
+        t = _re.sub(r"\{\{[^{}]*\}\}", "", t)
+    t = _re.sub(r"\{\{.*", "", t, flags=_re.DOTALL)
+    return t != remove_templates_scan(s)
+
+
+def test_fuzz_native_chain_matches_gensim(spark):
+    """1,000 seeded-random nested-markup docs through both engines.
+
+    Contract (mirroring the numeric-entity precedent): the native chain
+    must match the transcribed gensim filter EXACTLY on every doc outside
+    the documented template-residual class (stray single braces inside
+    templates — non-regular brace balance no regex can express); for
+    residual docs, the gated ``remove_templates_exact_udf`` path must
+    restore exact parity. Both partitions must be non-trivially populated
+    so both paths are genuinely exercised."""
+    import random
+
+    from wiki_mysql_spark.functions.cleaning import (
+        decode_html_entities,
+        remove_templates_exact_udf,
+    )
+
+    rng = random.Random(0xC1EA)
+    docs = [(i, _fuzz_doc(rng)) for i in range(1000)]
+    df = spark.createDataFrame(docs, ["i", "t"])
+    tpl_exact = remove_templates_exact_udf()
+    rows = df.select(
+        "i",
+        clean_wiki_body(F.col("t")).alias("native"),
+        collapse_whitespace(
+            strip_wiki_markup(tpl_exact(decode_html_entities(F.col("t"))))
+        ).alias("exact"),
+    ).collect()
+    native = {r["i"]: r["native"] for r in rows}
+    exact = {r["i"]: r["exact"] for r in rows}
+
+    n_residual = 0
+    diverged, diverged_exact = [], []
+    for i, t in docs:
+        want = wiki_body_filter(t)
+        if _is_template_residual(t):
+            n_residual += 1
+            if exact[i] != want:
+                diverged_exact.append((t, exact[i], want))
+        elif native[i] != want:
+            diverged.append((t, native[i], want))
+    assert n_residual > 0, "generator no longer exercises the residual class"
+    assert n_residual < 300, "residual class should be the minority"
+    assert not diverged, (
+        f"{len(diverged)} NON-residual divergence(s); first three:\n"
+        + "\n".join(
+            f"doc: {t!r}\n  native: {g!r}\n  gensim: {w!r}"
+            for t, g, w in diverged[:3]
+        )
+    )
+    assert not diverged_exact, (
+        f"{len(diverged_exact)} divergence(s) on the EXACT path; first three:\n"
+        + "\n".join(
+            f"doc: {t!r}\n  exact: {g!r}\n  gensim: {w!r}"
+            for t, g, w in diverged_exact[:3]
+        )
+    )

@@ -65,7 +65,9 @@ def test_query_matches_oracle(name, spark, duck):
     assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_query_runs(name, spark):
-    df = QUERIES[name](spark, SF_CORRECTNESS)
-    assert df.count() >= 0
+def test_no_rows_only_entries():
+    """Every registry entry must carry a DuckDB oracle — the rows-only
+    (weaker, count-only) tier stays empty. This replaced a parametrized
+    runner over ROWS_ONLY that pytest reported as a confusing 'skipped'
+    once the set became empty."""
+    assert ROWS_ONLY == [], f"entries without oracles: {ROWS_ONLY}"

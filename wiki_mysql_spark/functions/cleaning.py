@@ -35,7 +35,7 @@ _NAMED_ENTITIES = [
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&apos;", "'"),
-    ("&nbsp;", " "),
+    ("&nbsp;", "\xa0"),  # NO-BREAK SPACE, exactly what html.unescape yields
     ("&amp;", "&"),  # last, so "&amp;lt;" decodes once, like html.unescape
 ]
 
@@ -73,6 +73,60 @@ def decode_html_entities(col: Column) -> Column:
     return col
 
 
+def remove_templates_scan(s: str | None) -> str | None:
+    """Nesting-exact ``{{template}}`` removal: from each ``{{``, count EVERY
+    brace (so a ``{| table |}`` inside a template participates in the
+    balance) and drop the span when opens == closes; an unclosed template
+    drops the rest of the text. This is the observable behavior of the
+    reference's cleaner (gensim's character-scan ``remove_template``,
+    invoked via ``/root/reference/filters.py:58``), reimplemented
+    independently. The regex chain covers pure-brace nesting up to the
+    iteration budget; this scan exists for the residual class a regex
+    cannot express (non-regular brace balance with stray single braces)."""
+    if s is None:
+        return None
+    kept: list[str] = []
+    keep_from = 0
+    opens = closes = 0
+    in_tpl = False
+    prev = ""
+    for i, c in enumerate(s):
+        if not in_tpl:
+            if c == "{" and prev == "{":
+                kept.append(s[keep_from : i - 1])
+                in_tpl = True
+                opens, closes = 2, 0
+        else:
+            if c == "{":
+                opens += 1
+            elif c == "}":
+                closes += 1
+            if opens == closes:
+                in_tpl = False
+                keep_from = i + 1
+        prev = c
+    if not in_tpl:
+        kept.append(s[keep_from:])
+    return "".join(kept)
+
+
+def remove_templates_exact_udf():
+    """The exact template scan as an Arrow-batched iterator pandas UDF —
+    the parity fallback for rows whose templates contain stray single
+    braces (tables inside templates) or nest deeper than the regex
+    iteration budget. Same precedent as :func:`decode_html_entities_udf`:
+    the native fast path covers the overwhelming majority JVM-side and
+    documents its residual divergence; this UDF restores exact reference
+    parity where it matters."""
+
+    @F.pandas_udf(StringType())
+    def _strip(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(remove_templates_scan)
+
+    return _strip
+
+
 def decode_html_entities_udf():
     """Exact-parity entity decode (numeric + all named), as an Arrow-batched
     iterator pandas UDF. Iterator form amortizes per-worker setup, mirroring
@@ -96,7 +150,8 @@ def decode_html_entities_udf():
 # captures) so both engines run literally the same regexes; replacements use
 # $N (rewritten to \\N for RE2). Pass structure mirrors gensim's
 # ``remove_markup`` (tests/gensim_reference.py is the transcribed original):
-# PRE once, MARKUP iterated x3, POST once, PROMOTE once.
+# PRE once, TEMPLATE to fixpoint + tail, FILE once, MARKUP iterated x3,
+# PROMOTE once.
 
 # gensim RE_P2: trailing inter-language link list. Applied once, first.
 # ($ here is end-of-text in RE2 vs before-final-\n in Python — pinned
@@ -105,32 +160,52 @@ MARKUP_PRE_PASSES: list[tuple[str, str, str]] = [
     ("re", r"(\n\[\[[a-z][a-z][\w-]*:[^:\]]+\]\])+$", ""),
 ]
 
+# Template removal runs to FIXPOINT before any other markup pass — gensim
+# removes templates with a nesting-aware character scan on the RAW text
+# (remove_template, before its regex loop), so table/link passes must never
+# see template braces. Innermost-out reaches nesting depth == iteration
+# count; the unbalanced-tail pass then drops any '{{' remnant to
+# end-of-text (gensim's scan drops unclosed templates' tails the same
+# way). Templates containing stray single braces (a {| table |} inside a
+# template) exceed what a regex can match — that residual class is exactly
+# handled by remove_templates_exact_udf below (gated, Arrow-batched), and
+# approximated here by the tail pass. Fuzz-pinned in
+# tests/test_gensim_parity.py.
+TEMPLATE_PASSES: list[tuple[str, str, str]] = [
+    ("re", r"\{\{[^{}]*\}\}", ""),
+]
+TEMPLATE_TAIL_PASSES: list[tuple[str, str, str]] = [
+    ("re", r"(?s)\{\{.*", ""),
+]
+
+# File/image links are removed ONCE, before the loop (gensim's
+# remove_file position — after templates, before the pass loop).
+FILE_PASSES: list[tuple[str, str, str]] = [
+    ("re", r"\[\[([fF]ile:|[iI]mage)[^\]]*\]\]", ""),
+]
+
 MARKUP_PASSES: list[tuple[str, str, str]] = [
-    # All the plain-deletion constructs in ONE alternation pass — halves the
-    # full-string regex traversals per iteration, the dominant compute of the
-    # wiki ETL at scale. Leftmost-first alternation preserves the sequential
-    # semantics (specific tag forms listed before the generic <...> tag):
-    # comments (RE_P0) | <ref> (RE_P1) | <math>/<nowiki> (RE_P9/10) |
-    # any tag (RE_P11) | category links (RE_P14) | file/image links (RE_P15)
-    # | innermost {{templates}} (remove_template, nesting <= iterations)
-    (
-        "re",
-        r"(?s)<!--.*?-->"
-        r"|<ref([> ].*?)(</ref>|/>)"
-        r"|<(math|nowiki)([> ].*?)(</(math|nowiki)>|/>)"
-        r"|<(.*?)>"
-        r"|\[\[Category:[^\]\[]*\]\]"
-        r"|\[\[(file:|image:|File:|Image:)[^\]]*\]\]"
-        r"|\{\{[^{}]*\}\}",
-        "",
-    ),
+    # The deletion passes run SEQUENTIALLY in gensim's loop order — each a
+    # full pass over the string before the next starts. A fused alternation
+    # is NOT equivalent: a stray '<' (e.g. decoded from &lt;) earlier in the
+    # string lets the generic-tag arm span a later comment/<ref> before the
+    # dedicated pass ever sees it (fuzz-caught). Sequential order pins the
+    # same interactions gensim has.
+    ("re", r"(?s)<!--.*?-->", ""),                      # RE_P0 comments
+    ("re", r"(?s)<ref([> ].*?)(</ref>|/>)", ""),        # RE_P1 footnotes
+    ("re", r"(?s)<nowiki([> ].*?)(</nowiki>|/>)", ""),  # RE_P9
+    ("re", r"(?s)<math([> ].*?)(</math>|/>)", ""),      # RE_P10
+    ("re", r"(?s)<(.*?)>", ""),                         # RE_P11 any tag
+    ("re", r"\[\[Category:[^\]\[]*\]\]", ""),           # RE_P14
     # external links: keep description incl. its leading space (RE_P5 -> \3)
     ("re", r"\[(\w+)://([^ \]]*)( ([^\]]*))?\]", "$3"),
     # piped links: keep the last pipe segment (RE_P6 -> \2; greedy first
-    # group, so [[a|b|c]] -> c; single-bracket form reaches [[..]] innards)
+    # group, so [[a|b|c]] -> c; single-bracket form reaches [[..]] innards).
+    # NOTE: plain [[link]] brackets are deliberately NOT stripped here —
+    # gensim leaves them as protective structure until the final promote
+    # pass, and stripping them early lets later table/link passes match
+    # content gensim never exposes (fuzz-caught).
     ("re", r"\[([^\]\[]*)\|([^\]\[|]*)\]", "$2"),
-    # plain wiki links: keep target (subsumed by promote in gensim)
-    ("re", r"\[\[([^\]\[|]*)\]\]", "$1"),
     # ---- table markup, gensim order ----
     ("lit", "!!", "\n|"),          # each head cell on its own line
     ("lit", "|-||", "\n|"),        # '-'-filled cell
@@ -141,8 +216,14 @@ MARKUP_PASSES: list[tuple[str, str, str]] = [
     ("lit", "|||", "|\n|"),        # each cell on its own line
     ("lit", "||", "\n|"),
     # RE_P13 (cell-marker strip). gensim's fixed-width lookbehind becomes a
-    # consumed-and-reemitted capture ($1); equivalent because a match's
-    # reemitted prefix can never overlap the next match's prefix.
+    # consumed-and-reemitted capture ($1). One subtlety: a Python
+    # lookbehind can assert over characters a PREVIOUS match consumed
+    # (re.sub scans the original string), which a consuming spelling
+    # cannot — so the pass runs twice: the re-emitted "$1\n" newline of
+    # the first application provides the context for the cascaded marker
+    # (e.g. the final "|}" of a table with no trailing newline) on the
+    # second. Fuzz-pinned.
+    ("re", r"((\n )|(\n\n)|(  )|(.\n)|(.\t))(\||!)([^\[\]\n]*?\|)*", "$1\n"),
     ("re", r"((\n )|(\n\n)|(  )|(.\n)|(.\t))(\||!)([^\[\]\n]*?\|)*", "$1\n"),
     # RE_P17 (table formatting lines)
     (
@@ -155,26 +236,19 @@ MARKUP_PASSES: list[tuple[str, str, str]] = [
     ("lit", "[]", ""),
 ]
 
-# Later iterations only need the passes whose constructs NEST (templates,
-# links, tags): within one iteration, tag/template/link removal runs BEFORE
-# the table passes (gensim's order), so any table markup a removal reveals
-# is consumed in the SAME iteration — tables/RE_P13/RE_P17/literal cell
-# splits never need a second round. Cuts the fixed-pass regex work of
-# iterations 2..n by half; parity vs transcribed gensim is pinned by
-# tests/test_gensim_parity.py over the nesting-heavy fixtures.
+# Later iterations only need the passes whose constructs NEST (links,
+# tags): within one iteration, tag/link removal runs BEFORE the table
+# passes (gensim's order; templates are already fully gone from the
+# TEMPLATE stage), so any table markup a removal reveals is consumed in
+# the SAME iteration — tables/RE_P13/RE_P17/literal cell splits never need
+# a second round. Cuts the fixed-pass regex work of iterations 2..n by
+# half; parity vs transcribed gensim is pinned by
+# tests/test_gensim_parity.py over the nesting-heavy fixtures + fuzz.
 MARKUP_NESTED_PASSES: list[tuple[str, str, str]] = [
-    MARKUP_PASSES[0],  # the big deletion alternation (tags/refs/templates/..)
+    *MARKUP_PASSES[0:6],  # the sequential deletion passes (P0/P1/P9/P10/P11/P14)
     ("re", r"\[(\w+)://([^ \]]*)( ([^\]]*))?\]", "$3"),
     ("re", r"\[([^\]\[]*)\|([^\]\[|]*)\]", "$2"),
-    ("re", r"\[\[([^\]\[|]*)\]\]", "$1"),
     ("lit", "[]", ""),
-]
-
-# applied once after the iterated passes
-MARKUP_POST_PASSES: list[tuple[str, str, str]] = [
-    # unbalanced {{ runs to end of text (gensim's remove_template drops an
-    # unclosed template's tail; balanced ones are gone after the iterations)
-    ("re", r"(?s)\{\{.*", ""),
 ]
 
 # gensim promote_remaining
@@ -183,7 +257,18 @@ PROMOTE_PASSES: list[tuple[str, str, str]] = [
     ("lit", "]", ""),
 ]
 
-WHITESPACE_PASS: tuple[str, str, str] = ("re", r"(\s)\s*", "$1")
+# The collapse keeps each whitespace run's FIRST character. The class is
+# Python's str.isspace() set spelled EXPLICITLY (same bytes in Java regex
+# and RE2): the reference's Python `\s` is Unicode-aware (it matches the
+# U+00A0 that &nbsp; decodes to), while Java's bare `\s` is ASCII-only —
+# a divergence the fuzz suite caught on bare "&nbsp;x" inputs.
+_WS_CLASS = (
+    r"\t-\r\x1c-\x1f \x85\xa0"
+    r"\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}"
+)
+WHITESPACE_PASS: tuple[str, str, str] = (
+    "re", f"([{_WS_CLASS}])[{_WS_CLASS}]*", "$1"
+)
 
 
 def _apply_pass(col: Column, kind: str, pat: str, repl: str) -> Column:
@@ -211,13 +296,20 @@ def strip_wiki_markup(col: Column, iterations: int = 3) -> Column:
     """
     for kind, pat, repl in MARKUP_PRE_PASSES:
         col = _apply_pass(col, kind, pat, repl)
+    # templates to fixpoint BEFORE any other pass (gensim order) —
+    # innermost-out x iterations, then drop any '{{' remnant to end
+    for _ in range(iterations):
+        for kind, pat, repl in TEMPLATE_PASSES:
+            col = _apply_pass(col, kind, pat, repl)
+    for kind, pat, repl in TEMPLATE_TAIL_PASSES:
+        col = _apply_pass(col, kind, pat, repl)
+    for kind, pat, repl in FILE_PASSES:
+        col = _apply_pass(col, kind, pat, repl)
     for kind, pat, repl in MARKUP_PASSES:
         col = _apply_pass(col, kind, pat, repl)
     for _ in range(iterations - 1):
         for kind, pat, repl in MARKUP_NESTED_PASSES:
             col = _apply_pass(col, kind, pat, repl)
-    for kind, pat, repl in MARKUP_POST_PASSES:
-        col = _apply_pass(col, kind, pat, repl)
     for kind, pat, repl in PROMOTE_PASSES:
         col = _apply_pass(col, kind, pat, repl)
     return col
@@ -287,13 +379,18 @@ def cleaning_chain_duckdb_sql(
             e = one(e, "lit", ent, ch)
     for kind, pat, repl in MARKUP_PRE_PASSES:
         e = one(e, kind, pat, repl)
+    for _ in range(markup_iterations):
+        for kind, pat, repl in TEMPLATE_PASSES:
+            e = one(e, kind, pat, repl)
+    for kind, pat, repl in TEMPLATE_TAIL_PASSES:
+        e = one(e, kind, pat, repl)
+    for kind, pat, repl in FILE_PASSES:
+        e = one(e, kind, pat, repl)
     for kind, pat, repl in MARKUP_PASSES:
         e = one(e, kind, pat, repl)
     for _ in range(markup_iterations - 1):
         for kind, pat, repl in MARKUP_NESTED_PASSES:
             e = one(e, kind, pat, repl)
-    for kind, pat, repl in MARKUP_POST_PASSES:
-        e = one(e, kind, pat, repl)
     for kind, pat, repl in PROMOTE_PASSES:
         e = one(e, kind, pat, repl)
     if valid_unicodes:

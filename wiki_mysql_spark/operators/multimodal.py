@@ -9,10 +9,13 @@ actual pixels; :func:`resize_image` nearest-neighbor-resamples real BMPs.
 PNG — a genuinely COMPRESSED format — is also REAL as of round 3: DEFLATE
 comes from the stdlib ``zlib`` module, so :func:`encode_png` /
 :func:`decode_png` below implement the container + all five scanline
-filters with no external library. JPEG/video still need a codec library
-that is not in this environment (checked again round 3: no Pillow) and
-raise ``NotImplementedError`` — the ``fake=`` deterministic stand-ins keep
-that plumbing testable.
+filters with no external library. Baseline JPEG is REAL as of round 4:
+:func:`encode_jpeg` / :func:`decode_jpeg` implement the lossy transform
+path from the public spec (DCT, quantization, zigzag, DPCM, canonical
+Huffman, byte stuffing) in pure numpy + stdlib. Video still needs a codec
+library that is not in this environment (no imageio/cv2) and raises
+``NotImplementedError`` — the ``fake=`` deterministic stand-ins keep that
+plumbing testable.
 
 At 100 TB the rules encoded here:
   * keep payload bytes in their own column so column pruning skips them for
@@ -326,13 +329,428 @@ def audio_features(payload: bytes) -> tuple[int, int, int, float]:
     return rate, ch, samples.shape[0], rms
 
 
+# ---------------------------------------------------------------------------
+# real codec: baseline sequential JPEG (ITU-T T.81 / ISO 10918-1 — the spec
+# is public). Pure numpy + stdlib, same posture as the PNG codec above:
+# container markers, quantization (Annex K tables, IJG quality scaling),
+# 2-D DCT/IDCT as an 8x8 matrix product, zigzag, DC DPCM, run-length +
+# canonical Huffman entropy coding with byte stuffing. Scope: 8-bit
+# baseline (SOF0), grayscale or 4:4:4 color (no chroma subsampling),
+# restart intervals honored on decode; progressive/subsampled streams
+# raise NotImplementedError honestly.
+# ---------------------------------------------------------------------------
+
+# Annex K example quantization tables (public spec text)
+_JPEG_QL = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+_JPEG_QC = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
+
+def _jpeg_scaled_q(table: "np.ndarray", quality: int) -> "np.ndarray":
+    """IJG quality scaling (public libjpeg behavior): 50 -> tables as-is,
+    higher -> finer quantization."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _jpeg_zigzag() -> "np.ndarray":
+    """(64, 2) (row, col) pairs in zigzag order, derived from the walk rule
+    (anti-diagonals, alternating direction) rather than hand-typed."""
+    cells = [(i, j) for i in range(8) for j in range(8)]
+    cells.sort(key=lambda p: (p[0] + p[1], p[1] if (p[0] + p[1]) % 2 == 0 else p[0]))
+    return np.array(cells, dtype=np.int64)
+
+
+_ZZ = _jpeg_zigzag()
+_ZZ_ROWS, _ZZ_COLS = _ZZ[:, 0], _ZZ[:, 1]
+
+
+def _dct_matrix() -> "np.ndarray":
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    m = np.cos((2 * n + 1) * k * np.pi / 16)
+    m[0, :] *= np.sqrt(1 / 2)
+    return m * 0.5  # orthonormal: X = M @ x @ M.T, x = M.T @ X @ M
+
+
+_DCT_M = _dct_matrix()
+
+# Fixed canonical Huffman tables covering the full baseline alphabet (DC
+# size 0-11; AC run/size for sizes 1-10 plus EOB/ZRL). Written into DHT and
+# read back table-driven, so any conformant baseline table also decodes.
+_HUFF_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_HUFF_DC_VALS = list(range(12))
+_HUFF_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+_HUFF_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _huff_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), JPEG canonical code assignment."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) for DC/AC value coding."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _rgb_to_ycbcr(px: "np.ndarray") -> "np.ndarray":
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(px: "np.ndarray") -> "np.ndarray":
+    y, cb, cr = (px[..., i] for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.stack([r, g, b], axis=-1)
+
+
+def _jpeg_component_blocks(plane: "np.ndarray") -> "np.ndarray":
+    """Edge-replicate a (h, w) plane to 8-multiples, return (by, bx, 8, 8)."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    bh, bw = padded.shape[0] // 8, padded.shape[1] // 8
+    return padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3), bh, bw
+
+
+def encode_jpeg(pixels: "np.ndarray", *, quality: int = 95) -> bytes:
+    """Encode (h, w, 3) RGB or (h, w) grayscale uint8 as baseline JPEG."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if gray:
+        planes = [pixels.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(pixels)
+        planes = [ycc[..., i] for i in range(3)]
+    qtabs = [_jpeg_scaled_q(_JPEG_QL, quality)]
+    if not gray:
+        qtabs.append(_jpeg_scaled_q(_JPEG_QC, quality))
+
+    dc_codes = _huff_canonical(_HUFF_DC_BITS, _HUFF_DC_VALS)
+    ac_codes = _huff_canonical(_HUFF_AC_BITS, _HUFF_AC_VALS)
+
+    # quantized zigzag coefficients per component, MCU order (4:4:4 -> one
+    # block per component per MCU)
+    comp_coeffs = []
+    for ci, plane in enumerate(planes):
+        blocks, bh, bw = _jpeg_component_blocks(plane)
+        centered = blocks - 128.0
+        coeffs = np.einsum("ki,yxij,lj->yxkl", _DCT_M, centered, _DCT_M)
+        q = qtabs[min(ci, len(qtabs) - 1)]
+        quant = np.round(coeffs / q).astype(np.int64)
+        zz = quant[:, :, _ZZ_ROWS, _ZZ_COLS]  # (bh, bw, 64)
+        # keep AC within the baseline size-10 alphabet and DC diffs within
+        # size-11 (pathological all-black blocks at quality 100 only; error
+        # bounded by one quantization step)
+        zz = np.clip(zz, -1023, 1023)
+        comp_coeffs.append(zz.reshape(-1, 64))
+
+    writer = _BitWriter()
+    prev_dc = [0] * len(planes)
+    n_mcus = comp_coeffs[0].shape[0]
+    for m in range(n_mcus):
+        for ci in range(len(planes)):
+            block = comp_coeffs[ci][m]
+            diff = int(block[0]) - prev_dc[ci]
+            prev_dc[ci] = int(block[0])
+            size, bits = _magnitude(diff)
+            code, length = dc_codes[size]
+            writer.write(code, length)
+            if size:
+                writer.write(bits, size)
+            run = 0
+            nz = np.nonzero(block[1:])[0]
+            last = nz[-1] + 1 if nz.size else 0
+            for k in range(1, last + 1):
+                v = int(block[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    writer.write(code, length)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, length = ac_codes[(run << 4) | size]
+                writer.write(code, length)
+                writer.write(bits, size)
+                run = 0
+            if last < 63:
+                code, length = ac_codes[0x00]  # EOB
+                writer.write(code, length)
+    entropy = writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
+    for ti, q in enumerate(qtabs):
+        out += seg(0xFFDB, bytes([ti]) + bytes(q[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8)))
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, min(ci, len(qtabs) - 1)])
+    out += seg(0xFFC0, sof)
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_HUFF_DC_BITS) + bytes(_HUFF_DC_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(_HUFF_AC_BITS) + bytes(_HUFF_AC_VALS))
+    sos = bytes([nc]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
+    out += seg(0xFFDA, sos + bytes([0, 63, 0]))
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy data exhausted")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode_one(reader: "_BitReader", table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - ((1 << size) - 1)
+
+
+def decode_jpeg(payload: bytes) -> "np.ndarray":
+    """Decode a baseline (SOF0) JPEG to (h, w, 3) RGB or (h, w) grayscale
+    uint8. Table-driven: any conformant DQT/DHT decodes, not just this
+    module's encoder output. Raises NotImplementedError for progressive
+    SOFs or subsampled chroma."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int]] = []  # (component id, q table id)
+    h = w = 0
+    restart = 0
+    scan_comps: list[tuple[int, int, int]] = []
+    entropy_segments: list[bytes] = []
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xFFD9:
+            break
+        length = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xFFDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                t = np.zeros((8, 8), dtype=np.int32)
+                t[_ZZ_ROWS, _ZZ_COLS] = np.frombuffer(
+                    body[off + 1 : off + 65], dtype=np.uint8
+                )
+                qtabs[tq] = t
+                off += 65
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise NotImplementedError("only baseline sequential (SOF0) JPEG")
+        elif marker == 0xFFC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled chroma unsupported (4:4:4/grayscale only)"
+                    )
+                comps.append((cid, tq))
+        elif marker == 0xFFC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nvals])
+                codes = _huff_canonical(bits, vals)
+                huff[(tc, th)] = {
+                    (length, code): sym for sym, (code, length) in codes.items()
+                }
+                off += 17 + nvals
+        elif marker == 0xFFDD:
+            restart = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xFFDA:
+            ns = body[0]
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i : 3 + 2 * i]
+                scan_comps.append((cid, tabs >> 4, tabs & 0xF))
+            # entropy data runs until the next non-RST marker; de-stuff and
+            # split on RSTn (DC predictors reset per segment)
+            seg = bytearray()
+            while pos + 1 < len(payload):
+                b = payload[pos]
+                if b != 0xFF:
+                    seg.append(b)
+                    pos += 1
+                    continue
+                nxt = payload[pos + 1]
+                if nxt == 0x00:
+                    seg.append(0xFF)
+                    pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    entropy_segments.append(bytes(seg))
+                    seg = bytearray()
+                    pos += 2
+                else:
+                    break
+            entropy_segments.append(bytes(seg))
+    if not comps or not entropy_segments:
+        raise ValueError("missing SOF/SOS")
+
+    by, bx = -(-h // 8), -(-w // 8)
+    n_mcus = by * bx
+    comp_q = {cid: qtabs[tq] for cid, tq in comps}
+    planes = [np.zeros((by * 8, bx * 8), dtype=np.float64) for _ in comps]
+    seg_iter = iter(entropy_segments)
+    reader = _BitReader(next(seg_iter))
+    prev_dc = {cid: 0 for cid, _, _ in scan_comps}
+    since_restart = 0
+    for m in range(n_mcus):
+        if restart and since_restart == restart:
+            reader = _BitReader(next(seg_iter))
+            prev_dc = {cid: 0 for cid, _, _ in scan_comps}
+            since_restart = 0
+        since_restart += 1
+        my, mx = divmod(m, bx)
+        for ci, (cid, dc_t, ac_t) in enumerate(scan_comps):
+            zz = np.zeros(64, dtype=np.int64)
+            size = _huff_decode_one(reader, huff[(0, dc_t)])
+            diff = _extend(reader.read_bits(size), size)
+            prev_dc[cid] += diff
+            zz[0] = prev_dc[cid]
+            k = 1
+            while k < 64:
+                sym = _huff_decode_one(reader, huff[(1, ac_t)])
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0xF
+                if size == 0 and run == 15:  # ZRL
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _extend(reader.read_bits(size), size)
+                k += 1
+            block = np.zeros((8, 8), dtype=np.float64)
+            block[_ZZ_ROWS, _ZZ_COLS] = zz
+            block *= comp_q[cid]
+            spatial = _DCT_M.T @ block @ _DCT_M + 128.0
+            planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = spatial
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
-    REAL for BMP (``BM`` magic — header parse, validated against full pixel
-    round-trips in tests). Compressed codecs need a library that is not in
-    this environment; ``fake=True`` returns a deterministic length-derived
-    stand-in so that plumbing stays testable.
+    REAL for BMP, PNG, and baseline JPEG (magic-sniffed; all three codecs
+    above are validated against full pixel round-trips in tests). Video
+    still needs a codec library not in this environment; ``fake=True``
+    returns a deterministic length-derived stand-in so that plumbing
+    stays testable.
     """
     if fake:
         return (len(payload) % 64 + 1, len(payload) % 48 + 1)
@@ -342,9 +760,21 @@ def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         w, h = struct.unpack_from(">II", payload, 16)  # IHDR is always first
         return (w, h)
+    if payload[:2] == b"\xff\xd8":
+        # walk markers to SOF0 (dims live there, not at a fixed offset)
+        pos = 2
+        while pos + 4 <= len(payload):
+            marker = struct.unpack_from(">H", payload, pos)[0]
+            if marker == 0xFFC0:
+                _, h, w = struct.unpack_from(">BHH", payload, pos + 4)
+                return (w, h)
+            if marker == 0xFFDA or marker == 0xFFD9:
+                break
+            pos += 2 + struct.unpack_from(">H", payload, pos + 2)[0]
+        raise ValueError("JPEG without SOF0 header")
     raise NotImplementedError(
-        "only BMP and PNG decode natively; JPEG/video need a codec library "
-        "(e.g. Pillow) — wire it in here, the Spark-side plumbing "
+        "only BMP, PNG, and baseline JPEG decode natively; video needs a "
+        "codec library — wire it in here, the Spark-side plumbing "
         "(binary column, mapInPandas batching, schema) is already in place"
     )
 

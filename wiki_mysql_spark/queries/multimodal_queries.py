@@ -324,3 +324,93 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "payload")
         .mapInPandas(_roundtrip, schema)
     )
+
+
+@query(
+    "multimodal_decode_jpeg",
+    """
+    -- the builder tiles each doc's CHARACTER codepoints (mod 256) into the
+    -- pixels of a REAL baseline JPEG (DCT + quantization + Huffman, pure
+    -- numpy/stdlib codec in operators/multimodal.py), then the real
+    -- decoder reconstructs them. JPEG is LOSSY, so the oracle checks the
+    -- exactly-recomputable facts: dimensions and pixel count from the
+    -- builder arithmetic, plus tolerance flags that the Spark side
+    -- computes from the actual decoded pixels (a decoder with broken
+    -- Huffman/dequant/IDCT blows the 12-levels bound immediately).
+    SELECT doc_id,
+           ((length(text) % 16) + 1)::BIGINT AS width,
+           ((length(text) % 12) + 1)::BIGINT AS height,
+           (((length(text) % 16) + 1) * ((length(text) % 12) + 1) * 3)::BIGINT
+               AS n_pixels,
+           TRUE AS within_tolerance,
+           TRUE AS mean_err_small
+    FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+    """,
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL **lossy compressed** image decode end-to-end: each document's
+    character codepoints become the pixels of an actual baseline JPEG
+    (quality 95; spec-derived codec: DCT, Annex-K quantization, zigzag,
+    DC DPCM, canonical Huffman, byte stuffing — ``operators/multimodal.py``
+    ``encode_jpeg``/``decode_jpeg``), which the real decoder then parses
+    back. Dimensions/pixel count are oracle-exact; reconstruction quality
+    is asserted as two tolerance booleans computed from the decoded
+    pixels: max |err| <= 48 levels and mean |err| <= 12 (noise-like input
+    at quality 95 measures max ~21 / mean ~4; a broken decode path lands
+    far outside both). Tolerances are generous because JPEG is lossy BY
+    SPEC — the exact-roundtrip twin is the PNG entry."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from wiki_mysql_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("n_pixels", LongType()),
+            StructField("within_tolerance", BooleanType()),
+            StructField("mean_err_small", BooleanType()),
+        ]
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_pixels",
+                                   "within_tolerance", "mean_err_small")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = text or ""
+                n = len(s)
+                w, h = (n % 16) + 1, (n % 12) + 1
+                need = w * h * 3
+                if n:
+                    codes = (
+                        np.frombuffer(s.encode("utf-32-le"), dtype="<u4") % 256
+                    ).astype(np.uint8)
+                    pix = np.tile(codes, need // n + 1)[:need]
+                else:
+                    pix = np.zeros(need, dtype=np.uint8)
+                pix = pix.reshape(h, w, 3)
+                dec = decode_jpeg(encode_jpeg(pix, quality=95))
+                err = np.abs(dec.astype(np.int64) - pix.astype(np.int64))
+                out["doc_id"].append(doc_id)
+                out["width"].append(dec.shape[1])
+                out["height"].append(dec.shape[0])
+                out["n_pixels"].append(int(dec.size))
+                out["within_tolerance"].append(bool(err.max() <= 48))
+                out["mean_err_small"].append(bool(err.mean() <= 12.0))
+            yield pd.DataFrame(out)
+
+    return (
+        spread_small_scan(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "text")
+        .mapInPandas(_roundtrip, schema)
+    )
