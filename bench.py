@@ -49,10 +49,13 @@ HEADLINE = [
     "multimodal_decode_png",
     "text_gopher_quality",
     "layout_zorder_stats",
-    # round-4: lossy transform-coding decode (DCT/Huffman JPEG), the
-    # distributed triangle count
+    # round-4: lossy transform-coding decode (DCT/Huffman JPEG), container
+    # video decode (MJPEG-AVI), the distributed triangle count, iterative
+    # BPE subword-vocabulary training
     "multimodal_decode_jpeg",
+    "multimodal_decode_video",
     "graph_triangle_count",
+    "tokenize_bpe_train",
 ]
 
 

@@ -304,3 +304,27 @@ def test_pack_context_windows_spans_and_conservation(spark):
     for r in rows:
         spans[r["doc_id"]] += 1
     assert any(v > 1 for v in spans.values())
+
+
+def test_bpe_train_matches_hand_computation(spark):
+    """BPE merges on a tiny corpus with hand-checkable counts: 'low' x5,
+    'lower' x2, 'newest' x6, 'widest' x3. Classic worked example: 'es'
+    (from -est words, 9) merges first under (count DESC, left, right)
+    tie-break, then 'est' (9), then 'lo' (7)..."""
+    from wiki_mysql_spark.operators.bpe import bpe_apply, bpe_train
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=3).orderBy("round").collect()
+    ]
+    assert got == [(1, "e", "s", 9), (2, "es", "t", 9), (3, "l", "o", 7)], got
+    # greedy non-overlap: 'aaaa' with merge (a,a) -> 'aa' 'aa' = 2 tokens
+    docs2 = spark.createDataFrame([(1, "aaaa aaa")], ["doc_id", "text"])
+    merges = [
+        (r["left"], r["right"]) for r in bpe_train(docs2, n_merges=1).collect()
+    ]
+    assert merges == [("a", "a")]
+    toks = {r["doc_id"]: r["n_tokens"] for r in bpe_apply(docs2, merges).collect()}
+    assert toks == {1: 2 + 2}  # 'aaaa' -> aa,aa ; 'aaa' -> aa,a

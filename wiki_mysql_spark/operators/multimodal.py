@@ -12,10 +12,14 @@ comes from the stdlib ``zlib`` module, so :func:`encode_png` /
 filters with no external library. Baseline JPEG is REAL as of round 4:
 :func:`encode_jpeg` / :func:`decode_jpeg` implement the lossy transform
 path from the public spec (DCT, quantization, zigzag, DPCM, canonical
-Huffman, byte stuffing) in pure numpy + stdlib. Video still needs a codec
-library that is not in this environment (no imageio/cv2) and raises
-``NotImplementedError`` — the ``fake=`` deterministic stand-ins keep that
-plumbing testable.
+Huffman, byte stuffing) in pure numpy + stdlib. Video is REAL as of round
+4 for the MJPEG-AVI layout: :func:`encode_avi_mjpeg` /
+:func:`decode_avi_mjpeg` walk the RIFF container (same chunk discipline
+as the WAV codec) with one baseline JPEG per frame, and
+``sample_frames(fake=False)`` decodes and re-encodes real frames.
+Inter-frame-compressed codecs (H.264 etc.) still need libraries not in
+this environment and raise ``NotImplementedError``; the ``fake=``
+deterministic stand-ins keep that plumbing testable.
 
 At 100 TB the rules encoded here:
   * keep payload bytes in their own column so column pruning skips them for
@@ -563,6 +567,10 @@ def encode_jpeg(pixels: "np.ndarray", *, quality: int = 95) -> bytes:
 
 
 class _BitReader:
+    """MSB-first bit reader over de-stuffed entropy bytes. Reads past the
+    end see zero padding — the MCU loop bounds consumption exactly, so
+    only the final code's don't-care peek bits ever land there."""
+
     __slots__ = ("data", "pos", "acc", "nbits")
 
     def __init__(self, data: bytes) -> None:
@@ -571,31 +579,51 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("entropy data exhausted")
-            self.acc = self.data[self.pos]
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            byte = self.data[self.pos] if self.pos < len(self.data) else 0
             self.pos += 1
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        self._fill(n)
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def read_sym(self, peek: list, maxlen: int) -> int:
+        """One table lookup per symbol: peek `maxlen` bits, the prefix code
+        they start with determines (symbol, real length)."""
+        self._fill(maxlen)
+        idx = (self.acc >> (self.nbits - maxlen)) & ((1 << maxlen) - 1)
+        entry = peek[idx]
+        if entry is None:
+            raise ValueError("invalid Huffman code")
+        self.nbits -= entry[1]
+        return entry[0]
 
 
-def _huff_decode_one(reader: "_BitReader", table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+_PEEK_CACHE: dict = {}
+
+
+def _huff_peek_table(bits: tuple, vals: tuple) -> tuple[list, int]:
+    """(peek table of 2^maxlen (sym, length) entries, maxlen) for a DHT —
+    cached, so a million frames sharing one table build it once."""
+    key = (bits, vals)
+    hit = _PEEK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    codes = _huff_canonical(list(bits), list(vals))
+    maxlen = max(length for _, length in codes.values())
+    table: list = [None] * (1 << maxlen)
+    for sym, (code, length) in codes.items():
+        base = code << (maxlen - length)
+        for i in range(1 << (maxlen - length)):
+            table[base + i] = (sym, length)
+    _PEEK_CACHE[key] = (table, maxlen)
+    return table, maxlen
 
 
 def _extend(bits: int, size: int) -> int:
@@ -658,13 +686,10 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             off = 0
             while off < len(body):
                 tc, th = body[off] >> 4, body[off] & 0xF
-                bits = list(body[off + 1 : off + 17])
+                bits = tuple(body[off + 1 : off + 17])
                 nvals = sum(bits)
-                vals = list(body[off + 17 : off + 17 + nvals])
-                codes = _huff_canonical(bits, vals)
-                huff[(tc, th)] = {
-                    (length, code): sym for sym, (code, length) in codes.items()
-                }
+                vals = tuple(body[off + 17 : off + 17 + nvals])
+                huff[(tc, th)] = _huff_peek_table(bits, vals)
                 off += 17 + nvals
         elif marker == 0xFFDD:
             restart = struct.unpack_from(">H", body, 0)[0]
@@ -713,13 +738,13 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         my, mx = divmod(m, bx)
         for ci, (cid, dc_t, ac_t) in enumerate(scan_comps):
             zz = np.zeros(64, dtype=np.int64)
-            size = _huff_decode_one(reader, huff[(0, dc_t)])
+            size = reader.read_sym(*huff[(0, dc_t)])
             diff = _extend(reader.read_bits(size), size)
             prev_dc[cid] += diff
             zz[0] = prev_dc[cid]
             k = 1
             while k < 64:
-                sym = _huff_decode_one(reader, huff[(1, ac_t)])
+                sym = reader.read_sym(*huff[(1, ac_t)])
                 if sym == 0x00:  # EOB
                     break
                 run, size = sym >> 4, sym & 0xF
@@ -741,6 +766,86 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# real codec: MJPEG video in an AVI (RIFF) container — the classic
+# motion-JPEG layout (public: the RIFF/AVI container spec + per-frame
+# baseline JPEG via the codec above). Pure struct + the JPEG codec; the
+# container framing mirrors the WAV chunk-walking approach.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(frames: list, *, fps: int = 10) -> bytes:
+    """Encode a list of (h, w, 3) RGB uint8 frames as an MJPEG AVI:
+    RIFF('AVI ') -> LIST(hdrl){avih, LIST(strl){strh,strf}} ->
+    LIST(movi){00dc: one baseline JPEG per frame} -> idx1."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg(f, quality=95) for f in frames]
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
+
+    def list_chunk(ltype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", ltype + data)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # microseconds per frame
+        0, 0, 0x10,        # max bytes/sec, padding, flags (HASINDEX)
+        len(frames), 0, 1, 0,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0xFFFFFFFF, 0, 0
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = list_chunk(
+        b"hdrl", chunk(b"avih", avih)
+        + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    )
+    movi_items = [chunk(b"00dc", j) for j in jpegs]
+    movi = list_chunk(b"movi", b"".join(movi_items))
+    # idx1: offsets are relative to the start of the 'movi' list type tag
+    idx, off = [], 4
+    for j in jpegs:
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(j)))
+        off += 8 + len(j) + (len(j) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[int, list]:
+    """Decode an MJPEG AVI to (fps, [frame arrays]) — chunk-walks the RIFF
+    tree, reads fps from avih, decodes every '00dc' frame with the real
+    baseline-JPEG decoder."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    fps, frames = None, []
+
+    def walk(data: bytes) -> None:
+        nonlocal fps
+        pos = 0
+        while pos + 8 <= len(data):
+            cid, size = struct.unpack_from("<4sI", data, pos)
+            body = data[pos + 8 : pos + 8 + size]
+            if cid == b"LIST":
+                walk(body[4:])  # skip the list type tag
+            elif cid == b"avih":
+                usec = struct.unpack_from("<I", body, 0)[0]
+                fps = round(1_000_000 / usec) if usec else 0
+            elif cid == b"00dc" and body[:2] == b"\xff\xd8":
+                frames.append(decode_jpeg(body))
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+    walk(payload[12:])
+    if fps is None or not frames:
+        raise ValueError("missing avih header or frames")
+    return fps, frames
 
 
 def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
@@ -773,9 +878,10 @@ def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
             pos += 2 + struct.unpack_from(">H", payload, pos + 2)[0]
         raise ValueError("JPEG without SOF0 header")
     raise NotImplementedError(
-        "only BMP, PNG, and baseline JPEG decode natively; video needs a "
-        "codec library — wire it in here, the Spark-side plumbing "
-        "(binary column, mapInPandas batching, schema) is already in place"
+        "only BMP, PNG, and baseline JPEG decode natively (video: MJPEG-AVI "
+        "via decode_avi_mjpeg); other formats need a codec library — wire it "
+        "in here, the Spark-side plumbing (binary column, mapInPandas "
+        "batching, schema) is already in place"
     )
 
 
@@ -831,10 +937,12 @@ def sample_frames(
     docs: DataFrame, *, n_frames: int = 4, fake: bool = True
 ) -> DataFrame:
     """Frame sampling for video-shaped payloads: one output row per sampled
-    frame (the 1->N explode shape of multimodal preprocessing). The fake
-    'decoder' slices the payload into n equal chunks deterministically."""
-    if not fake:
-        raise NotImplementedError("video decoding requires a codec library")
+    frame (the 1->N explode shape of multimodal preprocessing).
+    ``fake=False`` is REAL as of round 4: payloads are MJPEG AVIs, decoded
+    by the container+JPEG codec above; ``n_frames`` are sampled evenly
+    across the timeline and re-emitted as standalone JPEG bytes. The fake
+    'decoder' slices the payload into n equal chunks deterministically
+    (kept for plumbing tests of non-AVI bytes)."""
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -848,11 +956,20 @@ def sample_frames(
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                step = max(1, len(b) // n_frames)
-                for i in range(n_frames):
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    frames.append(b[i * step : (i + 1) * step])
+                if fake:
+                    step = max(1, len(b) // n_frames)
+                    for i in range(n_frames):
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(b[i * step : (i + 1) * step])
+                else:
+                    _, decoded = decode_avi_mjpeg(b)
+                    total = len(decoded)
+                    for i in range(n_frames):
+                        pick = min(total - 1, (i * total) // n_frames)
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(encode_jpeg(decoded[pick], quality=95))
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return docs.select("doc_id", "payload").mapInPandas(_sample, schema)

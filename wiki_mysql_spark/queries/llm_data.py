@@ -1299,3 +1299,111 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("char_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE subword-vocabulary training / tokenization (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 6
+
+
+def _sql_bpe_chain(n: int) -> str:
+    """The shared word table + n unrolled merge rounds as MATERIALIZED
+    CTEs (w0, p1, m1, w1, ..) — MATERIALIZED is load-bearing: each round
+    references its predecessor twice, so inlined CTEs re-evaluate the
+    whole chain exponentially."""
+    parts = ["""
+    w0 AS MATERIALIZED (
+      SELECT '||' || regexp_replace(w, '(.)', '\\1||', 'g') AS syms, freq FROM (
+        SELECT w, count(*)::BIGINT AS freq FROM (
+          SELECT unnest(string_split_regex(lower(coalesce(text,'')), '\\s+')) AS w
+          FROM documents
+        ) WHERE w <> '' AND regexp_matches(w, '^[a-z]+$')
+        GROUP BY w
+      )
+    )"""]
+    for i in range(1, n + 1):
+        parts.append(f"""
+    p{i} AS MATERIALIZED (
+      SELECT p[1] AS lft, p[2] AS rgt, sum(freq)::BIGINT AS cnt
+      FROM (SELECT list_filter(string_split(syms, '||'), s -> s <> '') AS arr,
+                   freq FROM w{i - 1}),
+           unnest(list_zip(arr, arr[2:])) AS u(p)
+      WHERE p[2] IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    m{i} AS MATERIALIZED (
+      SELECT lft, rgt, cnt FROM p{i} ORDER BY cnt DESC, lft, rgt LIMIT 1
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT replace(syms, '|' || m.lft || '||' || m.rgt || '|',
+                           '|' || m.lft || m.rgt || '|') AS syms, freq
+      FROM w{i - 1}, m{i} m)""")
+    return ",".join(parts)
+
+
+def _sql_bpe_train(n: int) -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS round, lft AS left, rgt AS right, "
+        f"cnt AS pair_count FROM m{i}"
+        for i in range(1, n + 1)
+    )
+    return f"WITH {_sql_bpe_chain(n)}\n{selects}"
+
+
+@query("tokenize_bpe_train", _sql_bpe_train(_BPE_MERGES))
+def tokenize_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (Sennrich et al. 2016) over the
+    corpus — the subword-vocabulary job of every LLM pretraining pipeline.
+    Per round: one pair-count shuffle over the DISTINCT-word table
+    (corpus-size-independent state), a 1-row argmax broadcast to the
+    driver (pagerank's bounded-driver-data shape), one map-side literal
+    merge. The double-delimiter word encoding makes plain replace exactly
+    BPE's greedy non-overlapping merge on BOTH engines; the oracle
+    unrolls the same rounds as MATERIALIZED CTEs and was cross-validated
+    against an independent pure-Python BPE implementation."""
+    from wiki_mysql_spark.operators.bpe import bpe_train
+
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return bpe_train(docs, n_merges=_BPE_MERGES)
+
+
+def _sql_bpe_apply(n: int) -> str:
+    apply_chain = ["""
+    a0 AS MATERIALIZED (
+      SELECT doc_id, '||' || regexp_replace(w, '(.)', '\\1||', 'g') AS syms
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(coalesce(text,'')), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> '' AND regexp_matches(w, '^[a-z]+$')
+    )"""]
+    for i in range(1, n + 1):
+        apply_chain.append(f"""
+    a{i} AS MATERIALIZED (
+      SELECT doc_id, replace(syms, '|' || m.lft || '||' || m.rgt || '|',
+                                   '|' || m.lft || m.rgt || '|') AS syms
+      FROM a{i - 1}, m{i} m)""")
+    return (
+        f"WITH {_sql_bpe_chain(n)},{','.join(apply_chain)}\n"
+        f"SELECT doc_id, sum(len(list_filter(string_split(syms, '||'), "
+        f"s -> s <> '')))::BIGINT AS n_tokens FROM a{n} GROUP BY doc_id"
+    )
+
+
+@query("tokenize_bpe_apply", _sql_bpe_apply(_BPE_MERGES))
+def tokenize_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode side of BPE: train the merge table, then tokenize every
+    document with it (word-based, merges never cross word boundaries) and
+    report per-doc token counts — the sequence-length accounting step
+    before context-window packing. Apply is map-side literal replaces +
+    one sum-per-doc shuffle."""
+    from wiki_mysql_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=_BPE_MERGES).orderBy("round").collect()
+    ]
+    return bpe_apply(docs, merges)

@@ -414,3 +414,94 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .mapInPandas(_roundtrip, schema)
     )
+
+
+@query(
+    "multimodal_decode_video",
+    """
+    -- the builder tiles each doc's character codepoints into FOUR
+    -- 8x8-RGB frames of a REAL MJPEG AVI (RIFF container + per-frame
+    -- baseline JPEG), then the real container+codec chain decodes it.
+    -- Container facts (frame count, fps, dims) are exactly recomputable;
+    -- reconstruction quality is a tolerance boolean from the decoded
+    -- pixels (JPEG frames are lossy by spec).
+    SELECT doc_id,
+           4::BIGINT AS n_frames,
+           10::BIGINT AS fps,
+           8::BIGINT AS width,
+           8::BIGINT AS height,
+           TRUE AS within_tolerance
+    FROM documents
+    """,
+)
+def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end: each document becomes a 4-frame MJPEG
+    AVI (RIFF container from the public spec + the baseline-JPEG codec,
+    all pure numpy/stdlib — ``operators/multimodal.py``
+    ``encode_avi_mjpeg``/``decode_avi_mjpeg``), which the real
+    chunk-walking decoder parses back: frame count and fps from the
+    container headers, dims and pixels from the per-frame JPEG decode.
+    The oracle recomputes the container arithmetic; a broken RIFF walk,
+    Huffman table, or IDCT breaks the frame count or blows the 48-level
+    tolerance."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from wiki_mysql_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_frames", LongType()),
+            StructField("fps", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("within_tolerance", BooleanType()),
+        ]
+    )
+    w = h = 8
+    k = 4
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in ("doc_id", "n_frames", "fps", "width",
+                                   "height", "within_tolerance")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = text or ""
+                need = k * w * h * 3
+                if s:
+                    codes = (
+                        np.frombuffer(s.encode("utf-32-le"), dtype="<u4") % 256
+                    ).astype(np.uint8)
+                    pix = np.tile(codes, need // len(s) + 1)[:need]
+                else:
+                    pix = np.zeros(need, dtype=np.uint8)
+                frames = list(pix.reshape(k, h, w, 3))
+                fps, dec = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=10))
+                errs = [
+                    np.abs(d.astype(np.int64) - f.astype(np.int64)).max()
+                    for d, f in zip(dec, frames)
+                ]
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(len(dec))
+                out["fps"].append(fps)
+                out["width"].append(dec[0].shape[1])
+                out["height"].append(dec[0].shape[0])
+                out["within_tolerance"].append(bool(max(errs) <= 48))
+            yield pd.DataFrame(out)
+
+    return (
+        spread_small_scan(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "text")
+        .mapInPandas(_roundtrip, schema)
+    )
