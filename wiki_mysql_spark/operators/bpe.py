@@ -97,12 +97,7 @@ def bpe_train(
             "freq",
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
-        merges, ["round", "left", "right", "pair_count"]
-    ).select(
-        F.col("round").cast("long"),
-        "left",
-        "right",
-        F.col("pair_count").cast("long"),
+        merges, "round: long, left: string, right: string, pair_count: long"
     )
 
 

@@ -420,6 +420,18 @@ def _huff_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, in
     return out
 
 
+_ENC_TABLES: list = []
+
+
+def _encoder_code_tables() -> tuple[dict, dict]:
+    """The encoder's fixed DC/AC code maps, built once per process (they
+    never vary — the per-frame rebuild showed up in the video profile)."""
+    if not _ENC_TABLES:
+        _ENC_TABLES.append(_huff_canonical(_HUFF_DC_BITS, _HUFF_DC_VALS))
+        _ENC_TABLES.append(_huff_canonical(_HUFF_AC_BITS, _HUFF_AC_VALS))
+    return _ENC_TABLES[0], _ENC_TABLES[1]
+
+
 class _BitWriter:
     def __init__(self) -> None:
         self.out = bytearray()
@@ -491,8 +503,7 @@ def encode_jpeg(pixels: "np.ndarray", *, quality: int = 95) -> bytes:
     if not gray:
         qtabs.append(_jpeg_scaled_q(_JPEG_QC, quality))
 
-    dc_codes = _huff_canonical(_HUFF_DC_BITS, _HUFF_DC_VALS)
-    ac_codes = _huff_canonical(_HUFF_AC_BITS, _HUFF_AC_VALS)
+    dc_codes, ac_codes = _encoder_code_tables()
 
     # quantized zigzag coefficients per component, MCU order (4:4:4 -> one
     # block per component per MCU)
@@ -583,7 +594,10 @@ class _BitReader:
         while self.nbits < need:
             byte = self.data[self.pos] if self.pos < len(self.data) else 0
             self.pos += 1
-            self.acc = (self.acc << 8) | byte
+            # mask away already-consumed high bits so acc stays a small int
+            # (otherwise it grows with the whole stream and bigint shifts
+            # turn the reader quadratic)
+            self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | byte
             self.nbits += 8
 
     def read_bits(self, n: int) -> int:
@@ -799,7 +813,12 @@ def encode_avi_mjpeg(frames: list, *, fps: int = 10) -> bytes:
         w, h, 0, 0, 0, 0,
     )
     strh = b"vids" + b"MJPG" + struct.pack(
-        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0xFFFFFFFF, 0, 0
+        "<IHHIIIIIIII4H",
+        0, 0, 0, 0,            # flags, priority, language, initial frames
+        1, fps,                # scale, rate (rate/scale = fps)
+        0, len(frames),        # start, length
+        0, 0xFFFFFFFF, 0,      # suggested buffer, quality, sample size
+        0, 0, 0, 0,            # rcFrame (4 shorts) — full 56-byte header
     )
     strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
                        w * h * 3, 0, 0, 0, 0)
