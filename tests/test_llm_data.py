@@ -830,3 +830,32 @@ def test_sample_frames_real_video_path(spark):
     for r in got:
         img = decode_jpeg(bytes(r["frame"]))
         assert img.shape == (8, 8, 3)
+
+
+def test_resize_png_and_jpeg_real_paths():
+    """resize_image now covers all three real image codecs: decode ->
+    nearest-neighbor -> re-encode in the same format; pixel-exact for the
+    lossless formats, tolerance-bounded for JPEG."""
+    import numpy as np
+
+    from wiki_mysql_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_png,
+        encode_jpeg,
+        encode_png,
+        resize_image,
+    )
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    up = resize_image(encode_png(px), 18, 12)
+    out = decode_png(up)
+    assert out.shape == (12, 18, 3)
+    # nearest-neighbor upsample through a LOSSLESS codec is pixel-exact
+    yi, xi = (np.arange(12) * 6) // 12, (np.arange(18) * 9) // 18
+    assert (out == px[yi][:, xi]).all()
+    jout = decode_jpeg(resize_image(encode_jpeg(px, quality=95), 18, 12))
+    assert jout.shape == (12, 18, 3)
+    assert np.abs(
+        jout.astype(int) - px[yi][:, xi].astype(int)
+    ).max() <= 64  # double-lossy (encode -> resize path re-encodes)

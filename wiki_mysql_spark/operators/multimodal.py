@@ -907,21 +907,29 @@ def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
 def resize_image(payload: bytes, width: int, height: int, *, fake: bool = False) -> bytes:
     """Resize an image payload to (width, height).
 
-    REAL for BMP: decode, nearest-neighbor resample via numpy fancy
-    indexing, re-encode. ``fake=True`` returns a deterministic
-    truncation/padding of the bytes (non-BMP plumbing tests)."""
+    REAL for BMP, PNG, and baseline JPEG (magic-sniffed): decode,
+    nearest-neighbor resample via numpy fancy indexing, re-encode in the
+    SAME format. ``fake=True`` returns a deterministic truncation/padding
+    of the bytes (plumbing tests for formats with no codec)."""
     if fake:
         target = max(1, width * height)
         return (payload * (target // max(1, len(payload)) + 1))[:target]
-    if payload[:2] != b"BM":
+    if payload[:2] == b"BM":
+        decode, encode = decode_bmp, encode_bmp
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        decode, encode = decode_png, encode_png
+    elif payload[:2] == b"\xff\xd8":
+        decode, encode = decode_jpeg, encode_jpeg
+    else:
         raise NotImplementedError(
-            "only BMP resizes natively; compressed codecs need a library"
+            "only BMP/PNG/JPEG resize natively; other formats need a codec "
+            "library"
         )
-    img = decode_bmp(payload)
-    h, w, _ = img.shape
+    img = decode(payload)
+    h, w = img.shape[:2]
     yi = (np.arange(height) * h) // height
     xi = (np.arange(width) * w) // width
-    return encode_bmp(img[yi][:, xi])
+    return encode(img[yi][:, xi])
 
 
 def resize_images(
