@@ -328,3 +328,70 @@ def test_bpe_train_matches_hand_computation(spark):
     assert merges == [("a", "a")]
     toks = {r["doc_id"]: r["n_tokens"] for r in bpe_apply(docs2, merges).collect()}
     assert toks == {1: 2 + 2}  # 'aaaa' -> aa,aa ; 'aaa' -> aa,a
+
+
+def _bpe_reference(docs: list[str], n_merges: int):
+    """Independent pure-Python BPE (frequency table + pair counts + greedy
+    left-to-right merge), used only as a differential oracle here."""
+    import collections
+    import re
+
+    freq = collections.Counter()
+    for d in docs:
+        for w in re.split(r"\s+", d.lower()):
+            if w and re.fullmatch(r"[a-z]+", w):
+                freq[w] += 1
+    words = {tuple(w): c for w, c in freq.items()}
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        pc = collections.Counter()
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, l, r, cnt))
+        new = {}
+        for syms, c in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        words = new
+    return merges
+
+
+def test_bpe_train_fuzz_vs_python_reference(spark):
+    """Randomized differential test: 20 seeded random corpora (Zipf-ish
+    words over a tiny alphabet to force merge-cascades and ties) — the
+    distributed trainer must reproduce the independent pure-Python BPE
+    exactly, including the (count DESC, left, right) tie-break."""
+    import random
+
+    from wiki_mysql_spark.operators.bpe import bpe_train
+
+    rng = random.Random(0xB9E)
+    for trial in range(20):
+        vocab = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 12))
+        ]
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+            for _ in range(rng.randint(1, 8))
+        ]
+        want = _bpe_reference(docs, 4)
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(docs)], ["doc_id", "text"]
+        )
+        got = [
+            (r["round"], r["left"], r["right"], r["pair_count"])
+            for r in bpe_train(df, n_merges=4).orderBy("round").collect()
+        ]
+        assert got == want, f"trial {trial}: {got} != {want}\ndocs={docs}"

@@ -859,3 +859,31 @@ def test_resize_png_and_jpeg_real_paths():
     assert np.abs(
         jout.astype(int) - px[yi][:, xi].astype(int)
     ).max() <= 64  # double-lossy (encode -> resize path re-encodes)
+
+
+def test_jpeg_codec_randomized_roundtrip_sweep():
+    """100 seeded-random (shape, grayscale, quality) combinations through
+    encode->decode: dims always exact, reconstruction error bounded by a
+    quality-dependent envelope (worst-case random noise)."""
+    import numpy as np
+
+    from wiki_mysql_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(1234)
+    for _ in range(100):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        gray = bool(rng.integers(0, 2))
+        q = int(rng.choice([50, 75, 90, 95, 100]))
+        shape = (h, w) if gray else (h, w, 3)
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(px, quality=q))
+        assert dec.shape == px.shape
+        # max-error envelopes measured over this seed with headroom; the
+        # MEAN bound is the discriminator (a broken Huffman/IDCT path
+        # yields mean ~85 on uniform noise, far outside every row)
+        max_tol = {50: 230, 75: 160, 90: 64, 95: 40, 100: 8}[q]
+        mean_tol = {50: 45, 75: 32, 90: 18, 95: 12, 100: 2}[q]
+        err = np.abs(dec.astype(int) - px.astype(int))
+        assert err.max() <= max_tol, (h, w, gray, q, int(err.max()))
+        assert err.mean() <= mean_tol, (h, w, gray, q, float(err.mean()))
