@@ -208,3 +208,38 @@ def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows, direction):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+_ntile_cases = st.tuples(
+    st.integers(min_value=0, max_value=400),   # rows
+    st.integers(min_value=1, max_value=12),    # tiles
+    st.integers(min_value=1, max_value=8),     # key modulus -> duplicates
+)
+
+
+@SETTINGS
+@given(_ntile_cases)
+def test_global_ntile_property(spark, case):
+    """For any (n rows, k tiles, duplicate-heavy keys): the distributed
+    ntile must produce exactly the ANSI tile SIZES (first n%k tiles hold
+    one extra row) and be monotone along the total order — the same
+    invariants a single-task ntile guarantees."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.ids import global_ntile
+
+    n, k, mod = case
+    df = spark.range(n).select(
+        (F.col("id") % mod).alias("key"), F.col("id").alias("uid")
+    )
+    rows = global_ntile(df, ["key", "uid"], k, tile_col="t").collect()
+    assert len(rows) == n
+    sizes = Counter(r["t"] for r in rows)
+    q, r = divmod(n, k)
+    expect = {i: q + (1 if i <= r else 0) for i in range(1, k + 1) if q or i <= r}
+    assert dict(sizes) == {t: c for t, c in expect.items() if c}, (n, k, sizes)
+    ordered = sorted(rows, key=lambda x: (x["key"], x["uid"]))
+    tiles = [x["t"] for x in ordered]
+    assert tiles == sorted(tiles), "tile assignment must be monotone in the order"
