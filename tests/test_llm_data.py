@@ -887,3 +887,42 @@ def test_jpeg_codec_randomized_roundtrip_sweep():
         err = np.abs(dec.astype(int) - px.astype(int))
         assert err.max() <= max_tol, (h, w, gray, q, int(err.max()))
         assert err.mean() <= mean_tol, (h, w, gray, q, float(err.mean()))
+
+
+def test_pq_topk_invariants(spark):
+    """PQ/ADC results must carry the EXACT cosine the brute-force path
+    computes for the same pair (precision-1-after-verify, recall<1
+    allowed), return exactly k rows per query ranked by ADC, and the
+    codebooks must compress: m codes per vector, each from its own
+    subspace's centroid ids."""
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.similarity import (
+        brute_force_topk,
+        pq_codebooks,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    approx = pq_topk(emb, q, k=5).collect()
+    all_sims = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in brute_force_topk(emb, q, k=10**6).collect()
+    }
+    assert len(approx) == 15  # 3 queries x k=5 exactly
+    for r in approx:
+        assert all_sims[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["adc_dist"]))
+    for pairs in by_q.values():
+        pairs.sort()
+        assert [p[0] for p in pairs] == [1, 2, 3, 4, 5]
+        assert [p[1] for p in pairs] == sorted(p[1] for p in pairs), \
+            "rank must follow ADC distance"
+    books = pq_codebooks(emb, m=4, n_centroids=8)
+    assert len(books) == 4
+    for book in books:
+        assert 1 <= len(book) <= 8
+        assert all(len(cv) == 16 for _, cv in book)  # 64/4 dims per subspace

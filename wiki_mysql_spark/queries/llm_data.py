@@ -1407,3 +1407,106 @@ def tokenize_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_train(docs, n_merges=_BPE_MERGES).orderBy("round").collect()
     ]
     return bpe_apply(docs, merges)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN (operators/similarity.py pq_topk)
+# ---------------------------------------------------------------------------
+
+
+def _sql_l2sq(a: str, b: str, n: int) -> str:
+    """Sequential squared-L2 fold over n positions — same op order as the
+    Spark l2_sq aggregate."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {n + 1}), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _sql_pq(m: int, n_centroids: int, dim: int, n_queries: int, k: int) -> str:
+    subdim = dim // m
+    frags = []
+    for s in range(m):
+        lo, hi = s * subdim + 1, (s + 1) * subdim
+        sl = f"e.embedding[{lo}:{hi}]"
+        frags.append(f"""
+    seeds{s} AS MATERIALIZED (
+      SELECT vec_id AS cid,
+             list_transform(embedding[{lo}:{hi}], x -> x::DOUBLE) AS centv
+      FROM embeddings WHERE vec_id < {n_centroids}),
+    asg{s} AS MATERIALIZED (
+      SELECT v, cell FROM (
+        SELECT list_transform({sl}, x -> x::DOUBLE) AS v, sd.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({_sql_l2sq(sl, 'sd.centv', subdim)}, 6),
+                                           sd.cid) AS rk
+        FROM embeddings e CROSS JOIN seeds{s} sd
+      ) WHERE rk = 1),
+    cent{s} AS MATERIALIZED (
+      SELECT cell AS cid, list(mv ORDER BY pos) AS centv FROM (
+        SELECT a.cell, t.i AS pos, round(avg(a.v[t.i]), 6) AS mv
+        FROM asg{s} a CROSS JOIN range(1, {subdim + 1}) t(i)
+        GROUP BY a.cell, t.i
+      ) GROUP BY cell),
+    code{s} AS MATERIALIZED (
+      SELECT neighbor_id, cv, cid AS c FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS cv, ct.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({_sql_l2sq(sl, 'ct.centv', subdim)}, 6),
+                                           ct.cid) AS rk
+        FROM embeddings e CROSS JOIN cent{s} ct
+      ) WHERE rk = 1)""")
+    d_terms = []
+    joins = ["FROM q CROSS JOIN code0 c0"]
+    for s in range(1, m):
+        joins.append(f"JOIN code{s} c{s} ON c{s}.neighbor_id = c0.neighbor_id")
+    for s in range(m):
+        lo, hi = s * subdim + 1, (s + 1) * subdim
+        joins.append(f"JOIN cent{s} ct{s} ON ct{s}.cid = c{s}.c")
+        d_terms.append(
+            f"round({_sql_l2sq(f'q.qv[{lo}:{hi}]', f'ct{s}.centv', subdim)}, 6)"
+        )
+    adc = d_terms[0]
+    for t in d_terms[1:]:
+        adc = f"({adc} + {t})"
+    return f"""
+    WITH {','.join(frags)},
+    q AS MATERIALIZED (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT q.query_id, c0.neighbor_id,
+             {adc} AS adc_raw,
+             {_sql_cosine('q.qv', 'c0.cv')} AS raw_sim
+      {' '.join(joins)}
+      WHERE q.query_id <> c0.neighbor_id)
+    SELECT query_id, neighbor_id,
+           round(adc_raw, 6) + 0 AS adc_dist,
+           round(raw_sim, 6) + 0 AS cos_sim, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_raw, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ann_topk_pq", _sql_pq(m=4, n_centroids=8, dim=64, n_queries=5, k=10))
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011 — the FAISS backbone):
+    the corpus is compressed to m=4 per-subspace centroid codes (sub-
+    codebooks: first-k-slice seeds + one Lloyd iteration under rounded
+    squared-L2), and queries rank candidates by ASYMMETRIC DISTANCE —
+    the fixed-order sum of per-subspace distances to the coded centroids
+    — never touching raw corpus vectors for ranking. That memory posture
+    (m*log2(k) bits/vector vs dim*32) is what fits billion-vector
+    indexes in RAM at 100 TB; training/encode are broadcast-argmin
+    per-row expressions, only k x subdim partial sums shuffle. Exact
+    cosine attached to every returned pair (family invariant). The
+    oracle replays training, encoding, and ADC in SQL with the same
+    rounded arithmetic."""
+    from wiki_mysql_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.where(F.col("vec_id") < 5), k=10, m=4, n_centroids=8)
