@@ -926,3 +926,33 @@ def test_pq_topk_invariants(spark):
     for book in books:
         assert 1 <= len(book) <= 8
         assert all(len(cv) == 16 for _, cv in book)  # 64/4 dims per subspace
+
+
+def test_semdedup_invariants(spark):
+    """SemDeDup: every vector appears exactly once; a vector is dropped
+    iff some SAME-CLUSTER lower-id vector is cosine-similar above the
+    threshold (verified against an independently computed truth from the
+    exact pair set); lowest id in any near-dup pair always survives."""
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semdedup(emb, threshold=0.3, n_centroids=4, n_iters=1).collect()
+    n = emb.count()
+    assert len(out) == n
+    cells = {r["vec_id"]: r["cell"] for r in out}
+    keep = {r["vec_id"]: r["keep"] for r in out}
+    # independent truth: exact cosine over all pairs, restricted to cells
+    from wiki_mysql_spark.operators.dedup import embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3).collect()
+    should_drop = {
+        r["id_b"] for r in pairs if cells[r["id_a"]] == cells[r["id_b"]]
+    }
+    got_drop = {v for v, k in keep.items() if not k}
+    assert got_drop == should_drop
+    # the lowest id of every same-cell near-dup pair survives
+    for r in pairs:
+        if cells[r["id_a"]] == cells[r["id_b"]] and r["id_a"] not in should_drop:
+            assert keep[r["id_a"]]

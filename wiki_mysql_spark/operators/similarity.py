@@ -439,3 +439,58 @@ def pq_topk(
         )
         .where(F.col("rank") <= k)
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.3,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-then-dedup semantic deduplication (the SemDeDup recipe,
+    Abbas et al. 2023, public paper): k-means-cluster the embeddings, then
+    WITHIN each cluster mark every vector that has a lower-id neighbor
+    with cosine >= threshold as a duplicate; survivors are the corpus
+    after semantic dedup. The clustering is what makes this scale: the
+    quadratic comparison is bounded to within-cluster pairs (at 100 TB,
+    write the corpus partitioned by cell and each task deduplicates one
+    cell), instead of the corpus-squared join a flat threshold pass needs.
+    Assignment reuses the trained Lloyd codebook (broadcast-argmax
+    per-row, no shuffle); the only shuffles are the cell-keyed self-join
+    and the final anti-join-shaped marking.
+
+    Returns (vec_id, cell, keep) for every corpus vector — keep=false iff
+    a same-cluster lower-id vector is a near-duplicate of it."""
+    book = kmeans_codebook(
+        corpus, n_centroids=n_centroids, n_iters=n_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cells = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.element_at(nearest_cells(F.col(vec_col), book, 1), 1).alias("cell"),
+    ).localCheckpoint(eager=False)  # assignment reused by both join sides
+    a = cells.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), "cell"
+    )
+    b = cells.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), "cell"
+    )
+    dup_ids = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where((F.round(cosine(F.col("va"), F.col("vb")), 6) + 0.0) >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    return (
+        cells.join(dup_ids.withColumn("_dup", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -1510,3 +1510,40 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk(emb, emb.where(F.col("vec_id") < 5), k=10, m=4, n_centroids=8)
+
+
+@query(
+    "dedup_semdedup",
+    f"""
+    -- SemDeDup: k-means cluster (the ivf_trained replay CTEs), then mark
+    -- within-cluster lower-id near-duplicates; survivors keep=true
+    WITH {_KM_CENTS},
+    sd_cells AS MATERIALIZED (
+      SELECT vid, v, cell FROM (
+        SELECT e.vec_id AS vid, e.embedding AS v, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_sql_cosine('e.embedding', 'c.centv')} DESC,
+                                           c.cent_id) AS crank
+        FROM embeddings e CROSS JOIN {_KM_FINAL} c
+      ) WHERE crank = 1),
+    sd_dups AS MATERIALIZED (
+      SELECT DISTINCT b.vid
+      FROM sd_cells a JOIN sd_cells b ON a.cell = b.cell AND a.vid < b.vid
+      WHERE round({_sql_cosine('a.v', 'b.v')}, 6) + 0 >= 0.3)
+    SELECT c.vid AS vec_id, c.cell, (d.vid IS NULL) AS keep
+    FROM sd_cells c LEFT JOIN sd_dups d ON d.vid = c.vid
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication via cluster-then-dedup (SemDeDup, Abbas et
+    al. 2023): k-means-cluster the embedding space (the trained Lloyd
+    codebook from ann_topk_ivf_trained's recipe), then within each cluster
+    mark vectors having a lower-id near-duplicate (cosine >= 0.3).
+    Clustering bounds the quadratic comparison to within-cluster pairs —
+    at 100 TB the corpus is written partitioned by cell and each task
+    deduplicates one cell, vs the corpus-squared join a flat pass needs.
+    The oracle replays clustering and marking in SQL."""
+    from wiki_mysql_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, threshold=0.3, n_centroids=8, n_iters=2)
