@@ -395,3 +395,33 @@ def test_bpe_train_fuzz_vs_python_reference(spark):
             for r in bpe_train(df, n_merges=4).orderBy("round").collect()
         ]
         assert got == want, f"trial {trial}: {got} != {want}\ndocs={docs}"
+
+
+def test_dsir_weights_direction(spark):
+    """DSIR sanity on a constructed corpus: docs made of target-exclusive
+    words must get positive log-weights (selected), docs of
+    source-exclusive words negative; weight grows with word count."""
+    from wiki_mysql_spark.queries.llm_data import corpus_dsir_weights
+
+    # build a parquet fixture shaped like documents
+    import tempfile, os
+    rows = []
+    for i in range(10):
+        rows.append((i, "aaa bbb aaa bbb aaa", "en", "src0", 19))       # target
+    for i in range(10, 40):
+        rows.append((i, "zzz yyy zzz yyy zzz", "en", "src5", 19))       # source-only
+    # target-like words under a non-target source: few enough occurrences
+    # that they don't flip the corpus-wide ratio of their own bucket
+    rows.append((100, "aaa aaa aaa aaa", "en", "src7", 15))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    tmp = tempfile.mkdtemp(prefix="dsir_fix_")
+    for name in ["documents"]:
+        df.write.mode("overwrite").parquet(os.path.join(tmp, f"{name}.parquet"))
+    out = {r["doc_id"]: r for r in corpus_dsir_weights(spark, tmp).collect()}
+    assert out[0]["selected"] and out[0]["log_weight"] > 0
+    assert not out[20]["selected"] and out[20]["log_weight"] < 0
+    # target-like content is selected regardless of its source label
+    assert out[100]["selected"] and out[100]["log_weight"] > 0
+    assert out[100]["n_words"] == 4 and out[0]["n_words"] == 5
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)

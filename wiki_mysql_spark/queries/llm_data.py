@@ -1547,3 +1547,95 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup(emb, threshold=0.3, n_centroids=8, n_iters=2)
+
+
+@query(
+    "corpus_dsir_weights",
+    """
+    -- DSIR importance weights: hashed-bucket word features, per-bucket
+    -- smoothed log likelihood-ratio target-vs-corpus, per-doc sum. The
+    -- per-bucket log-ratio is SCALED TO BIGINT (x 1e6) so the per-doc
+    -- accumulation is exact integer arithmetic — order-independent,
+    -- which a double sum across engines is not.
+    WITH wb AS MATERIALIZED (
+      SELECT doc_id, source, substring(md5(w), 1, 2) AS b FROM (
+        SELECT doc_id, source,
+               unnest(string_split_regex(lower(coalesce(text,'')), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> '' AND regexp_matches(w, '^[a-z]+$')
+    ),
+    nt AS (SELECT b, count(*)::BIGINT AS n_t FROM wb
+           WHERE source IN ('src0', 'src1') GROUP BY b),
+    ns AS (SELECT b, count(*)::BIGINT AS n_s FROM wb GROUP BY b),
+    tot AS (SELECT (SELECT count(*) FROM wb WHERE source IN ('src0','src1'))::BIGINT AS t,
+                   (SELECT count(*) FROM wb)::BIGINT AS s),
+    lr AS (
+      SELECT ns.b,
+             round(ln(((coalesce(n_t, 0) + 1) * (s + 256))::DOUBLE
+                      / ((n_s + 1) * (t + 256))::DOUBLE) * 1000000)::BIGINT AS lr
+      FROM ns LEFT JOIN nt ON ns.b = nt.b CROSS JOIN tot)
+    SELECT wb.doc_id, count(*)::BIGINT AS n_words,
+           (sum(lr.lr) / 1000000.0) AS log_weight,
+           (sum(lr.lr) > 0) AS selected
+    FROM wb JOIN lr ON wb.b = lr.b
+    GROUP BY wb.doc_id
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    estimate how target-like each document is from hashed word-bucket
+    (md5-hex-prefix, 256 buckets — the repo's portable hashing idiom)
+    likelihood ratios between a target slice (sources src0/src1) and the
+    whole corpus, add-one smoothed. A doc's importance log-weight is the
+    sum of its words' bucket log-ratios; ``selected`` = more target-like
+    than the corpus average (positive weight). Scale shape: two count
+    shuffles over word buckets, a 256-row broadcast ratio table joined
+    back, one per-doc aggregate — the per-bucket log-ratio is scaled to
+    BIGINT so per-doc sums are exact integers (order-independent), with
+    one final double division."""
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    word = F.explode(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    ).alias("w")
+    wb = (
+        docs.select("doc_id", "source", word)
+        .where((F.col("w") != "") & F.col("w").rlike("^[a-z]+$"))
+        .select("doc_id", "source", F.substring(F.md5("w"), 1, 2).alias("b"))
+        .localCheckpoint(eager=False)  # counts + totals + per-doc reuse it
+    )
+    target = wb.where(F.col("source").isin("src0", "src1"))
+    nt = target.groupBy("b").agg(F.count(F.lit(1)).alias("n_t"))
+    ns = wb.groupBy("b").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = F.broadcast(
+        target.agg(F.count(F.lit(1)).alias("t")).crossJoin(
+            wb.agg(F.count(F.lit(1)).alias("s"))
+        )
+    )
+    lr = (
+        ns.join(nt, "b", "left")
+        .crossJoin(tot)
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("n_t"), F.lit(0)) + 1) * (F.col("s") + 256))
+                    .cast("double")
+                    / ((F.col("n_s") + 1) * (F.col("t") + 256)).cast("double")
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lr"),
+        )
+    )
+    return (
+        wb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            (F.sum("lr") / F.lit(1000000.0)).alias("log_weight"),
+            (F.sum("lr") > 0).alias("selected"),
+        )
+    )
