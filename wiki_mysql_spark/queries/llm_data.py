@@ -1639,3 +1639,162 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("lr") > 0).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG retrieval capstone: chunk -> hash-embed -> retrieve -> pack budget
+# ---------------------------------------------------------------------------
+
+_RAG_CHUNK, _RAG_STRIDE, _RAG_K, _RAG_BUDGET, _RAG_DIM = 30, 20, 4, 64, 16
+
+
+def _sql_rag_vec(ws: str) -> str:
+    """16-bucket hashed-tf vector (rounded 6) of a word list — the chunk
+    and query embedding both engines share."""
+    return (
+        f"list_transform(range(0, {_RAG_DIM}), i -> "
+        f"round(len(list_filter({ws}, w -> {_sql_hash('w')} % {HASH_PRIME} "
+        f"% {_RAG_DIM} = i)) / len({ws})::DOUBLE, 6))"
+    )
+
+
+@query(
+    "rag_retrieve_context",
+    f"""
+    -- end-to-end retrieval pipeline: sliding word-window chunks,
+    -- hashing-trick embeddings, per-query cosine top-k over chunks of
+    -- OTHER docs, then greedy context packing under a word budget
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, {SQL_WORDS} AS ws
+      FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+      WHERE len({SQL_WORDS}) > 0
+    ),
+    chunks AS MATERIALIZED (
+      SELECT doc_id AS chunk_doc, t.i AS chunk_idx,
+             ws[t.i * {_RAG_STRIDE} + 1 :
+                t.i * {_RAG_STRIDE} + {_RAG_CHUNK}] AS cws
+      FROM base, unnest(range(0, (len(ws) + {_RAG_STRIDE} - 1) // {_RAG_STRIDE})) t(i)
+      WHERE t.i * {_RAG_STRIDE} < len(ws)
+    ),
+    cvec AS MATERIALIZED (
+      SELECT chunk_doc, chunk_idx, len(cws)::BIGINT AS n_words,
+             {_sql_rag_vec('cws')} AS v
+      FROM chunks
+    ),
+    qvec AS MATERIALIZED (
+      SELECT doc_id AS query_id, {_sql_rag_vec('ws')} AS qv
+      FROM base WHERE doc_id < 3
+    ),
+    scored AS (
+      SELECT q.query_id, c.chunk_doc, c.chunk_idx, c.n_words,
+             {_sql_cosine('q.qv', 'c.v')} AS raw_sim
+      FROM qvec q CROSS JOIN cvec c
+      WHERE c.chunk_doc <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY raw_sim DESC, chunk_doc, chunk_idx)
+                AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, chunk_doc, chunk_idx, n_words,
+           cum_words, round(raw_sim, 6) + 0 AS cos_sim
+    FROM (
+      SELECT *, sum(n_words) OVER (PARTITION BY query_id ORDER BY rank
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)::BIGINT AS cum_words
+      FROM ranked WHERE rank <= {_RAG_K}
+    ) WHERE cum_words <= {_RAG_BUDGET}
+    """,
+)
+def rag_retrieve_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval half of a RAG pipeline as ONE composed, oracle-checked
+    job: sliding word-window chunking (30/20), deterministic hashing-trick
+    chunk embeddings, per-query cosine top-{_RAG_K} over every chunk of
+    every OTHER document, then greedy packing of the ranked chunks into a
+    {_RAG_BUDGET}-word context budget (running-sum window, partitioned by
+    query). Scale shape: chunking and embedding are per-row expressions;
+    the score join broadcasts the (tiny) query side; ranking and packing
+    are query-partitioned windows — no global window, no corpus-squared
+    work beyond the deliberate query x chunk scoring."""
+    from pyspark.sql import Window
+
+    from wiki_mysql_spark.functions.text import hash64, words
+    from wiki_mysql_spark.functions.vectors import cosine
+
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    base = docs.select(
+        "doc_id", words(F.coalesce(F.col("text"), F.lit(""))).alias("ws")
+    ).where(F.size("ws") > 0)
+
+    def vec_of(ws):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(_RAG_DIM - 1)),
+            lambda i: F.round(
+                F.size(
+                    F.filter(ws, lambda w: hash64(w) % HASH_PRIME % _RAG_DIM == i)
+                )
+                / F.size(ws).cast("double"),
+                6,
+            ),
+        )
+
+    n = F.size("ws")
+    chunks = (
+        base.select(
+            F.col("doc_id").alias("chunk_doc"),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((n + _RAG_STRIDE - 1) / _RAG_STRIDE).cast("long") - 1,
+                )
+            ).alias("chunk_idx"),
+            "ws",
+        )
+        .where(F.col("chunk_idx") * _RAG_STRIDE < n)
+        .select(
+            "chunk_doc",
+            "chunk_idx",
+            F.slice(
+                F.col("ws"), F.col("chunk_idx") * _RAG_STRIDE + 1, _RAG_CHUNK
+            ).alias("cws"),
+        )
+    )
+    cvec = chunks.select(
+        "chunk_doc",
+        "chunk_idx",
+        F.size("cws").cast("long").alias("n_words"),
+        vec_of(F.col("cws")).alias("v"),
+    )
+    qvec = base.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), vec_of(F.col("ws")).alias("qv")
+    )
+    scored = (
+        F.broadcast(qvec)
+        .join(cvec, F.col("chunk_doc") != F.col("query_id"))
+        .select(
+            "query_id", "chunk_doc", "chunk_idx", "n_words",
+            cosine(F.col("qv"), F.col("v")).alias("raw_sim"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("raw_sim").desc(), "chunk_doc", "chunk_idx"
+    )
+    w_cum = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.select(
+        "*", F.row_number().over(w_rank).cast("long").alias("rank")
+    ).where(F.col("rank") <= _RAG_K)
+    return (
+        ranked.select(
+            "query_id", "rank", "chunk_doc", "chunk_idx", "n_words",
+            F.sum("n_words").over(w_cum).cast("long").alias("cum_words"),
+            (F.round("raw_sim", 6) + 0.0).alias("cos_sim"),
+        )
+        .where(F.col("cum_words") <= _RAG_BUDGET)
+    )
