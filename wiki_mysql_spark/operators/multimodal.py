@@ -456,15 +456,6 @@ class _BitWriter:
         return bytes(self.out)
 
 
-def _magnitude(v: int) -> tuple[int, int]:
-    """(size, amplitude bits) for DC/AC value coding."""
-    if v == 0:
-        return 0, 0
-    size = int(abs(v)).bit_length()
-    bits = v if v >= 0 else v + (1 << size) - 1
-    return size, bits
-
-
 def _rgb_to_ycbcr(px: "np.ndarray") -> "np.ndarray":
     r, g, b = (px[..., i].astype(np.float64) for i in range(3))
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -521,39 +512,51 @@ def encode_jpeg(pixels: "np.ndarray", *, quality: int = 95) -> bytes:
         zz = np.clip(zz, -1023, 1023)
         comp_coeffs.append(zz.reshape(-1, 64))
 
+    # Entropy coding: bits accumulate into one Python int per MCU (code and
+    # amplitude fused into a single shift), visiting only the NONZERO
+    # coefficient positions — one writer call per MCU instead of one per
+    # symbol (the per-symbol form dominated the video-entry profile).
     writer = _BitWriter()
+    w_write = writer.write
+    zrl_code, zrl_len = ac_codes[0xF0]
+    eob_code, eob_len = ac_codes[0x00]
     prev_dc = [0] * len(planes)
     n_mcus = comp_coeffs[0].shape[0]
+    n_comp = len(planes)
     for m in range(n_mcus):
-        for ci in range(len(planes)):
+        acc = 0
+        nbits = 0
+        for ci in range(n_comp):
             block = comp_coeffs[ci][m]
-            diff = int(block[0]) - prev_dc[ci]
-            prev_dc[ci] = int(block[0])
-            size, bits = _magnitude(diff)
+            dc = int(block[0])
+            diff = dc - prev_dc[ci]
+            prev_dc[ci] = dc
+            size = (diff if diff > 0 else -diff).bit_length()
+            bits = diff if diff >= 0 else diff + (1 << size) - 1
             code, length = dc_codes[size]
-            writer.write(code, length)
-            if size:
-                writer.write(bits, size)
-            run = 0
+            acc = (acc << (length + size)) | (code << size) | bits
+            nbits += length + size
             nz = np.nonzero(block[1:])[0]
-            last = nz[-1] + 1 if nz.size else 0
-            for k in range(1, last + 1):
-                v = int(block[k])
-                if v == 0:
-                    run += 1
-                    continue
+            last = int(nz[-1]) + 1 if nz.size else 0
+            prev_k = 0
+            for k in nz:
+                k = int(k)
+                run = k - prev_k
+                prev_k = k + 1
+                v = int(block[k + 1])
                 while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    writer.write(code, length)
+                    acc = (acc << zrl_len) | zrl_code
+                    nbits += zrl_len
                     run -= 16
-                size, bits = _magnitude(v)
+                size = (v if v > 0 else -v).bit_length()
+                bits = v if v >= 0 else v + (1 << size) - 1
                 code, length = ac_codes[(run << 4) | size]
-                writer.write(code, length)
-                writer.write(bits, size)
-                run = 0
+                acc = (acc << (length + size)) | (code << size) | bits
+                nbits += length + size
             if last < 63:
-                code, length = ac_codes[0x00]  # EOB
-                writer.write(code, length)
+                acc = (acc << eob_len) | eob_code
+                nbits += eob_len
+        w_write(acc, nbits)
     entropy = writer.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:

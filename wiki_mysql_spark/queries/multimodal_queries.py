@@ -21,7 +21,9 @@ def _payload_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The Arrow feature path ships payload bytes through Python workers; a
     # single-partition scan would serialize all of that on one core.
     return attach_binary_payload(
-        spread_small_scan(load_table(spark, sf_dir, "documents"))
+        spread_small_scan(
+            load_table(spark, sf_dir, "documents"), heavy_rows=True
+        )
     )
 
 
@@ -256,7 +258,9 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return (
-        spread_small_scan(load_table(spark, sf_dir, "documents"))
+        spread_small_scan(
+            load_table(spark, sf_dir, "documents"), heavy_rows=True
+        )
         .select("doc_id", "text")
         .mapInPandas(_roundtrip, schema)
     )
@@ -410,7 +414,9 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return (
-        spread_small_scan(load_table(spark, sf_dir, "documents"))
+        spread_small_scan(
+            load_table(spark, sf_dir, "documents"), heavy_rows=True
+        )
         .select("doc_id", "text")
         .mapInPandas(_roundtrip, schema)
     )
@@ -501,7 +507,9 @@ def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return (
-        spread_small_scan(load_table(spark, sf_dir, "documents"))
+        spread_small_scan(
+            load_table(spark, sf_dir, "documents"), heavy_rows=True
+        )
         .select("doc_id", "text")
         .mapInPandas(_roundtrip, schema)
     )

@@ -145,7 +145,8 @@ def _row_bytes_estimate(df: DataFrame) -> "F.Column":
 
 
 def spread_small_scan(
-    df: DataFrame, *, min_factor: int = 2, min_bytes: int = 32 << 20
+    df: DataFrame, *, min_factor: int = 2, min_bytes: int = 32 << 20,
+    heavy_rows: bool = False,
 ) -> DataFrame:
     """Spread a narrow-but-LARGE scan across the cluster before CPU-heavy
     per-row work.
@@ -161,14 +162,24 @@ def spread_small_scan(
     (the `.rdd` probe is safe on freshly-scanned frames with no upstream
     shuffle). At real scale an input is thousands of files and this is a
     no-op either way.
+
+    ``heavy_rows=True`` bypasses the byte gate: for CODEC-class work
+    (image/video encode+decode, milliseconds per row, not microseconds)
+    the per-row cost dwarfs any exchange of a small scan, so the frame is
+    always spread — leaving a 1.5 MB / 5,000-doc scan on one partition
+    put ~17 s of per-row Python on a single core while 31 sat idle
+    (measured on the video entry; spreading cut it ~10x).
     """
     spark = df.sparkSession
-    try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
-        return df  # no plan-stats handle (e.g. Spark Connect): change nothing
-    if size < min_bytes:
-        return df
+    if not heavy_rows:
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            return df  # no plan-stats handle (e.g. Spark Connect): no change
+        if size < min_bytes:
+            return df
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * min_factor < target:
         return df.repartition(target)
