@@ -385,7 +385,9 @@ def embedding_near_dup_pairs(
     from wiki_mysql_spark.sources.tables import spread_small_scan
 
     pairs = (
-        spread_small_scan(emb.select(F.col(id_col), F.col(vec_col)))
+        spread_small_scan(
+            emb.select(F.col(id_col), F.col(vec_col)), heavy_rows=True
+        )
         .mapInPandas(_block, schema)
     )
     return (
