@@ -219,3 +219,95 @@ def test_global_ntile_fewer_rows_than_tiles(spark):
     df = spark.createDataFrame([(3,), (1,), (2,)], ["v"])
     out = {r["v"]: r["t"] for r in global_ntile(df, ["v"], 10, tile_col="t").collect()}
     assert out == {1: 1, 2: 2, 3: 3}
+
+
+def test_wiki_pipeline_fuzz_vs_reference_semantics(spark, tmp_path):
+    """End-to-end differential fuzz of the WHOLE pipeline: 5 seeded random
+    mini-dumps (markup-bearing article bodies from the cleaning-fuzz
+    generator, redirect chains/cycles/self-loops/danglers, non-ns0 pages)
+    through read_wiki_dump + build_wiki_tables, compared against an
+    in-test reference that implements the dbfy semantics directly
+    (clean via the transcribed gensim filter; resolve redirects to chain
+    end; cycles and danglers drop; redirects share the target's body
+    row). Generalizes the fixed 8-page E2E fixture to the surrounding
+    input space."""
+    import random
+    from xml.sax.saxutils import escape
+
+    from tests.gensim_reference import wiki_body_filter
+    from tests.test_gensim_parity import (
+        _fuzz_doc as make_fuzz_doc,
+        _is_template_residual as is_template_residual,
+    )
+
+    rng = random.Random(0xE7E)
+    for trial in range(5):
+        n_articles = rng.randint(4, 10)
+        titles = [f"Art {trial}-{i}" for i in range(n_articles)]
+        pages = []  # (aid, title, ns, text)
+        aid = 1
+        for t in titles:
+            body = make_fuzz_doc(rng)
+            while is_template_residual(body):  # exact-parity input space
+                body = make_fuzz_doc(rng)
+            pages.append((aid, t, 0, body))
+            aid += 1
+        # redirects: to an article, a chain, a 2-cycle, a self-loop, a dangler
+        redirects = {
+            f"R direct {trial}": titles[0],
+            f"R chain {trial}": f"R direct {trial}",
+            f"R cyc A {trial}": f"R cyc B {trial}",
+            f"R cyc B {trial}": f"R cyc A {trial}",
+            f"R self {trial}": f"R self {trial}",
+            f"R dangle {trial}": "Missing page",
+        }
+        for i, t in enumerate(titles[1:], 1):
+            if rng.random() < 0.4:
+                redirects[f"R rand {trial}-{i}"] = rng.choice(titles)
+        for rt, target in redirects.items():
+            pages.append((aid, rt, 0, f"#REDIRECT [[{target}]]"))
+            aid += 1
+        pages.append((aid, f"Talk:skip {trial}", 4, "not ns 0"))
+
+        xml = ["<mediawiki>"]
+        for pa, pt, ns, txt in pages:
+            xml.append(
+                f"<page><title>{escape(pt)}</title><ns>{ns}</ns><id>{pa}</id>"
+                f"<revision><text>{escape(txt)}</text></revision></page>"
+            )
+        xml.append("</mediawiki>")
+        dump = tmp_path / f"fuzz{trial}.xml"
+        dump.write_text("\n".join(xml), encoding="utf-8")
+
+        arts, bodies = build_wiki_tables(read_wiki_dump(spark, str(dump)))
+        got_articles = arts.collect()
+        body_text = {r["id"]: r["body"] for r in bodies.collect()}
+        got = {r["title"]: (r["aid"], body_text[r["body"]]) for r in got_articles}
+
+        # in-test reference: dbfy.py semantics over the same pages
+        want = {}
+        cleaned = {}
+        for pa, pt, ns, txt in pages:
+            if ns != 0 or txt.startswith("#REDIRECT "):
+                continue
+            cleaned[pt] = wiki_body_filter(txt)
+            want[pt] = (pa, cleaned[pt])
+        for pa, pt, ns, txt in pages:
+            if ns != 0 or not txt.startswith("#REDIRECT "):
+                continue
+            target = txt[len("#REDIRECT [["):-2]
+            hops = 0
+            while target in redirects and hops < 1000:
+                target = redirects[target]
+                hops += 1
+            if hops >= 1000 or target not in cleaned:
+                continue  # cycle or dangler: dropped
+            want[pt] = (pa, cleaned[target])
+        assert got == want, (
+            f"trial {trial}: {set(got) ^ set(want)} differ; "
+            f"first diff: " + next(
+                (f"{k}: got {got.get(k)!r} want {want.get(k)!r}"
+                 for k in set(got) | set(want) if got.get(k) != want.get(k)),
+                "",
+            )
+        )
