@@ -1608,9 +1608,11 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = wb.where(F.col("source").isin("src0", "src1"))
     nt = target.groupBy("b").agg(F.count(F.lit(1)).alias("n_t"))
     ns = wb.groupBy("b").agg(F.count(F.lit(1)).alias("n_s"))
+    # totals fold off the 256-row bucket tables — no extra full-corpus
+    # passes (sum of bucket counts == total word count by construction)
     tot = F.broadcast(
-        target.agg(F.count(F.lit(1)).alias("t")).crossJoin(
-            wb.agg(F.count(F.lit(1)).alias("s"))
+        nt.agg(F.sum("n_t").alias("t")).crossJoin(
+            ns.agg(F.sum("n_s").alias("s"))
         )
     )
     lr = (
