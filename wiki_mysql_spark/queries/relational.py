@@ -1338,3 +1338,59 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "bucket", "n_rows", "x_min", "x_max", "y_min", "y_max"
     )
+
+
+@query(
+    "agg_hll_merge_partitions",
+    """
+    -- sketch MERGEABILITY contract: per-day Datasketches-HLL sketches of
+    -- distinct users union into one estimate for the whole corpus. The
+    -- sketch bytes are implementation-defined, so the oracle checks the
+    -- exact per-day counts plus TRUE contract booleans: every per-day
+    -- estimate within 5% of its exact count, and the UNION of the daily
+    -- sketches within 5% of the exact overall distinct — the property
+    -- that makes distinct-counting incremental at 100 TB (yesterday's
+    -- sketch + today's partials, never a recount).
+    SELECT d, n_exact,
+           TRUE AS day_estimate_ok,
+           TRUE AS merged_estimate_ok
+    FROM (
+        SELECT date_trunc('day', ts) AS d,
+               count(DISTINCT user_id)::BIGINT AS n_exact
+        FROM events GROUP BY 1
+    )
+    """,
+)
+def agg_hll_merge_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (Apache DataSketches HLL via
+    Spark's hll_sketch_agg / hll_union_agg): one sketch per event day,
+    then a UNION of all daily sketches estimating the overall distinct —
+    the re-aggregation property sketches exist for (rollup across
+    partitions, days, or clusters without recounting). Exact counts ride
+    along to make the hash exact; the oracled surface is the accuracy
+    contract on every day AND on the merged union."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    merged = F.broadcast(
+        daily.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+        ).crossJoin(ev.agg(F.countDistinct("user_id").alias("total_exact")))
+    )
+    return (
+        daily.crossJoin(merged)
+        .select(
+            "d",
+            "n_exact",
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+                <= F.col("n_exact") * 0.05
+            ).alias("day_estimate_ok"),
+            (
+                F.abs(F.col("merged_est") - F.col("total_exact"))
+                <= F.col("total_exact") * 0.05
+            ).alias("merged_estimate_ok"),
+        )
+    )
