@@ -56,6 +56,13 @@ HEADLINE = [
     "multimodal_decode_video",
     "graph_triangle_count",
     "tokenize_bpe_train",
+    # round-4 late additions: PQ/ADC search, semantic dedup, importance
+    # resampling, the composed RAG retrieval job, mergeable sketches
+    "ann_topk_pq",
+    "dedup_semdedup",
+    "corpus_dsir_weights",
+    "rag_retrieve_context",
+    "agg_hll_merge_partitions",
 ]
 
 
