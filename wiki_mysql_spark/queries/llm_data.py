@@ -1731,14 +1731,19 @@ def rag_retrieve_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", words(F.coalesce(F.col("text"), F.lit(""))).alias("ws")
     ).where(F.size("ws") > 0)
 
-    def vec_of(ws):
+    def bucket_hashes(ws):
+        # hash each word ONCE; building the vector from raw words would
+        # recompute the md5 hash 16x per word inside the per-bucket filter
+        # (the shingles_of tokenizer-reuse trap — measured ~4x on this
+        # entry)
+        return F.transform(ws, lambda w: hash64(w) % HASH_PRIME % _RAG_DIM)
+
+    def vec_of(hs):
         return F.transform(
             F.sequence(F.lit(0), F.lit(_RAG_DIM - 1)),
             lambda i: F.round(
-                F.size(
-                    F.filter(ws, lambda w: hash64(w) % HASH_PRIME % _RAG_DIM == i)
-                )
-                / F.size(ws).cast("double"),
+                F.size(F.filter(hs, lambda h: h == i))
+                / F.size(hs).cast("double"),
                 6,
             ),
         )
@@ -1768,11 +1773,14 @@ def rag_retrieve_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_doc",
         "chunk_idx",
         F.size("cws").cast("long").alias("n_words"),
-        vec_of(F.col("cws")).alias("v"),
+        bucket_hashes(F.col("cws")).alias("chs"),
+    ).select(
+        "chunk_doc", "chunk_idx", "n_words", vec_of(F.col("chs")).alias("v")
     )
     qvec = base.where(F.col("doc_id") < 3).select(
-        F.col("doc_id").alias("query_id"), vec_of(F.col("ws")).alias("qv")
-    )
+        F.col("doc_id").alias("query_id"),
+        bucket_hashes(F.col("ws")).alias("qhs"),
+    ).select("query_id", vec_of(F.col("qhs")).alias("qv"))
     scored = (
         F.broadcast(qvec)
         .join(cvec, F.col("chunk_doc") != F.col("query_id"))
