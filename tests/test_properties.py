@@ -243,3 +243,57 @@ def test_global_ntile_property(spark, case):
     ordered = sorted(rows, key=lambda x: (x["key"], x["uid"]))
     tiles = [x["t"] for x in ordered]
     assert tiles == sorted(tiles), "tile assignment must be monotone in the order"
+
+
+_range_frame_prices = st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=5000),     # arbitrary
+        st.sampled_from([0, 1000, 2000, 2999, 3000]),  # exact bucket edges
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@SETTINGS
+@given(_range_frame_prices)
+def test_bucket_carry_range_frame_matches_global_window(spark, prices):
+    """The distributed bucket-and-carry RANGE-frame spelling must equal the
+    naive global-window count for every generated price multiset —
+    including values exactly on bucket boundaries, duplicates, and ties
+    (the cases where the carry-copy bookkeeping could double- or
+    under-count)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    width = 1000
+    rows = [(i, float(p)) for i, p in enumerate(prices)]
+    df = spark.createDataFrame(rows, ["k", "price"]).repartition(4)
+
+    # naive truth: unpartitioned window (fine at test scale)
+    w_naive = Window.orderBy("price").rangeBetween(-width, Window.currentRow)
+    want = {
+        r["k"]: r["n"]
+        for r in df.select(
+            "k", F.count(F.lit(1)).over(w_naive).alias("n")
+        ).collect()
+    }
+
+    # distributed spelling: the window_range_frame bucket-and-carry shape
+    b = F.floor(F.col("price") / width).cast("long")
+    anchors = df.withColumn("_b", b).withColumn("_a", F.lit(True))
+    carries = df.withColumn("_b", b + 1).withColumn("_a", F.lit(False))
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("price")
+        .rangeBetween(-width, Window.currentRow)
+    )
+    got = {
+        r["k"]: r["n"]
+        for r in anchors.unionByName(carries)
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .where(F.col("_a"))
+        .select("k", "n")
+        .collect()
+    }
+    assert got == want
