@@ -425,3 +425,69 @@ def test_dsir_weights_direction(spark):
     assert out[100]["n_words"] == 4 and out[0]["n_words"] == 5
     import shutil
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dsir_fuzz_vs_python_reference(spark):
+    """Differential fuzz for DSIR: 8 seeded random corpora through the
+    Spark pipeline vs an independent pure-Python implementation of the
+    same spec (md5-prefix buckets, add-one smoothing, BIGINT-scaled log
+    ratios) — weights, word counts, and selection flags must match
+    exactly."""
+    import hashlib
+    import math
+    import random
+    import re
+    import os
+    import shutil
+    import tempfile
+
+    from wiki_mysql_spark.queries.llm_data import corpus_dsir_weights
+
+    rng = random.Random(0xD51A)
+    vocab = ["".join(rng.choice("abcdef") for _ in range(rng.randint(1, 5)))
+             for _ in range(30)]
+    for trial in range(8):
+        rows = []
+        for i in range(rng.randint(5, 25)):
+            text = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15)))
+            src = rng.choice(["src0", "src1", "src2", "src3"])
+            rows.append((i, text, "en", src, len(text)))
+        df = spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        tmp = tempfile.mkdtemp(prefix="dsir_fuzz_")
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["n_words"], r["log_weight"], r["selected"])
+            for r in corpus_dsir_weights(spark, tmp).collect()
+        }
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        # independent reference
+        def bucket(w):
+            return hashlib.md5(w.encode()).hexdigest()[:2]
+
+        nt, ns = {}, {}
+        per_doc = {}
+        for doc_id, text, _, src, _ in rows:
+            ws = [w for w in re.split(r"\s+", text.lower())
+                  if w and re.fullmatch(r"[a-z]+", w)]
+            bs = [bucket(w) for w in ws]
+            per_doc[doc_id] = bs
+            for b in bs:
+                ns[b] = ns.get(b, 0) + 1
+                if src in ("src0", "src1"):
+                    nt[b] = nt.get(b, 0) + 1
+        T, S = sum(nt.values()), sum(ns.values())
+        lr = {
+            b: round(math.log((nt.get(b, 0) + 1) * (S + 256)
+                              / ((ns[b] + 1) * (T + 256))) * 1_000_000)
+            for b in ns
+        }
+        want = {}
+        for doc_id, bs in per_doc.items():
+            if not bs:
+                continue
+            tot = sum(lr[b] for b in bs)
+            want[doc_id] = (len(bs), tot / 1_000_000.0, tot > 0)
+        assert got == want, f"trial {trial}"
