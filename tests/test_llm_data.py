@@ -956,3 +956,31 @@ def test_semdedup_invariants(spark):
     for r in pairs:
         if cells[r["id_a"]] == cells[r["id_b"]] and r["id_a"] not in should_drop:
             assert keep[r["id_a"]]
+
+
+def test_pq_and_semdedup_deterministic(spark):
+    """Retrain-identical determinism for the two cluster-trained r4
+    operators: codebooks, PQ results, and SemDeDup keep-sets must be
+    byte-identical across reruns (the rounded arithmetic pins every
+    fixpoint; partition placement must not leak into results)."""
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.similarity import (
+        pq_codebooks,
+        pq_topk,
+        semdedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    b1 = pq_codebooks(emb, m=4, n_centroids=8)
+    b2 = pq_codebooks(emb.repartition(7), m=4, n_centroids=8)
+    assert b1 == b2
+    q = emb.where(F.col("vec_id") < 3)
+    r1 = sorted(map(tuple, pq_topk(emb, q, k=5).collect()))
+    r2 = sorted(map(tuple, pq_topk(emb.repartition(5), q, k=5).collect()))
+    assert r1 == r2
+    s1 = sorted(map(tuple, semdedup(emb, threshold=0.3, n_centroids=4,
+                                    n_iters=1).collect()))
+    s2 = sorted(map(tuple, semdedup(emb.repartition(9), threshold=0.3,
+                                    n_centroids=4, n_iters=1).collect()))
+    assert s1 == s2
