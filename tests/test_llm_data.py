@@ -984,3 +984,55 @@ def test_pq_and_semdedup_deterministic(spark):
     s2 = sorted(map(tuple, semdedup(emb.repartition(9), threshold=0.3,
                                     n_centroids=4, n_iters=1).collect()))
     assert s1 == s2
+
+
+def test_avi_container_structure_independent_parse():
+    """Walk the emitted AVI with an independent minimal RIFF parser: the
+    hdrl/movi/idx1 lists in order, a full 56-byte stream header, one
+    00dc chunk per frame with word alignment, and idx1 entries whose
+    offsets resolve to the actual frame chunks."""
+    import struct
+
+    import numpy as np
+
+    from wiki_mysql_spark.operators.multimodal import encode_avi_mjpeg
+
+    frames = [
+        np.random.default_rng(i).integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        for i in range(5)
+    ]
+    b = encode_avi_mjpeg(frames, fps=12)
+    assert b[:4] == b"RIFF" and b[8:12] == b"AVI "
+    assert struct.unpack_from("<I", b, 4)[0] == len(b) - 8
+    pos, lists, frames_seen, idx = 12, [], [], None
+    while pos + 8 <= len(b):
+        cid, size = struct.unpack_from("<4sI", b, pos)
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"LIST":
+            lists.append(body[:4])
+            if body[:4] == b"movi":
+                mpos = 4
+                while mpos + 8 <= len(body):
+                    mcid, msize = struct.unpack_from("<4sI", body, mpos)
+                    if mcid == b"00dc":
+                        frames_seen.append((mpos, msize))
+                        assert body[mpos + 8 : mpos + 10] == b"\xff\xd8"
+                    mpos += 8 + msize + (msize & 1)  # word alignment
+            if body[:4] == b"hdrl":
+                # strh must be the full 56-byte AVIStreamHeader
+                i = body.find(b"strh")
+                strh_size = struct.unpack_from("<I", body, i + 4)[0]
+                assert strh_size == 56
+                assert body[i + 8 : i + 12] == b"vids"
+                assert body[i + 12 : i + 16] == b"MJPG"
+        elif cid == b"idx1":
+            idx = [
+                struct.unpack_from("<4sIII", body, k)
+                for k in range(0, size, 16)
+            ]
+        pos += 8 + size + (size & 1)
+    assert lists[0] == b"hdrl" and b"movi" in lists
+    assert len(frames_seen) == 5 and idx is not None and len(idx) == 5
+    # idx offsets point at the corresponding 00dc chunk headers
+    for (ckid, _, off, sz), (mpos, msize) in zip(idx, frames_seen):
+        assert ckid == b"00dc" and off == mpos and sz == msize
