@@ -275,3 +275,59 @@ def test_fuzz_native_chain_matches_gensim(spark):
             for t, g, w in diverged_exact[:3]
         )
     )
+
+
+# fixtures in the template-residual class: templates containing stray single
+# braces (a {| table |} inside an infobox — common in real dumps), which the
+# regex fixpoint+tail over-drops to end-of-text but the nesting-exact scan
+# handles (non-regular brace balance). Documented divergence of the DEFAULT
+# path; the exact_templates=True config flag restores reference parity.
+TEMPLATE_RESIDUAL_FIXTURES = [
+    "{{a {| b |} c}} tail",
+    "{{infobox | data = {| class=x\n| cell\n|} }} body text survives",
+]
+
+
+def test_template_residual_documented_divergence(spark):
+    """Default regex path diverges on stray-single-brace templates (pinned —
+    if it heals, move the fixture to FIXTURES); the exact_templates=True
+    chain restores exact gensim parity."""
+    rows = [(i, t) for i, t in enumerate(TEMPLATE_RESIDUAL_FIXTURES)]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    out = {
+        r["i"]: (r["dflt"], r["exact"])
+        for r in df.select(
+            "i",
+            clean_wiki_body(F.col("t")).alias("dflt"),
+            clean_wiki_body(F.col("t"), exact_templates=True).alias("exact"),
+        ).collect()
+    }
+    for i, t in enumerate(TEMPLATE_RESIDUAL_FIXTURES):
+        want = wiki_body_filter(t)
+        dflt, exact = out[i]
+        assert dflt != want, (
+            f"default-path divergence healed on {t!r} — move it to FIXTURES"
+        )
+        assert exact == want, (
+            f"exact_templates path broke parity on {t!r}: {exact!r} vs {want!r}"
+        )
+
+
+def test_exact_templates_matches_default_on_regular_fixtures(spark):
+    """On the 51 regular fixtures (no stray-brace templates) the two chains
+    must agree — the flag changes only the residual class."""
+    rows = [(i, t) for i, t in enumerate(FIXTURES)]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    bad = (
+        df.select(
+            "t",
+            clean_wiki_body(F.col("t")).alias("dflt"),
+            clean_wiki_body(F.col("t"), exact_templates=True).alias("exact"),
+        )
+        .where(F.col("dflt") != F.col("exact"))
+        .collect()
+    )
+    assert not bad, "\n".join(
+        f"{r['t']!r}\n  default: {r['dflt']!r}\n  exact: {r['exact']!r}"
+        for r in bad
+    )

@@ -277,7 +277,9 @@ def _apply_pass(col: Column, kind: str, pat: str, repl: str) -> Column:
     return F.regexp_replace(col, pat, repl)
 
 
-def strip_wiki_markup(col: Column, iterations: int = 3) -> Column:
+def strip_wiki_markup(
+    col: Column, iterations: int = 3, *, exact_templates: bool = False
+) -> Column:
     """Wiki-markup strip (F3) as an iterated regexp chain.
 
     Mirrors the pass structure of gensim's ``remove_markup`` (invoked at
@@ -298,11 +300,20 @@ def strip_wiki_markup(col: Column, iterations: int = 3) -> Column:
         col = _apply_pass(col, kind, pat, repl)
     # templates to fixpoint BEFORE any other pass (gensim order) —
     # innermost-out x iterations, then drop any '{{' remnant to end
-    for _ in range(iterations):
-        for kind, pat, repl in TEMPLATE_PASSES:
+    if exact_templates:
+        # the nesting-exact scan (reference parity for templates holding
+        # stray single braces, e.g. a {| table |} inside an infobox, where
+        # the regex tail pass over-drops to end-of-text); Arrow-batched,
+        # gated on a cheap contains check so template-free rows stay native
+        col = F.when(
+            col.contains("{{"), remove_templates_exact_udf()(col)
+        ).otherwise(col)
+    else:
+        for _ in range(iterations):
+            for kind, pat, repl in TEMPLATE_PASSES:
+                col = _apply_pass(col, kind, pat, repl)
+        for kind, pat, repl in TEMPLATE_TAIL_PASSES:
             col = _apply_pass(col, kind, pat, repl)
-    for kind, pat, repl in TEMPLATE_TAIL_PASSES:
-        col = _apply_pass(col, kind, pat, repl)
     for kind, pat, repl in FILE_PASSES:
         col = _apply_pass(col, kind, pat, repl)
     for kind, pat, repl in MARKUP_PASSES:
@@ -418,6 +429,7 @@ def clean_wiki_body(
     valid_unicodes: tuple[tuple[int, int], ...] = (),
     invalid_unicodes: tuple[tuple[int, int], ...] = (),
     markup_iterations: int = 3,
+    exact_templates: bool = False,
 ) -> Column:
     """The full F1-F6 chain in reference order (``filters.py:52-64``).
 
@@ -426,9 +438,15 @@ def clean_wiki_body(
     rows cost one linear scan instead of the full pass chain. Result-identical
     by construction: every decode/strip pass requires a trigger char to match
     anything. Prefer passing a plain column reference — a heavy ``col``
-    expression is referenced three times here."""
+    expression is referenced three times here.
+
+    ``exact_templates=True`` swaps the regex template fixpoint for the
+    nesting-exact Arrow UDF scan (exact reference parity on templates
+    containing stray single braces, at Python-batch cost on '{{' rows)."""
     stripped = decode_html_entities(col) if remove_html else col
-    stripped = strip_wiki_markup(stripped, markup_iterations)
+    stripped = strip_wiki_markup(
+        stripped, markup_iterations, exact_templates=exact_templates
+    )
     col = F.when(col.rlike(_MARKUP_TRIGGER), stripped).otherwise(col)
     col = unicode_whitelist(col, valid_unicodes)
     col = unicode_blacklist(col, invalid_unicodes)

@@ -352,6 +352,12 @@ def embedding_near_dup_pairs(
         return np.sqrt(acc)
 
     corpus_rows = emb.select(F.col(id_col), F.col(vec_col)).collect()
+    if not corpus_rows:
+        # np.array([]) is 1-D and would IndexError on B.shape[1] below; the
+        # theta-join spelling this replaced returned an empty frame here
+        return emb.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos_sim double"
+        )
     ids_b = np.array([r[id_col] for r in corpus_rows], dtype=np.int64)
     # float32 storage -> double, exactly as _as_double casts before folding
     B = np.array([r[vec_col] for r in corpus_rows], dtype=np.float32).astype(

@@ -94,6 +94,27 @@ def nearest_cells(
     return F.transform(top, lambda s: -s["negid"])
 
 
+def derived_n_centroids(
+    n_rows: int,
+    *,
+    target_cell_rows: int = 64,
+    k_min: int = 8,
+    k_max: int = 4096,
+) -> int:
+    """Cluster count scaled to corpus size, SemDeDup-style (Abbas et al.
+    2023 scale their k-means cluster count with the corpus; a FIXED k makes
+    every within-cell pass quadratic in corpus size again). ``k =
+    clamp(ceil(n / target_cell_rows), k_min, k_max)`` keeps the MEAN cell at
+    ``target_cell_rows`` rows, so total within-cell pair work is
+    ~``target_cell_rows * n`` = O(n). ``k_max`` bounds the broadcast-argmin
+    expression (k literal centers per row); past it, cells grow again —
+    which is exactly what the ``max_cell_rows`` refusal gate in
+    :func:`semdedup` catches."""
+    import math
+
+    return max(k_min, min(k_max, math.ceil(n_rows / float(target_cell_rows))))
+
+
 def kmeans_codebook(
     corpus: DataFrame,
     *,
@@ -115,11 +136,20 @@ def kmeans_codebook(
     replays the identical iterations in SQL). A cell that captures no
     vectors drops out, matching the SQL semantics.
     """
+    # first n_centroids rows BY ID ORDER (not `id < n`, which silently
+    # under-seeds a corpus with sparse/offset ids); cent_id keeps the seed
+    # row's id value — on dense 0-based ids this is byte-identical to the
+    # old spelling, which is what keeps the SQL oracles' replay in step
     seeds = (
-        corpus.where(F.col(id_col) < n_centroids)
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
         .select(F.col(id_col).cast("long").alias("cent_id"), F.col(vec_col).alias("v"))
         .collect()
     )
+    if not seeds:
+        raise ValueError(
+            "kmeans_codebook: corpus is empty — cannot seed any centroid"
+        )
     centers = sorted((int(r.cent_id), [float(x) for x in r.v]) for r in seeds)
     vecs = corpus.select(F.col(vec_col).alias("v"))
     for _ in range(n_iters):
@@ -334,11 +364,19 @@ def pq_codebooks(
     mean — only m x k x subdim partial sums move. One job per subspace
     (m jobs; clarity over a fused single pass at fixture scale)."""
     subdim = dim // m
+    # seed from the first n_centroids rows BY ID ORDER, not `id < n`: a
+    # corpus whose ids don't cover 0..n-1 (post-filter slices, sparse ids)
+    # would otherwise silently train a smaller codebook
     seed_rows = (
-        corpus.where(F.col(id_col) < n_centroids)
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
         .select(F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("v"))
         .collect()
     )
+    if not seed_rows:
+        raise ValueError(
+            "pq_codebooks: corpus is empty — cannot seed any codebook centroid"
+        )
     books: list[list[tuple[int, list[float]]]] = []
     for s in range(m):
         seeds = sorted(
@@ -445,10 +483,12 @@ def semdedup(
     corpus: DataFrame,
     *,
     threshold: float = 0.3,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_rows: int = 64,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """Cluster-then-dedup semantic deduplication (the SemDeDup recipe,
     Abbas et al. 2023, public paper): k-means-cluster the embeddings, then
@@ -462,8 +502,22 @@ def semdedup(
     per-row, no shuffle); the only shuffles are the cell-keyed self-join
     and the final anti-join-shaped marking.
 
+    ``n_centroids`` defaults to :func:`derived_n_centroids` of the corpus
+    row count — the paper scales cluster count with the corpus, and a fixed
+    k would re-grow the within-cell quadratic at 100x data. A skew guard
+    (``max_cell_rows``, default ``32 * target_cell_rows``) REFUSES to launch
+    the within-cell pass when k-means left a cell that many rows hot —
+    same refusal posture as ``embedding_near_dup_pairs``'s byte gate —
+    rather than silently running a near-quadratic join on that cell.
+
     Returns (vec_id, cell, keep) for every corpus vector — keep=false iff
     a same-cluster lower-id vector is a near-duplicate of it."""
+    if n_centroids is None:
+        n_centroids = derived_n_centroids(
+            corpus.count(), target_cell_rows=target_cell_rows
+        )
+    if max_cell_rows is None:
+        max_cell_rows = 32 * target_cell_rows
     book = kmeans_codebook(
         corpus, n_centroids=n_centroids, n_iters=n_iters,
         id_col=id_col, vec_col=vec_col,
@@ -473,6 +527,23 @@ def semdedup(
         F.col(vec_col).alias("v"),
         F.element_at(nearest_cells(F.col(vec_col), book, 1), 1).alias("cell"),
     ).localCheckpoint(eager=False)  # assignment reused by both join sides
+    # skew gate: one k-row aggregate over the (now-materialized) assignment
+    hot = (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_cell_rows)
+        .orderBy(F.col("n").desc())
+        .limit(1)
+        .collect()
+    )
+    if hot:
+        raise ValueError(
+            f"semdedup: cell {hot[0]['cell']} holds {hot[0]['n']} rows "
+            f"(> max_cell_rows={max_cell_rows}); the within-cell comparison "
+            "would be near-quadratic on it. Raise n_centroids (or "
+            "target_cell_rows) or pre-split the hot region; for flat "
+            "near-dup pairs use embedding_lsh_pairs."
+        )
     a = cells.select(
         F.col("vid").alias("id_a"), F.col("v").alias("va"), "cell"
     )

@@ -41,6 +41,7 @@ def build_wiki_tables(
     valid_unicodes: tuple[tuple[int, int], ...] = (),
     invalid_unicodes: tuple[tuple[int, int], ...] = (),
     max_redirect_depth: int = 1024,
+    exact_templates: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """pages ``(aid, title, ns, text[, redirect_title])`` ->
     ``(articles, bodies)`` exactly shaped like ``sql/init.sql:5-19``."""
@@ -79,6 +80,7 @@ def build_wiki_tables(
             remove_html=remove_html,
             valid_unicodes=valid_unicodes,
             invalid_unicodes=invalid_unicodes,
+            exact_templates=exact_templates,
         ).alias("body_text"),
     )
 
@@ -190,6 +192,10 @@ if __name__ == "__main__":  # pragma: no cover — thin CLI (dbfy.py analog)
     p.add_argument("--invalid-unichrs", type=parse_unichr_range, action="append",
                    default=None, metavar="LO,HI",
                    help="blacklist unicode range; repeatable")
+    p.add_argument("--exact-templates", action="store_true",
+                   help="use the nesting-exact template scan (reference "
+                        "parity for templates containing stray single "
+                        "braces) instead of the regex fixpoint")
     p.add_argument("--remove-multiple-whitespaces", action="store_true",
                    help="accepted for drop-in compatibility; the collapse is "
                         "always applied, matching the reference's ACTUAL "
@@ -206,5 +212,6 @@ if __name__ == "__main__":  # pragma: no cover — thin CLI (dbfy.py analog)
         remove_html=bool(args.remove_html),
         valid_unicodes=tuple(args.valid_unichrs or ()),
         invalid_unicodes=tuple(args.invalid_unichrs or ()),
+        exact_templates=args.exact_templates,
     )
     print(counts)

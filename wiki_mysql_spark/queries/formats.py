@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import uuid
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,7 +59,12 @@ def source_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scratch_root = spark.conf.get("spark.wiki_mysql_spark.scratchDir", None)
     if scratch_root:
-        tmp = os.path.join(scratch_root, f"fmt_roundtrip_{os.getpid()}")
+        # uuid4, not just pid: pids recycle across crashed runs and collide
+        # across hosts sharing the scratch filesystem — exactly the
+        # deployment this conf targets
+        tmp = os.path.join(
+            scratch_root, f"fmt_roundtrip_{os.getpid()}_{uuid.uuid4().hex}"
+        )
     else:
         tmp = tempfile.mkdtemp(prefix="fmt_roundtrip_")
     frames = []

@@ -583,16 +583,23 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_kmeans_cents(n_centroids: int, n_iters: int, dim: int) -> tuple[str, str]:
+def _sql_kmeans_cents(
+    n_centroids: int, n_iters: int, dim: int, *, seed_sql: str | None = None
+) -> tuple[str, str]:
     """CTE fragments replaying the exact Lloyd iterations of
-    ``kmeans_codebook`` in DuckDB: seed with the first-k vectors, assign by
-    cosine (ties → lower id), recompute each centroid as the per-position
-    mean rounded to 6 decimals (the rounding is what makes the fixpoint of
-    both engines identical despite different summation orders)."""
+    ``kmeans_codebook`` in DuckDB: seed with the first-k vectors BY ID ORDER
+    (``seed_sql`` overrides the literal k with any scalar expression — the
+    derived-k spelling ``semdedup`` uses), assign by cosine (ties → lower
+    id), recompute each centroid as the per-position mean rounded to 6
+    decimals (the rounding is what makes the fixpoint of both engines
+    identical despite different summation orders)."""
+    k_expr = seed_sql if seed_sql is not None else str(n_centroids)
     frags = [
-        f"cent0 AS (SELECT vec_id AS cent_id, "
-        f"list_transform(embedding, x -> x::DOUBLE) AS centv "
-        f"FROM embeddings WHERE vec_id < {n_centroids})"
+        f"""cent0 AS (SELECT vec_id AS cent_id,
+        list_transform(embedding, x -> x::DOUBLE) AS centv
+        FROM (SELECT vec_id, embedding,
+                     row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
+        WHERE rn <= ({k_expr}))"""
     ]
     for it in range(1, n_iters + 1):
         prev = f"cent{it - 1}"
@@ -620,6 +627,17 @@ def _sql_kmeans_cents(n_centroids: int, n_iters: int, dim: int) -> tuple[str, st
 
 
 _KM_CENTS, _KM_FINAL = _sql_kmeans_cents(n_centroids=8, n_iters=2, dim=64)
+
+# SemDeDup's derived cluster count, replayed in SQL: the same
+# clamp(ceil(n / target_cell), k_min, k_max) as
+# operators.similarity.derived_n_centroids(target_cell_rows=64)
+_SD_K_SQL = (
+    "SELECT greatest(8, least(4096, "
+    "cast(ceil(count(*) / 64.0) AS BIGINT))) FROM embeddings"
+)
+_SD_CENTS, _SD_FINAL = _sql_kmeans_cents(
+    n_centroids=0, n_iters=2, dim=64, seed_sql=_SD_K_SQL
+)
 
 
 @query(
@@ -1515,16 +1533,18 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_semdedup",
     f"""
-    -- SemDeDup: k-means cluster (the ivf_trained replay CTEs), then mark
-    -- within-cluster lower-id near-duplicates; survivors keep=true
-    WITH {_KM_CENTS},
+    -- SemDeDup: k-means cluster with DERIVED cluster count (k =
+    -- clamp(ceil(n/64), 8, 4096) — the paper scales k with the corpus so
+    -- mean cell size stays bounded), then mark within-cluster lower-id
+    -- near-duplicates; survivors keep=true
+    WITH {_SD_CENTS},
     sd_cells AS MATERIALIZED (
       SELECT vid, v, cell FROM (
         SELECT e.vec_id AS vid, e.embedding AS v, c.cent_id AS cell,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_sql_cosine('e.embedding', 'c.centv')} DESC,
                                            c.cent_id) AS crank
-        FROM embeddings e CROSS JOIN {_KM_FINAL} c
+        FROM embeddings e CROSS JOIN {_SD_FINAL} c
       ) WHERE crank = 1),
     sd_dups AS MATERIALIZED (
       SELECT DISTINCT b.vid
@@ -1542,11 +1562,16 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Clustering bounds the quadratic comparison to within-cluster pairs —
     at 100 TB the corpus is written partitioned by cell and each task
     deduplicates one cell, vs the corpus-squared join a flat pass needs.
-    The oracle replays clustering and marking in SQL."""
+    The cluster count is DERIVED from the corpus row count
+    (clamp(ceil(n/64), 8, 4096) on both engines — the paper scales k with
+    the corpus; a fixed k would re-grow the quadratic at 100x data), and a
+    hot-cell refusal gate (32x the target cell size) rejects skewed
+    clusterings instead of silently running them. The oracle replays the
+    k derivation, clustering, and marking in SQL."""
     from wiki_mysql_spark.operators.similarity import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup(emb, threshold=0.3, n_centroids=8, n_iters=2)
+    return semdedup(emb, threshold=0.3, n_iters=2)
 
 
 @query(
@@ -1610,9 +1635,12 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = wb.groupBy("b").agg(F.count(F.lit(1)).alias("n_s"))
     # totals fold off the 256-row bucket tables — no extra full-corpus
     # passes (sum of bucket counts == total word count by construction)
+    # coalesce: sum() over zero bucket rows is NULL in Spark, but the
+    # oracle's count(*) subqueries yield 0 — an empty target slice must
+    # produce real (all-negative) log-weights, not NULL, on both engines
     tot = F.broadcast(
-        nt.agg(F.sum("n_t").alias("t")).crossJoin(
-            ns.agg(F.sum("n_s").alias("s"))
+        nt.agg(F.coalesce(F.sum("n_t"), F.lit(0)).alias("t")).crossJoin(
+            ns.agg(F.coalesce(F.sum("n_s"), F.lit(0)).alias("s"))
         )
     )
     lr = (
