@@ -290,3 +290,56 @@ def test_no_unpartitioned_window_anywhere_in_registry(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"unpartitioned WindowExec in: {offenders}"
+
+
+def test_map_in_pandas_spread_fans_out_small_scan(spark, tmp_path):
+    """r4 verdict item 3: heavy-row spreading must be AUTOMATIC for the
+    Arrow-mapped operator class. A small (well under the byte gate)
+    single-split parquet scan pushed through map_in_pandas_spread must fan
+    its expensive per-row stage across the cluster — the flag-forgotten
+    regression that put 17 s of codec work on 1 of 32 cores."""
+    import pandas as pd
+
+    from wiki_mysql_spark.sources.tables import map_in_pandas_spread
+
+    path = str(tmp_path / "tiny.parquet")
+    spark.range(1000).selectExpr(
+        "id", "repeat('x', 1000) AS payload"  # ~1 MB total: under every gate
+    ).coalesce(1).write.parquet(path)
+    scan = spark.read.parquet(path)
+    assert scan.rdd.getNumPartitions() == 1  # the hazard is real
+
+    def _expensive(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"id": pdf["id"], "n": pdf["payload"].map(len)})
+
+    out = map_in_pandas_spread(scan, _expensive, "id long, n long")
+    assert (
+        out.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    ), "Arrow stage still runs on the single scan partition"
+    assert out.count() == 1000
+
+
+def test_block_self_pairs_spread_quadratic_output(spark, tmp_path):
+    """The blocked self-join's output is quadratic in block sizes; on a
+    small single-split input the pair explosion (and any per-pair
+    predicate, e.g. levenshtein) must not inherit one scan partition
+    through a broadcast join — found live at sf0.1 where 25M candidate
+    pairs ran their levenshtein filter on 1 of 32 cores."""
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.skew import skew_safe_block_self_pairs
+
+    path = str(tmp_path / "blocked.parquet")
+    spark.range(2000).selectExpr(
+        "id", "concat('b', id % 5) AS blk"
+    ).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert df.rdd.getNumPartitions() == 1
+    pairs = skew_safe_block_self_pairs(df, block="blk", id_col="id")
+    assert (
+        pairs.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    ), "pair explosion still lands on the single scan partition"
+    # exactness unchanged: 5 blocks x C(400, 2) unordered pairs
+    assert pairs.count() == 5 * (400 * 399) // 2

@@ -388,13 +388,10 @@ def embedding_near_dup_pairs(
                 {"id_a": ids_a[ai], "id_b": ids_b[bi], "cos_raw": cos[ai, bi]}
             )
 
-    from wiki_mysql_spark.sources.tables import spread_small_scan
+    from wiki_mysql_spark.sources.tables import map_in_pandas_spread
 
-    pairs = (
-        spread_small_scan(
-            emb.select(F.col(id_col), F.col(vec_col)), heavy_rows=True
-        )
-        .mapInPandas(_block, schema)
+    pairs = map_in_pandas_spread(
+        emb.select(F.col(id_col), F.col(vec_col)), _block, schema
     )
     return (
         pairs.select(

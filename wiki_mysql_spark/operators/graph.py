@@ -143,16 +143,41 @@ def connected_components(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
     # One materialization of the (small relative to the corpus) edge set;
-    # every round re-joins it without recomputing the pair generation above.
+    # the contraction below re-joins it without recomputing pair generation.
     sym = sym.localCheckpoint(eager=False)
 
+    # Small-star contraction prepass (the MapReduce CC recipe, Kiveris et
+    # al. 2014): point every node at the minimum of itself and its
+    # neighbors, then contract edges to that local-minima graph. Dense
+    # near-clique components — the shape dup graphs actually have (4.67M
+    # edges over 48 components in the sf0.1 fuzzy-name graph) — contract by
+    # ~average-degree x, so the propagation rounds below run on a tiny
+    # remnant instead of re-shuffling the full edge set per round.
+    h = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select(F.col("a").alias("node"), F.least("a", "mb").alias("hmin"))
+        .localCheckpoint(eager=False)  # reused: contraction + final join-back
+    )
+    csym = (
+        sym.join(h.select(F.col("node").alias("a"), F.col("hmin").alias("ha")), "a")
+        .join(h.select(F.col("node").alias("b"), F.col("hmin").alias("hb")), "b")
+        .where(F.col("ha") != F.col("hb"))
+        .select(F.col("ha").alias("a"), F.col("hb").alias("b"))
+    )
+    csym = (
+        csym.unionByName(csym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
     labels = (
-        sym.select(F.col("a").alias("node"))
+        csym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
     for _ in range(max_rounds):
-        neigh = sym.join(labels, sym.b == labels.node).select(
+        neigh = csym.join(labels, csym.b == labels.node).select(
             F.col("a").alias("node"), "label"
         )
         new_labels = (
@@ -172,7 +197,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    # un-contract: every original node inherits its local minimum's
+    # component label; a component fully swallowed by contraction (no
+    # surviving contracted edge) keeps the local minimum itself
+    return h.join(
+        labels.select(F.col("node").alias("hmin"), "label"), "hmin", "left"
+    ).select("node", F.coalesce("label", F.col("hmin")).alias("label"))
 
 
 def triangle_count(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -47,6 +47,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from wiki_mysql_spark.sources.tables import map_in_pandas_spread
+
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -88,7 +90,9 @@ def extract_features(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "payload").mapInPandas(_extract, FEATURE_SCHEMA)
+    return map_in_pandas_spread(
+        docs.select("doc_id", "payload"), _extract, FEATURE_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -960,7 +964,7 @@ def resize_images(
                 }
             )
 
-    return docs.select("doc_id", "payload").mapInPandas(_resize, schema)
+    return map_in_pandas_spread(docs.select("doc_id", "payload"), _resize, schema)
 
 
 def sample_frames(
@@ -1002,7 +1006,7 @@ def sample_frames(
                         frames.append(encode_jpeg(decoded[pick], quality=95))
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
-    return docs.select("doc_id", "payload").mapInPandas(_sample, schema)
+    return map_in_pandas_spread(docs.select("doc_id", "payload"), _sample, schema)
 
 
 def decode_image_features(docs: DataFrame, *, fake: bool = True) -> DataFrame:
@@ -1027,4 +1031,4 @@ def decode_image_features(docs: DataFrame, *, fake: bool = True) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "payload").mapInPandas(_decode, schema)
+    return map_in_pandas_spread(docs.select("doc_id", "payload"), _decode, schema)

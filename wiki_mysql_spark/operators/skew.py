@@ -91,6 +91,14 @@ def _triangle_pairs(df: DataFrame, *, block: str, id_col: str, n_salt: int) -> D
     a = df.select(
         F.col(block).alias("_blk"), row.alias("l"), salt.alias("_ti")
     ).withColumn("_tj", F.explode(F.sequence(F.col("_ti"), F.lit(n_salt - 1))))
+    # same quadratic-output hazard as the cold path: if Spark broadcasts
+    # the replicated side of the (_blk, _ti, _tj) join, the pair explosion
+    # inherits THIS side's partitioning — a single-split scan would put
+    # every hot-block pair on one core; spread it when the input is small
+    from wiki_mysql_spark.sources.tables import is_small_input
+
+    if is_small_input(df, max_bytes=64 << 20, max_rows=2_000_000):
+        a = a.repartition(df.sparkSession.sparkContext.defaultParallelism)
     b = df.select(
         F.col(block).alias("_blk"), row.alias("r"), salt.alias("_tj2")
     ).withColumn("_ti2", F.explode(F.sequence(F.lit(0), F.col("_tj2"))))
@@ -152,6 +160,20 @@ def skew_safe_block_self_pairs(
     row = F.struct(*[F.col(c) for c in cols])
     a = cold_df.select(F.col(block).alias("_blk"), row.alias("l"))
     b = cold_df.select(F.col(block).alias("_blk"), row.alias("r"))
+    # A small input does NOT mean small work: the pair output is quadratic
+    # in block sizes (25M pairs from a 20k-row single-split part table at
+    # sf0.1), and a broadcast join inherits the streaming side's partition
+    # count — one scan partition would put the entire pair explosion plus
+    # any downstream per-pair predicate (levenshtein!) on one core. When
+    # the input is byte-gated small, spread the probe side round-robin and
+    # pin the build side broadcast so every core gets an even pair share;
+    # a large input already spreads across shuffle partitions naturally
+    # (many blocks, AQE skew handling on top).
+    from wiki_mysql_spark.sources.tables import is_small_input
+
+    if is_small_input(cold_df, max_bytes=64 << 20, max_rows=2_000_000):
+        a = a.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        b = F.broadcast(b)
     cold_pairs = (
         a.join(b, "_blk")
         .where(F.col("l")[id_col] < F.col("r")[id_col])

@@ -798,6 +798,98 @@ def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_fuzzy_clusters",
+    """
+    -- production spelling: one row PER PART (O(docs) output), not the
+    -- O(pairs) edge list — cluster id = min key reachable through the
+    -- <=3-edit-distance graph, singletons are their own cluster.
+    -- The dup graph is near-clique (4.67M edges over 48 components at
+    -- sf0.1), so a direct reachability walk is closure x degree — instead
+    -- contract each node to its 1-hop minimum first (the small-star step
+    -- of the MapReduce connected-components recipe); the recursive walk
+    -- then runs on the tiny contracted graph of local minima only.
+    WITH RECURSIVE pairs AS MATERIALIZED (
+        SELECT a.p_partkey AS a_key, b.p_partkey AS b_key
+        FROM part a JOIN part b
+          ON string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    sym AS MATERIALIZED (
+        SELECT a_key AS a, b_key AS b FROM pairs
+        UNION
+        SELECT b_key AS a, a_key AS b FROM pairs
+    ),
+    h AS MATERIALIZED (
+        SELECT a AS node, least(a, min(b)) AS hmin FROM sym GROUP BY a
+    ),
+    cedges AS MATERIALIZED (
+        SELECT DISTINCT ha.hmin AS a, hb.hmin AS b
+        FROM sym s
+        JOIN h ha ON s.a = ha.node
+        JOIN h hb ON s.b = hb.node
+        WHERE ha.hmin <> hb.hmin
+    ),
+    csym AS (
+        SELECT a, b FROM cedges UNION SELECT b AS a, a AS b FROM cedges
+    ),
+    walk(node, reach) AS (
+        SELECT a, a FROM csym
+        UNION
+        SELECT w.node, s.b FROM walk w JOIN csym s ON w.reach = s.a
+    ),
+    ccomp AS (SELECT node, min(reach) AS cl FROM walk GROUP BY node),
+    comp AS (
+        SELECT h.node, coalesce(c.cl, h.hmin) AS cluster_id
+        FROM h LEFT JOIN ccomp c ON c.node = h.hmin
+    )
+    SELECT p.p_partkey, coalesce(c.cluster_id, p.p_partkey) AS cluster_id,
+           (coalesce(c.cluster_id, p.p_partkey) = p.p_partkey) AS keep
+    FROM part p LEFT JOIN comp c ON c.node = p.p_partkey
+    """,
+)
+def dedup_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup, production shape: the pair set
+    (``dedup_fuzzy_editdist``, kept as the verifier) collapses to ONE row
+    per part — its dup-cluster's canonical (minimum) key and a keep flag —
+    the keep-one-per-cluster result a pipeline actually ships. At 100 TB the
+    pair edge list can dwarf the corpus (4.67M pairs from 20k parts at
+    sf0.1 here); this output is O(docs) regardless of how colliding the
+    vocabulary is. Components via min-label propagation
+    (`operators/graph.py`, O(edges) per round, rounds ~ log diameter —
+    near-clique dup clusters converge in 2); singleton parts (no near-dup)
+    re-enter as their own cluster through the left join. Oracle: an
+    independent recursive-CTE reachability walk."""
+    from wiki_mysql_spark.operators.graph import connected_components
+    from wiki_mysql_spark.operators.skew import skew_safe_block_self_pairs
+
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_name")
+        .withColumn("blk", F.split("p_name", " ").getItem(0))
+    )
+    pairs = skew_safe_block_self_pairs(p, block="blk", id_col="p_partkey")
+    dist = F.levenshtein(F.col("l")["p_name"], F.col("r")["p_name"])
+    edges = pairs.where(dist <= 3).select(
+        F.col("l")["p_partkey"].alias("a_key"),
+        F.col("r")["p_partkey"].alias("b_key"),
+    )
+    comp = connected_components(edges, src="a_key", dst="b_key")
+    return (
+        p.select("p_partkey")
+        .join(comp, F.col("p_partkey") == F.col("node"), "left")
+        .select(
+            "p_partkey",
+            F.coalesce(F.col("label"), F.col("p_partkey")).alias("cluster_id"),
+            (
+                F.coalesce(F.col("label"), F.col("p_partkey"))
+                == F.col("p_partkey")
+            ).alias("keep"),
+        )
+    )
+
+
 # a fixture with REAL repetition so the repetition signal is non-vacuous
 # (the synthetic corpus has near-zero 3-gram repetition)
 _REP_FIXTURE: list[tuple[int, str]] = [

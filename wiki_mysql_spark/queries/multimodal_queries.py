@@ -14,7 +14,11 @@ from wiki_mysql_spark.operators.multimodal import (
     payload_metadata,
 )
 from wiki_mysql_spark.queries.registry import query
-from wiki_mysql_spark.sources.tables import load_table, spread_small_scan
+from wiki_mysql_spark.sources.tables import (
+    load_table,
+    map_in_pandas_spread,
+    spread_small_scan,
+)
 
 
 def _payload_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,10 +164,10 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": ids, "width": ws, "height": hs, "n_bmp_bytes": ns}
             )
 
-    return (
-        _payload_docs(spark, sf_dir)
-        .select("doc_id", "payload")
-        .mapInPandas(_roundtrip, schema)
+    return map_in_pandas_spread(
+        _payload_docs(spark, sf_dir).select("doc_id", "payload"),
+        _roundtrip,
+        schema,
     )
 
 
@@ -257,12 +261,10 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["roundtrip_exact"].append(bool((dec == pix).all()))
             yield pd.DataFrame(out)
 
-    return (
-        spread_small_scan(
-            load_table(spark, sf_dir, "documents"), heavy_rows=True
-        )
-        .select("doc_id", "text")
-        .mapInPandas(_roundtrip, schema)
+    return map_in_pandas_spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        _roundtrip,
+        schema,
     )
 
 
@@ -323,10 +325,10 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["duration_ms"].append(round(samples.shape[0] * 1000.0 / rate, 3))
             yield pd.DataFrame(out)
 
-    return (
-        _payload_docs(spark, sf_dir)
-        .select("doc_id", "payload")
-        .mapInPandas(_roundtrip, schema)
+    return map_in_pandas_spread(
+        _payload_docs(spark, sf_dir).select("doc_id", "payload"),
+        _roundtrip,
+        schema,
     )
 
 
@@ -413,12 +415,10 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mean_err_small"].append(bool(err.mean() <= 12.0))
             yield pd.DataFrame(out)
 
-    return (
-        spread_small_scan(
-            load_table(spark, sf_dir, "documents"), heavy_rows=True
-        )
-        .select("doc_id", "text")
-        .mapInPandas(_roundtrip, schema)
+    return map_in_pandas_spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        _roundtrip,
+        schema,
     )
 
 
@@ -506,10 +506,8 @@ def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["within_tolerance"].append(bool(max(errs) <= 48))
             yield pd.DataFrame(out)
 
-    return (
-        spread_small_scan(
-            load_table(spark, sf_dir, "documents"), heavy_rows=True
-        )
-        .select("doc_id", "text")
-        .mapInPandas(_roundtrip, schema)
+    return map_in_pandas_spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        _roundtrip,
+        schema,
     )

@@ -186,6 +186,21 @@ def spread_small_scan(
     return df
 
 
+def map_in_pandas_spread(df: DataFrame, fn, schema) -> DataFrame:
+    """``mapInPandas`` with heavy-row spreading BUILT IN.
+
+    Crossing into Python is the operator-class signal that per-row cost is
+    milliseconds, not microseconds — so the byte gate that protects cheap
+    regex work from a pointless exchange is bypassed unconditionally
+    (``heavy_rows``). The r4 codec single-core bug (17 s of per-row codec
+    work on 1 of 32 cores, because a 1.5 MB scan stayed on one partition)
+    existed precisely because the spreading flag was manual and a call site
+    forgot it; routing every Arrow-mapped stage through this wrapper makes
+    the spreading automatic for the whole operator class. Use this instead
+    of calling ``.mapInPandas`` directly on a possibly-narrow frame."""
+    return spread_small_scan(df, heavy_rows=True).mapInPandas(fn, schema)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every fixture table as a temp view (for spark.sql queries)."""
     out: dict[str, DataFrame] = {}
