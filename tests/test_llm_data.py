@@ -693,6 +693,60 @@ def test_jpeg_codec_roundtrip_tolerances():
     assert gerr <= 4, gerr  # smooth content reconstructs near-exactly
 
 
+def test_jpeg_chroma_subsampling_roundtrip():
+    """4:2:0 / 4:2:2 encode->decode (r4 verdict item 2 — the layout nearly
+    every camera/web JPEG uses): dims exact at odd sizes, luma within the
+    4:4:4 tolerance (subsampling must not touch Y), smooth images
+    near-exact in full RGB, and the SOF header carries the right sampling
+    factors per component."""
+    import struct
+
+    import numpy as np
+
+    from wiki_mysql_spark.operators.multimodal import (
+        _rgb_to_ycbcr,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(17)
+    for h, w in [(16, 16), (17, 23), (9, 2), (1, 1), (33, 31), (40, 56)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for mode in ("420", "422"):
+            dec = decode_jpeg(encode_jpeg(px, quality=95, subsampling=mode))
+            assert dec.shape == px.shape, (h, w, mode)
+            yerr = np.abs(
+                _rgb_to_ycbcr(dec)[..., 0] - _rgb_to_ycbcr(px)[..., 0]
+            )
+            assert yerr.max() <= 48, (h, w, mode, yerr.max())
+
+    # smooth gradient: chroma subsampling is near-transparent in full RGB
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = np.stack(
+        [yy * 255 / h, xx * 255 / w, (yy + xx) * 255 / (h + w)], axis=-1
+    ).astype(np.uint8)
+    for mode, tol in (("444", 4), ("422", 8), ("420", 8)):
+        dec = decode_jpeg(encode_jpeg(grad, quality=95, subsampling=mode))
+        err = np.abs(dec.astype(int) - grad.astype(int)).max()
+        assert err <= tol, (mode, err)
+
+    # SOF sampling factors: Y carries (h, v), chroma stays 1x1
+    for mode, want_hv in (("444", 0x11), ("422", 0x21), ("420", 0x22)):
+        b = encode_jpeg(grad, quality=95, subsampling=mode)
+        i = b.find(b"\xff\xc0")
+        nc = b[i + 9]
+        assert nc == 3
+        hvs = [b[i + 11 + 3 * k] for k in range(nc)]
+        assert hvs == [want_hv, 0x11, 0x11], (mode, hvs)
+
+    # 4:2:0 must compress chroma-heavy content harder than 4:4:4
+    big = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    assert len(encode_jpeg(big, quality=95, subsampling="420")) < len(
+        encode_jpeg(big, quality=95, subsampling="444")
+    )
+
+
 def test_jpeg_dct_matches_textbook_formula():
     """Cross-validation of the transform core against an INDEPENDENT
     spelling: the 8x8 matrix-product DCT used by the codec must equal the

@@ -343,9 +343,10 @@ def audio_features(payload: bytes) -> tuple[int, int, int, float]:
 # container markers, quantization (Annex K tables, IJG quality scaling),
 # 2-D DCT/IDCT as an 8x8 matrix product, zigzag, DC DPCM, run-length +
 # canonical Huffman entropy coding with byte stuffing. Scope: 8-bit
-# baseline (SOF0), grayscale or 4:4:4 color (no chroma subsampling),
-# restart intervals honored on decode; progressive/subsampled streams
-# raise NotImplementedError honestly.
+# baseline (SOF0), grayscale or color at 4:4:4 / 4:2:2 / 4:2:0 (encoder
+# emits any of the three; decoder takes arbitrary integer sampling
+# factors with box-replication upsampling), restart intervals honored on
+# decode; progressive streams raise NotImplementedError honestly.
 # ---------------------------------------------------------------------------
 
 # Annex K example quantization tables (public spec text)
@@ -485,81 +486,125 @@ def _jpeg_component_blocks(plane: "np.ndarray") -> "np.ndarray":
     return padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3), bh, bw
 
 
-def encode_jpeg(pixels: "np.ndarray", *, quality: int = 95) -> bytes:
-    """Encode (h, w, 3) RGB or (h, w) grayscale uint8 as baseline JPEG."""
+def encode_jpeg(
+    pixels: "np.ndarray", *, quality: int = 95, subsampling: str = "444"
+) -> bytes:
+    """Encode (h, w, 3) RGB or (h, w) grayscale uint8 as baseline JPEG.
+
+    ``subsampling``: ``"444"`` (one block per component per MCU — the r4
+    layout, bit-identical output to it) or ``"420"`` (2x2 box-averaged
+    chroma, 16x16 MCUs of 4 Y + 1 Cb + 1 Cr blocks — the layout virtually
+    every camera/web JPEG uses, giving the decoder a real round-trip
+    fixture)."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     if gray:
         planes = [pixels.astype(np.float64)]
-    else:
+        sampling = [(1, 1)]
+    elif subsampling == "444":
         ycc = _rgb_to_ycbcr(pixels)
         planes = [ycc[..., i] for i in range(3)]
+        sampling = [(1, 1)] * 3
+    elif subsampling == "420":
+        ycc = _rgb_to_ycbcr(pixels)
+        # pad to even dims (edge), then 2x2 box-average the chroma planes
+        pe = np.pad(ycc, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+        sub = (
+            pe[0::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 0::2] + pe[1::2, 1::2]
+        ) / 4.0
+        planes = [ycc[..., 0], sub[..., 1], sub[..., 2]]
+        sampling = [(2, 2), (1, 1), (1, 1)]
+    elif subsampling == "422":
+        ycc = _rgb_to_ycbcr(pixels)
+        pe = np.pad(ycc, ((0, 0), (0, w % 2), (0, 0)), mode="edge")
+        sub = (pe[:, 0::2] + pe[:, 1::2]) / 2.0  # horizontal pair average
+        planes = [ycc[..., 0], sub[..., 1], sub[..., 2]]
+        sampling = [(2, 1), (1, 1), (1, 1)]
+    else:
+        raise ValueError("subsampling must be '444', '422', or '420'")
     qtabs = [_jpeg_scaled_q(_JPEG_QL, quality)]
     if not gray:
         qtabs.append(_jpeg_scaled_q(_JPEG_QC, quality))
 
     dc_codes, ac_codes = _encoder_code_tables()
 
-    # quantized zigzag coefficients per component, MCU order (4:4:4 -> one
-    # block per component per MCU)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+
+    # quantized zigzag coefficients per component as a (BY, BX, 64) block
+    # grid — each component's grid is padded to exactly its MCU coverage
+    # (mcy*v_i x mcx*h_i blocks), so the interleave below never indexes off
     comp_coeffs = []
     for ci, plane in enumerate(planes):
-        blocks, bh, bw = _jpeg_component_blocks(plane)
+        ph = mcy * sampling[ci][1] * 8
+        pw = mcx * sampling[ci][0] * 8
+        padded = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+        blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
         centered = blocks - 128.0
         coeffs = np.einsum("ki,yxij,lj->yxkl", _DCT_M, centered, _DCT_M)
         q = qtabs[min(ci, len(qtabs) - 1)]
         quant = np.round(coeffs / q).astype(np.int64)
-        zz = quant[:, :, _ZZ_ROWS, _ZZ_COLS]  # (bh, bw, 64)
+        zz = quant[:, :, _ZZ_ROWS, _ZZ_COLS]  # (BY, BX, 64)
         # keep AC within the baseline size-10 alphabet and DC diffs within
         # size-11 (pathological all-black blocks at quality 100 only; error
         # bounded by one quantization step)
-        zz = np.clip(zz, -1023, 1023)
-        comp_coeffs.append(zz.reshape(-1, 64))
+        comp_coeffs.append(np.clip(zz, -1023, 1023))
 
     # Entropy coding: bits accumulate into one Python int per MCU (code and
     # amplitude fused into a single shift), visiting only the NONZERO
     # coefficient positions — one writer call per MCU instead of one per
     # symbol (the per-symbol form dominated the video-entry profile).
+    # Interleave per spec: each MCU carries h_i x v_i blocks per component
+    # in raster order (1 each at 4:4:4, 4Y+Cb+Cr at 4:2:0).
     writer = _BitWriter()
     w_write = writer.write
     zrl_code, zrl_len = ac_codes[0xF0]
     eob_code, eob_len = ac_codes[0x00]
     prev_dc = [0] * len(planes)
-    n_mcus = comp_coeffs[0].shape[0]
     n_comp = len(planes)
-    for m in range(n_mcus):
+    for m in range(mcy * mcx):
+        my, mx = divmod(m, mcx)
         acc = 0
         nbits = 0
         for ci in range(n_comp):
-            block = comp_coeffs[ci][m]
-            dc = int(block[0])
-            diff = dc - prev_dc[ci]
-            prev_dc[ci] = dc
-            size = (diff if diff > 0 else -diff).bit_length()
-            bits = diff if diff >= 0 else diff + (1 << size) - 1
-            code, length = dc_codes[size]
-            acc = (acc << (length + size)) | (code << size) | bits
-            nbits += length + size
-            nz = np.nonzero(block[1:])[0]
-            last = int(nz[-1]) + 1 if nz.size else 0
-            prev_k = 0
-            for k in nz:
-                k = int(k)
-                run = k - prev_k
-                prev_k = k + 1
-                v = int(block[k + 1])
-                while run > 15:
-                    acc = (acc << zrl_len) | zrl_code
-                    nbits += zrl_len
-                    run -= 16
-                size = (v if v > 0 else -v).bit_length()
-                bits = v if v >= 0 else v + (1 << size) - 1
-                code, length = ac_codes[(run << 4) | size]
-                acc = (acc << (length + size)) | (code << size) | bits
-                nbits += length + size
-            if last < 63:
-                acc = (acc << eob_len) | eob_code
-                nbits += eob_len
+            hi_, vi_ = sampling[ci]
+            for yy in range(vi_):
+                for xx in range(hi_):
+                    block = comp_coeffs[ci][my * vi_ + yy, mx * hi_ + xx]
+                    dc = int(block[0])
+                    diff = dc - prev_dc[ci]
+                    prev_dc[ci] = dc
+                    size = (diff if diff > 0 else -diff).bit_length()
+                    bits = diff if diff >= 0 else diff + (1 << size) - 1
+                    code, length = dc_codes[size]
+                    acc = (acc << (length + size)) | (code << size) | bits
+                    nbits += length + size
+                    nz = np.nonzero(block[1:])[0]
+                    last = int(nz[-1]) + 1 if nz.size else 0
+                    prev_k = 0
+                    for k in nz:
+                        k = int(k)
+                        run = k - prev_k
+                        prev_k = k + 1
+                        v = int(block[k + 1])
+                        while run > 15:
+                            acc = (acc << zrl_len) | zrl_code
+                            nbits += zrl_len
+                            run -= 16
+                        size = (v if v > 0 else -v).bit_length()
+                        bits = v if v >= 0 else v + (1 << size) - 1
+                        code, length = ac_codes[(run << 4) | size]
+                        acc = (acc << (length + size)) | (code << size) | bits
+                        nbits += length + size
+                    if last < 63:
+                        acc = (acc << eob_len) | eob_code
+                        nbits += eob_len
         w_write(acc, nbits)
     entropy = writer.flush()
 
@@ -573,7 +618,10 @@ def encode_jpeg(pixels: "np.ndarray", *, quality: int = 95) -> bytes:
     nc = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, min(ci, len(qtabs) - 1)])
+        sof += bytes(
+            [ci + 1, (sampling[ci][0] << 4) | sampling[ci][1],
+             min(ci, len(qtabs) - 1)]
+        )
     out += seg(0xFFC0, sof)
     out += seg(0xFFC4, bytes([0x00]) + bytes(_HUFF_DC_BITS) + bytes(_HUFF_DC_VALS))
     out += seg(0xFFC4, bytes([0x10]) + bytes(_HUFF_AC_BITS) + bytes(_HUFF_AC_VALS))
@@ -656,14 +704,16 @@ def _extend(bits: int, size: int) -> int:
 def decode_jpeg(payload: bytes) -> "np.ndarray":
     """Decode a baseline (SOF0) JPEG to (h, w, 3) RGB or (h, w) grayscale
     uint8. Table-driven: any conformant DQT/DHT decodes, not just this
-    module's encoder output. Raises NotImplementedError for progressive
-    SOFs or subsampled chroma."""
+    module's encoder output. Handles arbitrary integer sampling factors —
+    4:4:4, 4:2:0 (the dominant camera/web layout), 4:2:2, 4:4:0 — with
+    box-replication chroma upsampling; progressive SOFs still raise
+    NotImplementedError honestly."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qtabs: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], dict] = {}
-    comps: list[tuple[int, int]] = []  # (component id, q table id)
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h_i, v_i, q table id)
     h = w = 0
     restart = 0
     scan_comps: list[tuple[int, int, int]] = []
@@ -698,11 +748,10 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 raise NotImplementedError("only 8-bit precision")
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "subsampled chroma unsupported (4:4:4/grayscale only)"
-                    )
-                comps.append((cid, tq))
+                hi_, vi_ = hv >> 4, hv & 0xF
+                if not (1 <= hi_ <= 4 and 1 <= vi_ <= 4):
+                    raise ValueError("invalid sampling factors")
+                comps.append((cid, hi_, vi_, tq))
         elif marker == 0xFFC4:
             off = 0
             while off < len(body):
@@ -742,50 +791,78 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     if not comps or not entropy_segments:
         raise ValueError("missing SOF/SOS")
 
-    by, bx = -(-h // 8), -(-w // 8)
-    n_mcus = by * bx
-    comp_q = {cid: qtabs[tq] for cid, tq in comps}
-    planes = [np.zeros((by * 8, bx * 8), dtype=np.float64) for _ in comps]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    comp_q = {cid: qtabs[tq] for cid, _, _, tq in comps}
+    comp_samp = {cid: (hi_, vi_) for cid, hi_, vi_, _ in comps}
+    # each component's plane spans exactly its MCU coverage; cropped to its
+    # true (sub)resolution after the scan, then upsampled to full frame
+    planes = [
+        np.zeros((mcy * vi_ * 8, mcx * hi_ * 8), dtype=np.float64)
+        for _, hi_, vi_, _ in comps
+    ]
+    comp_pos = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
     seg_iter = iter(entropy_segments)
     reader = _BitReader(next(seg_iter))
     prev_dc = {cid: 0 for cid, _, _ in scan_comps}
     since_restart = 0
-    for m in range(n_mcus):
+    for m in range(mcy * mcx):
         if restart and since_restart == restart:
             reader = _BitReader(next(seg_iter))
             prev_dc = {cid: 0 for cid, _, _ in scan_comps}
             since_restart = 0
         since_restart += 1
-        my, mx = divmod(m, bx)
-        for ci, (cid, dc_t, ac_t) in enumerate(scan_comps):
-            zz = np.zeros(64, dtype=np.int64)
-            size = reader.read_sym(*huff[(0, dc_t)])
-            diff = _extend(reader.read_bits(size), size)
-            prev_dc[cid] += diff
-            zz[0] = prev_dc[cid]
-            k = 1
-            while k < 64:
-                sym = reader.read_sym(*huff[(1, ac_t)])
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0 and run == 15:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(reader.read_bits(size), size)
-                k += 1
-            block = np.zeros((8, 8), dtype=np.float64)
-            block[_ZZ_ROWS, _ZZ_COLS] = zz
-            block *= comp_q[cid]
-            spatial = _DCT_M.T @ block @ _DCT_M + 128.0
-            planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = spatial
-    planes = [p[:h, :w] for p in planes]
-    if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+        my, mx = divmod(m, mcx)
+        for cid, dc_t, ac_t in scan_comps:
+            hi_, vi_ = comp_samp[cid]
+            plane = planes[comp_pos[cid]]
+            for yy in range(vi_):
+                for xx in range(hi_):
+                    zz = np.zeros(64, dtype=np.int64)
+                    size = reader.read_sym(*huff[(0, dc_t)])
+                    diff = _extend(reader.read_bits(size), size)
+                    prev_dc[cid] += diff
+                    zz[0] = prev_dc[cid]
+                    k = 1
+                    while k < 64:
+                        sym = reader.read_sym(*huff[(1, ac_t)])
+                        if sym == 0x00:  # EOB
+                            break
+                        run, size = sym >> 4, sym & 0xF
+                        if size == 0 and run == 15:  # ZRL
+                            k += 16
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        zz[k] = _extend(reader.read_bits(size), size)
+                        k += 1
+                    block = np.zeros((8, 8), dtype=np.float64)
+                    block[_ZZ_ROWS, _ZZ_COLS] = zz
+                    block *= comp_q[cid]
+                    spatial = _DCT_M.T @ block @ _DCT_M + 128.0
+                    py = (my * vi_ + yy) * 8
+                    px = (mx * hi_ + xx) * 8
+                    plane[py : py + 8, px : px + 8] = spatial
+    # crop each component to its true resolution, then box-replicate up to
+    # the full frame (the nearest-neighbor upsampling baseline decoders use)
+    full = []
+    for i, (cid, hi_, vi_, _) in enumerate(comps):
+        cw = -(-w * hi_ // hmax)
+        ch = -(-h * vi_ // vmax)
+        p = planes[i][:ch, :cw]
+        if hi_ != hmax or vi_ != vmax:
+            if hmax % hi_ or vmax % vi_:
+                raise NotImplementedError(
+                    "non-integer sampling ratio (e.g. 3:2) unsupported"
+                )
+            p = np.repeat(np.repeat(p, vmax // vi_, axis=0), hmax // hi_, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    rgb = _ycbcr_to_rgb(np.stack(full, axis=-1))
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 

@@ -348,6 +348,8 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
            ((length(text) % 12) + 1)::BIGINT AS height,
            (((length(text) % 16) + 1) * ((length(text) % 12) + 1) * 3)::BIGINT
                AS n_pixels,
+           CASE doc_id % 3 WHEN 0 THEN '444' WHEN 1 THEN '422' ELSE '420' END
+               AS subsampling,
            TRUE AS within_tolerance,
            TRUE AS mean_err_small
     FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
@@ -359,23 +361,33 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quality 95; spec-derived codec: DCT, Annex-K quantization, zigzag,
     DC DPCM, canonical Huffman, byte stuffing — ``operators/multimodal.py``
     ``encode_jpeg``/``decode_jpeg``), which the real decoder then parses
-    back. Dimensions/pixel count are oracle-exact; reconstruction quality
-    is asserted as two tolerance booleans computed from the decoded
-    pixels: max |err| <= 48 levels and mean |err| <= 12 (noise-like input
-    at quality 95 measures max ~21 / mean ~4; a broken decode path lands
-    far outside both). Tolerances are generous because JPEG is lossy BY
-    SPEC — the exact-roundtrip twin is the PNG entry."""
+    back. The subsampling layout cycles by doc_id — 4:4:4, 4:2:2, and
+    4:2:0 (the layout virtually every camera/web JPEG ships) — so the
+    sampled-MCU interleave and chroma upsampling paths are exercised on
+    the fixture corpus, not just in unit tests. Dimensions/pixel count
+    are oracle-exact; reconstruction quality is asserted as tolerance
+    booleans computed from the decoded pixels: RGB max |err| <= 48 and
+    mean |err| <= 12 at 4:4:4; for subsampled layouts the same bounds on
+    the LUMA plane (what subsampling preserves by design — chroma on
+    noise-like input loses information BY SPEC, that's the point of
+    4:2:0). A broken Huffman/dequant/IDCT/interleave lands far outside
+    either bound."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
     from pyspark.sql.types import (
         BooleanType,
         LongType,
+        StringType,
         StructField,
         StructType,
     )
 
-    from wiki_mysql_spark.operators.multimodal import decode_jpeg, encode_jpeg
+    from wiki_mysql_spark.operators.multimodal import (
+        _rgb_to_ycbcr,
+        decode_jpeg,
+        encode_jpeg,
+    )
 
     schema = StructType(
         [
@@ -383,6 +395,7 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("width", LongType()),
             StructField("height", LongType()),
             StructField("n_pixels", LongType()),
+            StructField("subsampling", StringType()),
             StructField("within_tolerance", BooleanType()),
             StructField("mean_err_small", BooleanType()),
         ]
@@ -391,7 +404,8 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "width", "height", "n_pixels",
-                                   "within_tolerance", "mean_err_small")}
+                                   "subsampling", "within_tolerance",
+                                   "mean_err_small")}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 s = text or ""
                 n = len(s)
@@ -405,12 +419,19 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else:
                     pix = np.zeros(need, dtype=np.uint8)
                 pix = pix.reshape(h, w, 3)
-                dec = decode_jpeg(encode_jpeg(pix, quality=95))
-                err = np.abs(dec.astype(np.int64) - pix.astype(np.int64))
+                mode = ("444", "422", "420")[int(doc_id) % 3]
+                dec = decode_jpeg(encode_jpeg(pix, quality=95, subsampling=mode))
+                if mode == "444":
+                    err = np.abs(dec.astype(np.int64) - pix.astype(np.int64))
+                else:
+                    err = np.abs(
+                        _rgb_to_ycbcr(dec)[..., 0] - _rgb_to_ycbcr(pix)[..., 0]
+                    )
                 out["doc_id"].append(doc_id)
                 out["width"].append(dec.shape[1])
                 out["height"].append(dec.shape[0])
                 out["n_pixels"].append(int(dec.size))
+                out["subsampling"].append(mode)
                 out["within_tolerance"].append(bool(err.max() <= 48))
                 out["mean_err_small"].append(bool(err.mean() <= 12.0))
             yield pd.DataFrame(out)
