@@ -1,0 +1,48 @@
+"""Chaos tests for the ETL's failure semantics (r4 verdict item 7): the
+reference tolerates bad rows (silent drop, ``dbfy.py:142-143``) and
+transient DB failures (2006 reconnect-retry, ``database.py:42-57``); the
+Spark engine's analogs — PERMISSIVE-parse drop and task-retry over a
+per-partition JDBC transaction — were only happy-path-proven until now.
+
+The faults need ``local[4,2]`` (task retries) — a different SparkContext
+than the shared session fixture — so the harness
+(tests/chaos_etl_script.py) runs as a subprocess and reports one JSON
+line; this wrapper asserts it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_chaos_malformed_shard_and_midwrite_failure(tmp_path):
+    script = os.path.join(os.path.dirname(__file__), "chaos_etl_script.py")
+    proc = subprocess.run(
+        [sys.executable, script, str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, f"harness died:\n{proc.stderr[-4000:]}"
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    r = json.loads(line)
+
+    # fault 1: malformed XML shards — job survives; field-corrupt pages
+    # drop only themselves (chaos output == clean output over the same
+    # good pages); the structurally-corrupt shard is observable in the
+    # corrupt-record audit instead of vanishing silently
+    assert r["xml_articles_match"], r
+    assert r["xml_bodies_match"], r
+    assert r["n_articles"] > 30 and r["n_bodies"] > 30, r
+    assert r["n_corrupt_records"] >= 1, r
+    assert r["clean_corrupt_records"] == 0, r
+
+    # fault 2: injected mid-write task failure — the poison really fired on
+    # attempt 0 and a retry ran; the table holds exactly the clean-run rows
+    # (per-partition transaction rolled back, no replayed-batch duplicates)
+    assert r["first_attempt_ran"] and r["retry_happened"], r
+    assert r["jdbc_rows"] == r["jdbc_expected"], r
+    assert r["jdbc_distinct_ids"] == r["jdbc_expected"], r

@@ -140,13 +140,28 @@ def run_wiki_etl(
         write_jdbc,
         write_parquet,
     )
-    from wiki_mysql_spark.sources.wikixml import read_wiki_dump
+    from wiki_mysql_spark.sources.wikixml import (
+        read_wiki_dump,
+        read_wiki_dump_corrupt,
+    )
 
     pages = read_wiki_dump(spark, dump_path)
     if limit is not None:
         pages = pages.limit(limit)
     articles, bodies = build_wiki_tables(pages, **build_kwargs)
     articles, bodies, quarantine = split_quarantine(articles, bodies)
+    # structurally-corrupt page records join the quarantine audit (the
+    # reference silently drops erroring pages, dbfy.py:142-143); folded
+    # into the quarantine WRITE's lineage, so no extra job materializes
+    corrupt = read_wiki_dump_corrupt(spark, dump_path).select(
+        F.lit("pages").alias("table_name"),
+        F.lit(None).cast("long").alias("id"),
+        F.concat(
+            F.lit("corrupt xml record: "),
+            F.substring("corrupt_record", 1, 200),
+        ).alias("reject_reason"),
+    )
+    quarantine = quarantine.unionByName(corrupt)
 
     write_parquet(articles, f"{out_dir}/articles")
     write_parquet(bodies, f"{out_dir}/bodies")

@@ -38,6 +38,14 @@ PAGE_SCHEMA = StructType(
             "revision",
             StructType([StructField("text", StringType())]),
         ),
+        # PERMISSIVE corrupt capture: a structurally-broken <page> becomes a
+        # row with this column set (and everything else null). Measured
+        # semantics of Spark's XML tokenizer: the REST OF THAT FILE after
+        # the structural break is lost too — file-granularity loss, which
+        # the multistream/part-file layout bounds to one shard; this column
+        # is what makes the loss OBSERVABLE (read_wiki_dump_corrupt)
+        # instead of the reference's silent drop (dbfy.py:142-143).
+        StructField("_corrupt_record", StringType()),
     ]
 )
 
@@ -55,6 +63,7 @@ def read_wiki_dump(
     raw = (
         spark.read.format("xml")
         .option("rowTag", "page")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
         .schema(PAGE_SCHEMA)
         .load(path)
     )
@@ -67,4 +76,35 @@ def read_wiki_dump(
             F.col("revision.text").alias("text"),
             F.col("redirect._title").alias("redirect_title"),
         )
+    )
+
+
+def read_wiki_dump_corrupt(spark: SparkSession, path: str) -> DataFrame:
+    """Audit frame of structurally-corrupt page records: one row per
+    corrupt capture with the raw fragment. The reference silently drops
+    any page that errors (``/root/reference/dbfy.py:142-143``); this is
+    the distributed, OBSERVABLE analog. Caveat (measured, chaos-tested):
+    Spark's XML tokenizer abandons the remainder of a file after a
+    structural break, so a corrupt row also marks its whole shard as
+    suspect — at scale the multistream part-file layout bounds the blast
+    radius to one part, and this frame tells you which."""
+    raw = (
+        spark.read.format("xml")
+        .option("rowTag", "page")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(PAGE_SCHEMA)
+        .load(path)
+    )
+    # Spark refuses scans whose pruned schema is ONLY the corrupt column
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN); referencing `id` in a predicate
+    # that is vacuously true for corrupt rows (their data fields are all
+    # null) keeps a data column in the scan without caching the raw frame
+    # (the docs' cache() workaround — a non-starter on a 100 TB dump).
+    # The disjunction is not constant-foldable, so Catalyst can't prune it.
+    return (
+        raw.where(
+            F.col("_corrupt_record").isNotNull()
+            & (F.col("id").isNull() | (F.col("id") >= 0))
+        )
+        .select(F.col("_corrupt_record").alias("corrupt_record"))
     )
