@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Render the NOTES performance-summary block FROM the committed artifacts.
+
+r3 and r4 both shipped NOTES paragraphs whose numbers drifted from the
+committed BENCH/CORRECTNESS JSONs (stale narrative — r4 verdict item 5).
+This renderer makes the numbers byte-derived: point it at the artifacts and
+paste its output; any claim in NOTES that disagrees with this output is by
+definition wrong.
+
+Usage:
+    python scripts/render_notes_bench.py BENCH_r04.json [--prev BENCH_r03.json]
+        [--correctness CORRECTNESS_full_r4.json ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bench")
+    ap.add_argument("--prev", default=None)
+    ap.add_argument("--correctness", nargs="*", default=[])
+    args = ap.parse_args()
+
+    def load_bench(path: str) -> dict:
+        # the driver's BENCH_r{N}.json wraps bench.py's line under "parsed"
+        # (plus n/rc/cpus/sf/tail); a raw bench.py line is the dict itself
+        with open(path) as f:
+            d = json.load(f)
+        if "parsed" in d and isinstance(d["parsed"], dict):
+            inner = dict(d["parsed"])
+            inner.setdefault("cpus", d.get("cpus"))
+            inner.setdefault("sf", d.get("sf"))
+            return inner
+        return d
+
+    b = load_bench(args.bench)
+    q = b["queries"]
+    lines = [
+        f"<!-- rendered by scripts/render_notes_bench.py from {args.bench} -->",
+        f"Bench ({args.bench}): **{len(q)}-entry headline "
+        f"{b['value']:.2f}s** at sf={b.get('sf')} on "
+        f"{b.get('cpus', b.get('concurrent_spark_jvms', '?'))} cpus; "
+        f"calibration {b.get('calibration_sec', float('nan')):.2f}s, "
+        f"load1 {b.get('load1_at_start', float('nan')):.2f}, "
+        f"min-of-{b.get('repeats_per_entry_min_reported', '?')} per entry.",
+    ]
+    slow = sorted(q.items(), key=lambda kv: -kv[1])[:5]
+    lines.append(
+        "Slowest entries: "
+        + ", ".join(f"{k} {v:.2f}s" for k, v in slow) + "."
+    )
+    if args.prev:
+        p = load_bench(args.prev)
+        shared = sorted(set(q) & set(p["queries"]))
+        if shared:
+            now = sum(q[k] for k in shared)
+            before = sum(p["queries"][k] for k in shared)
+            cal_now = b.get("calibration_sec")
+            cal_prev = p.get("calibration_sec")
+            lines.append(
+                f"Like-for-like vs {args.prev} ({len(shared)} shared "
+                f"entries): {now:.1f}s vs {before:.1f}s = "
+                f"{now / before:.2f}x raw"
+                + (
+                    f"; calibration ratio {cal_now / cal_prev:.2f}x "
+                    f"(drift-normalized {now / before / (cal_now / cal_prev):.2f}x)"
+                    if cal_now and cal_prev
+                    else ""
+                )
+                + "."
+            )
+            regressed = [
+                k for k in shared
+                if q[k] > p["queries"][k] * 1.5 and q[k] - p["queries"][k] > 0.5
+            ]
+            lines.append(
+                "Entries >1.5x slower than last round: "
+                + (", ".join(
+                    f"{k} {p['queries'][k]:.2f}->{q[k]:.2f}s" for k in regressed
+                ) if regressed else "none")
+                + "."
+            )
+    for path in args.correctness:
+        with open(path) as f:
+            c = json.load(f)
+        # driver shape: {name: {...}} possibly nested under sf keys
+        def flat(d):
+            if all(isinstance(v, dict) and "results" in v for v in d.values()):
+                for sf, v in d.items():
+                    yield sf, v["results"]
+            else:
+                yield "", d
+        for sf, results in flat(c):
+            n = len(results)
+            ok = sum(1 for r in results.values() if r.get("hash_match"))
+            rows_only = sum(
+                1 for r in results.values()
+                if r.get("err") == "no_oracle" and r.get("rows_match")
+            )
+            err = sum(
+                1 for r in results.values()
+                if r.get("err") not in (None, "no_oracle")
+            )
+            tag = f" [{sf}]" if sf else ""
+            lines.append(
+                f"Correctness ({path}{tag}): {ok}/{n} hash-match, "
+                f"{rows_only} rows-only, {err} errored."
+            )
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -824,11 +824,12 @@ def test_jpeg_rejects_unsupported_shapes():
 
     with _pytest.raises(ValueError):
         decode_jpeg(b"BM not a jpeg")
-    # progressive SOF2 must be rejected honestly, not mis-decoded
+    # lossless SOF3 must be rejected honestly, not mis-decoded
+    # (SOF2/progressive is real as of r5 — covered by the identity test)
     px = np.zeros((8, 8), np.uint8)
     b = bytearray(encode_jpeg(px))
     i = bytes(b).find(b"\xff\xc0")
-    b[i + 1] = 0xC2
+    b[i + 1] = 0xC3
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(b))
 
@@ -1189,3 +1190,71 @@ def test_codebook_training_rejects_empty_and_handles_sparse_ids(spark):
     # same vectors, shifted ids: centroid VALUES must match exactly
     assert [[cv for _, cv in book] for book in bd] == \
         [[cv for _, cv in book] for book in bs]
+
+
+def test_jpeg_16bit_quant_tables_decode():
+    """DQT precision=1 (16-bit big-endian entries): rewrite the encoder's
+    8-bit tables as 16-bit with identical values — the decode must be
+    bit-identical to the 8-bit stream's."""
+    import struct
+
+    import numpy as np
+
+    from wiki_mysql_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    px = np.random.default_rng(5).integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    b = encode_jpeg(px, quality=95)
+    out = bytearray()
+    pos = 0
+    while pos < len(b):
+        if b[pos : pos + 2] == b"\xff\xdb":
+            length = struct.unpack_from(">H", b, pos + 2)[0]
+            body = b[pos + 4 : pos + 2 + length]
+            tq = body[0] & 0xF
+            nb = bytes([0x10 | tq]) + b"".join(
+                struct.pack(">H", v) for v in body[1:65]
+            )
+            out += struct.pack(">HH", 0xFFDB, len(nb) + 2) + nb
+            pos += 2 + length
+        else:
+            out.append(b[pos])
+            pos += 1
+    assert (decode_jpeg(bytes(out)) == decode_jpeg(b)).all()
+
+
+def test_jpeg_progressive_bit_identical_to_baseline():
+    """Progressive (SOF2) decode must be BIT-IDENTICAL to baseline decode
+    of the same quantized coefficients — the strongest possible oracle for
+    the Annex-G scan machinery (DC/AC first + refinement, EOB runs,
+    correction-bit buffering): any slip anywhere breaks equality."""
+    import numpy as np
+
+    from wiki_mysql_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(99)
+    for h, w, gray, q in [
+        (8, 8, False, 95), (16, 12, False, 95), (17, 9, False, 90),
+        (1, 1, False, 95), (5, 40, True, 95), (64, 64, False, 75),
+        (24, 24, True, 50), (33, 31, False, 100), (40, 56, False, 95),
+    ]:
+        shape = (h, w) if gray else (h, w, 3)
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(px, quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(px, quality=q))
+        assert (base == prog).all(), (h, w, gray, q)
+    # seeded randomized sweep across shapes/qualities
+    r2 = np.random.default_rng(7)
+    for _ in range(40):
+        h, w = int(r2.integers(1, 48)), int(r2.integers(1, 48))
+        gray = bool(r2.integers(0, 2))
+        q = int(r2.choice([50, 75, 90, 95, 100]))
+        shape = (h, w) if gray else (h, w, 3)
+        px = r2.integers(0, 256, shape, dtype=np.uint8)
+        assert (
+            decode_jpeg(encode_jpeg(px, quality=q))
+            == decode_jpeg(encode_jpeg_progressive(px, quality=q))
+        ).all(), (h, w, gray, q)

@@ -731,17 +731,27 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables unsupported")
                 t = np.zeros((8, 8), dtype=np.int32)
-                t[_ZZ_ROWS, _ZZ_COLS] = np.frombuffer(
-                    body[off + 1 : off + 65], dtype=np.uint8
-                )
+                if pq == 0:
+                    t[_ZZ_ROWS, _ZZ_COLS] = np.frombuffer(
+                        body[off + 1 : off + 65], dtype=np.uint8
+                    )
+                    off += 65
+                else:  # pq=1: 16-bit big-endian entries (high-bitdepth DQT)
+                    t[_ZZ_ROWS, _ZZ_COLS] = np.frombuffer(
+                        body[off + 1 : off + 129], dtype=">u2"
+                    ).astype(np.int32)
+                    off += 129
                 qtabs[tq] = t
-                off += 65
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+        elif marker == 0xFFC2:
+            # progressive: its own scan-state machine (spectral selection +
+            # successive approximation over multiple SOS scans)
+            return _decode_jpeg_progressive(payload)
+        elif marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
-            raise NotImplementedError("only baseline sequential (SOF0) JPEG")
+            raise NotImplementedError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG"
+            )
         elif marker == 0xFFC0:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
@@ -864,6 +874,484 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
     rgb = _ycbcr_to_rgb(np.stack(full, axis=-1))
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2, Huffman): spectral selection + successive
+# approximation over multiple scans (ITU-T T.81 Annex G, public spec).
+# The web's second JPEG layout after baseline 4:2:0. The encoder emits a
+# 4-phase scan script (DC first/refine at Al=1/0, then per-component AC
+# first/refine) so every scan type the decoder implements is exercised;
+# the decoder accumulates coefficients across scans and reconstructs with
+# the SAME dequant+IDCT as baseline — which pins a strong self-test:
+# progressive decode of the same quantized coefficients must be
+# BIT-IDENTICAL to the baseline decode.
+# ---------------------------------------------------------------------------
+
+# progressive AC alphabet: EOBn (r<<4|0 for r=0..14, run length 2^r+bits),
+# ZRL, and the (run, size) symbols — all at one canonical code length
+_PROG_AC_VALS = (
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_BITS = [0] * 16
+_PROG_AC_BITS[8] = len(_PROG_AC_VALS)  # all codes length 9 (176 < 2^9)
+
+
+def _prog_ac_codes() -> dict:
+    return _huff_canonical(_PROG_AC_BITS, _PROG_AC_VALS)
+
+
+def _size_of(v: int) -> int:
+    return (v if v > 0 else -v).bit_length()
+
+
+def encode_jpeg_progressive(
+    pixels: "np.ndarray", *, quality: int = 95
+) -> bytes:
+    """Encode (h, w, 3) RGB or (h, w) grayscale uint8 as PROGRESSIVE JPEG
+    (grayscale or 4:4:4). Scan script: interleaved DC first (Al=1) and DC
+    refine, then per component AC first (1..63, Al=1) and AC refine —
+    every Annex-G scan type, including EOB-run coding across blocks."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if gray:
+        planes = [pixels.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(pixels)
+        planes = [ycc[..., i] for i in range(3)]
+    qtabs = [_jpeg_scaled_q(_JPEG_QL, quality)]
+    if not gray:
+        qtabs.append(_jpeg_scaled_q(_JPEG_QC, quality))
+    n_comp = len(planes)
+
+    by, bx = -(-h // 8), -(-w // 8)
+    comp_zz = []
+    for ci, plane in enumerate(planes):
+        padded = np.pad(
+            plane, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge"
+        )
+        blocks = padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        coeffs = np.einsum("ki,yxij,lj->yxkl", _DCT_M, blocks - 128.0, _DCT_M)
+        q = qtabs[min(ci, len(qtabs) - 1)]
+        zz = np.round(coeffs / q).astype(np.int64)[:, :, _ZZ_ROWS, _ZZ_COLS]
+        comp_zz.append(np.clip(zz, -1023, 1023).reshape(-1, 64))
+
+    dc_codes = _encoder_code_tables()[0]
+    ac_codes = _prog_ac_codes()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
+    for ti, q in enumerate(qtabs):
+        out += seg(0xFFDB, bytes([ti]) + bytes(q[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for ci in range(n_comp):
+        sof += bytes([ci + 1, 0x11, min(ci, len(qtabs) - 1)])
+    out += seg(0xFFC2, sof)
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_HUFF_DC_BITS) + bytes(_HUFF_DC_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS))
+
+    def sos_header(comp_ids: list[int], tab: int, ss: int, se: int,
+                   ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, tab])
+        return seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, interleaved, Al=1 (arithmetic shift on both ends)
+    out += sos_header(list(range(1, n_comp + 1)), 0x00, 0, 0, 0, 1)
+    wtr = _BitWriter()
+    prev = [0] * n_comp
+    for m in range(by * bx):
+        for ci in range(n_comp):
+            v = int(comp_zz[ci][m][0]) >> 1
+            diff = v - prev[ci]
+            prev[ci] = v
+            size = _size_of(diff)
+            code, length = dc_codes[size]
+            wtr.write(code, length)
+            if size:
+                wtr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    out += wtr.flush()
+
+    # scan 2: DC refine, Al=0 — one raw bit per block
+    out += sos_header(list(range(1, n_comp + 1)), 0x00, 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for m in range(by * bx):
+        for ci in range(n_comp):
+            wtr.write(int(comp_zz[ci][m][0]) & 1, 1)
+    out += wtr.flush()
+
+    for ci in range(n_comp):
+        # scan 3+2ci: AC first for component ci, band 1..63, Al=1
+        out += sos_header([ci + 1], 0x10, 1, 63, 0, 1)
+        wtr = _BitWriter()
+        eobrun = 0
+
+        def flush_eobrun(wtr, eobrun, br=()):
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, length = ac_codes[r << 4]
+                wtr.write(code, length)
+                if r:
+                    wtr.write(eobrun - (1 << r), r)
+            for b in br:
+                wtr.write(b, 1)
+            return 0
+
+        for m in range(by * bx):
+            block = comp_zz[ci][m]
+            r = 0
+            for k in range(1, 64):
+                v = int(block[k])
+                av = (v if v >= 0 else -v) >> 1
+                if av == 0:
+                    r += 1
+                    continue
+                vv = av if v >= 0 else -av
+                eobrun = flush_eobrun(wtr, eobrun)
+                while r > 15:
+                    code, length = ac_codes[0xF0]
+                    wtr.write(code, length)
+                    r -= 16
+                size = _size_of(vv)
+                code, length = ac_codes[(r << 4) | size]
+                wtr.write(code, length)
+                wtr.write(vv if vv >= 0 else vv + (1 << size) - 1, size)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = flush_eobrun(wtr, eobrun)
+        flush_eobrun(wtr, eobrun)
+        out += wtr.flush()
+
+        # scan 4+2ci: AC refine, band 1..63, Ah=1 -> Al=0 (correction bits)
+        out += sos_header([ci + 1], 0x10, 1, 63, 1, 0)
+        wtr = _BitWriter()
+        eobrun, pend_br = 0, []
+        for m in range(by * bx):
+            block = comp_zz[ci][m]
+            r, br = 0, []
+            for k in range(1, 64):
+                v = int(block[k])
+                t = v if v >= 0 else -v  # abs >> Al with Al=0
+                if t == 0:
+                    r += 1
+                    continue
+                # ZRL check at EVERY nonzero position (history included) —
+                # the bits buffered so far belong positionally BEFORE this
+                # coefficient, so they must flush with the ZRL that covers
+                # that stretch, not with a later symbol
+                while r > 15:
+                    if eobrun:
+                        eobrun = flush_eobrun(wtr, eobrun, pend_br)
+                        pend_br = []
+                    code, length = ac_codes[0xF0]
+                    wtr.write(code, length)
+                    for b in br:
+                        wtr.write(b, 1)
+                    br = []
+                    r -= 16
+                if t > 1:  # sent in the first scan: one correction bit
+                    br.append(t & 1)
+                    continue
+                # newly nonzero at this level: (run, 1) + sign, then the
+                # buffered correction bits of the history coefs passed over
+                if eobrun:
+                    eobrun = flush_eobrun(wtr, eobrun, pend_br)
+                    pend_br = []
+                code, length = ac_codes[(r << 4) | 1]
+                wtr.write(code, length)
+                wtr.write(1 if v > 0 else 0, 1)
+                for b in br:
+                    wtr.write(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pend_br.extend(br)
+                if eobrun == 0x7FFF:
+                    eobrun = flush_eobrun(wtr, eobrun, pend_br)
+                    pend_br = []
+        flush_eobrun(wtr, eobrun, pend_br)
+        out += wtr.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_jpeg_progressive(payload: bytes) -> "np.ndarray":
+    """Progressive (SOF2) Huffman JPEG decoder: accumulates per-component
+    zigzag coefficients across DC/AC first and refinement scans (Annex G
+    successive approximation), then dequantizes and IDCTs exactly like the
+    baseline path. Arbitrary integer sampling factors; interleaved DC
+    scans and non-interleaved AC scans over each component's OWN block
+    grid; restart intervals reset predictors and the EOB run."""
+    pos = 2
+    qtabs: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], tuple] = {}
+    comps: list[tuple[int, int, int, int]] = []
+    h = w = 0
+    restart = 0
+    coef: list["np.ndarray"] = []  # per component (BY, BX, 64), zigzag space
+    geom: dict = {}
+
+    def init_geometry():
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcx = -(-w // (8 * hmax))
+        mcy = -(-h // (8 * vmax))
+        cw = [-(-w * hi_ // hmax) for _, hi_, _, _ in comps]
+        ch = [-(-h * vi_ // vmax) for _, _, vi_, _ in comps]
+        geom.update(hmax=hmax, vmax=vmax, mcx=mcx, mcy=mcy, cw=cw, ch=ch)
+        for _, hi_, vi_, _ in comps:
+            coef.append(
+                np.zeros((mcy * vi_, mcx * hi_, 64), dtype=np.int32)
+            )
+
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xFFD9:
+            break
+        length = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xFFDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                t = np.zeros((8, 8), dtype=np.int32)
+                if pq == 0:
+                    t[_ZZ_ROWS, _ZZ_COLS] = np.frombuffer(
+                        body[off + 1 : off + 65], dtype=np.uint8
+                    )
+                    off += 65
+                else:
+                    t[_ZZ_ROWS, _ZZ_COLS] = np.frombuffer(
+                        body[off + 1 : off + 129], dtype=">u2"
+                    ).astype(np.int32)
+                    off += 129
+                qtabs[tq] = t
+        elif marker == 0xFFC2:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            init_geometry()
+        elif marker == 0xFFC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = tuple(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                huff[(tc, th)] = _huff_peek_table(
+                    bits, tuple(body[off + 17 : off + 17 + nvals])
+                )
+                off += 17 + nvals
+        elif marker == 0xFFDD:
+            restart = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xFFDA:
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i : 3 + 2 * i]
+                scan_comps.append((cid, tabs >> 4, tabs & 0xF))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            # de-stuff entropy, split on RSTn
+            segs, segb = [], bytearray()
+            while pos + 1 < len(payload):
+                b = payload[pos]
+                if b != 0xFF:
+                    segb.append(b)
+                    pos += 1
+                    continue
+                nxt = payload[pos + 1]
+                if nxt == 0x00:
+                    segb.append(0xFF)
+                    pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    segs.append(bytes(segb))
+                    segb = bytearray()
+                    pos += 2
+                else:
+                    break
+            segs.append(bytes(segb))
+            _progressive_scan(
+                coef, comps, geom, huff, scan_comps, ss, se, ah, al,
+                segs, restart,
+            )
+    if not comps:
+        raise ValueError("missing SOF")
+
+    # reconstruct: identical dequant + IDCT to the baseline path
+    hmax, vmax = geom["hmax"], geom["vmax"]
+    full = []
+    for i, (cid, hi_, vi_, tq) in enumerate(comps):
+        cz = coef[i].astype(np.float64)
+        blocks = np.zeros(cz.shape[:2] + (8, 8), dtype=np.float64)
+        blocks[:, :, _ZZ_ROWS, _ZZ_COLS] = cz
+        blocks *= qtabs[tq]
+        # IDCT x = M.T @ X @ M: index form sum_{k,l} M[k,i] X[k,l] M[l,j]
+        spatial = np.einsum("ki,yxkl,lj->yxij", _DCT_M, blocks, _DCT_M)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(
+            cz.shape[0] * 8, cz.shape[1] * 8
+        ) + 128.0
+        cw = -(-w * hi_ // hmax)
+        ch = -(-h * vi_ // vmax)
+        p = plane[:ch, :cw]
+        if hi_ != hmax or vi_ != vmax:
+            if hmax % hi_ or vmax % vi_:
+                raise NotImplementedError("non-integer sampling ratio")
+            p = np.repeat(np.repeat(p, vmax // vi_, axis=0), hmax // hi_, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    rgb = _ycbcr_to_rgb(np.stack(full, axis=-1))
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _progressive_scan(coef, comps, geom, huff, scan_comps, ss, se, ah, al,
+                      segs, restart) -> None:
+    """Apply one SOS scan to the coefficient state (T.81 Annex G). Four
+    cases: DC first / DC refine (interleaved, possibly multi-component),
+    AC first / AC refine (single component, non-interleaved over its own
+    block grid, with EOB-run coding)."""
+    comp_idx = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    seg_iter = iter(segs)
+    reader = _BitReader(next(seg_iter))
+
+    if ss == 0:  # DC scan (se must be 0)
+        mcx, mcy = geom["mcx"], geom["mcy"]
+        interleaved = len(scan_comps) > 1
+        prev_dc = {cid: 0 for cid, _, _ in scan_comps}
+        n_units = (
+            mcy * mcx if interleaved
+            else _comp_units(comps, comp_idx[scan_comps[0][0]], geom)
+        )
+        since = 0
+        for m in range(n_units):
+            if restart and since == restart:
+                reader = _BitReader(next(seg_iter))
+                prev_dc = {cid: 0 for cid, _, _ in scan_comps}
+                since = 0
+            since += 1
+            for cid, dc_t, _ in scan_comps:
+                i = comp_idx[cid]
+                _, hi_, vi_, _ = comps[i]
+                if interleaved:
+                    my, mx = divmod(m, mcx)
+                    blocks = [
+                        (my * vi_ + yy, mx * hi_ + xx)
+                        for yy in range(vi_) for xx in range(hi_)
+                    ]
+                else:
+                    bw = _comp_block_w(comps, i, geom)
+                    blocks = [divmod(m, bw)]
+                for by_, bx_ in blocks:
+                    if ah == 0:
+                        size = reader.read_sym(*huff[(0, dc_t)])
+                        diff = _extend(reader.read_bits(size), size)
+                        prev_dc[cid] += diff
+                        coef[i][by_, bx_, 0] = prev_dc[cid] << al
+                    else:
+                        if reader.read_bits(1):
+                            coef[i][by_, bx_, 0] |= 1 << al
+        return
+
+    # AC scan: exactly one component, non-interleaved
+    cid, _, ac_t = scan_comps[0]
+    i = comp_idx[cid]
+    cz = coef[i]
+    bw = _comp_block_w(comps, i, geom)
+    n_units = _comp_units(comps, i, geom)
+    peek = huff[(1, ac_t)]
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+    since = 0
+    for m in range(n_units):
+        if restart and since == restart:
+            reader = _BitReader(next(seg_iter))
+            eobrun = 0
+            since = 0
+        since += 1
+        by_, bx_ = divmod(m, bw)
+        block = cz[by_, bx_]
+        if ah == 0:  # AC first
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = reader.read_sym(*peek)
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                block[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+        else:  # AC refine
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = reader.read_sym(*peek)
+                    r, s = sym >> 4, sym & 0xF
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break  # rest of band handled by eobrun below
+                        # ZRL: skip 16 zero-history positions
+                    else:
+                        newval = p1 if reader.read_bits(1) else m1
+                    while k <= se:
+                        v = int(block[k])
+                        if v != 0:
+                            if reader.read_bits(1) and (v & p1) == 0:
+                                block[k] = v + (p1 if v >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        block[k] = newval
+                    k += 1
+            if eobrun > 0:
+                # correction bits for every nonzero coef in the remaining band
+                while k <= se:
+                    v = int(block[k])
+                    if v != 0 and reader.read_bits(1) and (v & p1) == 0:
+                        block[k] = v + (p1 if v >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def _comp_block_w(comps, i, geom) -> int:
+    _, hi_, _, _ = comps[i]
+    return -(-geom["cw"][i] // 8)
+
+
+def _comp_units(comps, i, geom) -> int:
+    return _comp_block_w(comps, i, geom) * -(-geom["ch"][i] // 8)
 
 
 # ---------------------------------------------------------------------------

@@ -348,8 +348,8 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
            ((length(text) % 12) + 1)::BIGINT AS height,
            (((length(text) % 16) + 1) * ((length(text) % 12) + 1) * 3)::BIGINT
                AS n_pixels,
-           CASE doc_id % 3 WHEN 0 THEN '444' WHEN 1 THEN '422' ELSE '420' END
-               AS subsampling,
+           CASE doc_id % 4 WHEN 0 THEN '444' WHEN 1 THEN '422'
+                          WHEN 2 THEN '420' ELSE 'prog' END AS subsampling,
            TRUE AS within_tolerance,
            TRUE AS mean_err_small
     FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
@@ -364,7 +364,11 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     back. The subsampling layout cycles by doc_id — 4:4:4, 4:2:2, and
     4:2:0 (the layout virtually every camera/web JPEG ships) — so the
     sampled-MCU interleave and chroma upsampling paths are exercised on
-    the fixture corpus, not just in unit tests. Dimensions/pixel count
+    the fixture corpus, not just in unit tests; a fourth cycle position
+    round-trips PROGRESSIVE (SOF2) encoding — spectral selection +
+    successive approximation scans, decoded by the Annex-G scan machine
+    (bit-identical to baseline by construction, so it shares the 4:4:4
+    tolerance). Dimensions/pixel count
     are oracle-exact; reconstruction quality is asserted as tolerance
     booleans computed from the decoded pixels: RGB max |err| <= 48 and
     mean |err| <= 12 at 4:4:4; for subsampled layouts the same bounds on
@@ -387,6 +391,7 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rgb_to_ycbcr,
         decode_jpeg,
         encode_jpeg,
+        encode_jpeg_progressive,
     )
 
     schema = StructType(
@@ -419,9 +424,13 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else:
                     pix = np.zeros(need, dtype=np.uint8)
                 pix = pix.reshape(h, w, 3)
-                mode = ("444", "422", "420")[int(doc_id) % 3]
-                dec = decode_jpeg(encode_jpeg(pix, quality=95, subsampling=mode))
-                if mode == "444":
+                mode = ("444", "422", "420", "prog")[int(doc_id) % 4]
+                if mode == "prog":
+                    enc = encode_jpeg_progressive(pix, quality=95)
+                else:
+                    enc = encode_jpeg(pix, quality=95, subsampling=mode)
+                dec = decode_jpeg(enc)
+                if mode in ("444", "prog"):
                     err = np.abs(dec.astype(np.int64) - pix.astype(np.int64))
                 else:
                     err = np.abs(
