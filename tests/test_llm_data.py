@@ -1258,3 +1258,33 @@ def test_jpeg_progressive_bit_identical_to_baseline():
             decode_jpeg(encode_jpeg(px, quality=q))
             == decode_jpeg(encode_jpeg_progressive(px, quality=q))
         ).all(), (h, w, gray, q)
+
+
+def test_nearest_cell_literal_and_arrow_paths_identical(spark):
+    """The two physical strategies for nearest-center assignment (inlined
+    literal expression for small k, Arrow-blocked numpy for large k) must
+    produce byte-identical assignments — the blocked path accumulates
+    dimension-by-dimension in the same fold order, and argmax over
+    id-sorted centers reproduces the ties→lower-id rule."""
+    import random
+
+    from wiki_mysql_spark.operators.similarity import (
+        kmeans_codebook,
+        with_nearest_cell,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [round(rng.gauss(0, 1), 3) for _ in range(16)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    book = kmeans_codebook(df, n_centroids=80, n_iters=1)
+    lit = with_nearest_cell(
+        df, book, vec_col="embedding", id_col="vec_id", literal_k_max=1000
+    )
+    arw = with_nearest_cell(
+        df, book, vec_col="embedding", id_col="vec_id", literal_k_max=8
+    )
+    a = sorted((r["vec_id"], r["cell"]) for r in lit.collect())
+    b = sorted((r["vec_id"], r["cell"]) for r in arw.collect())
+    assert a == b

@@ -115,6 +115,96 @@ def derived_n_centroids(
     return max(k_min, min(k_max, math.ceil(n_rows / float(target_cell_rows))))
 
 
+# Above this center count, the literal-expression argmax (k structs x a
+# 64-literal cosine each, all inlined into one projection) stops being the
+# fast path: Catalyst analysis + interpreted eval cost grows with the
+# expression tree, measured ~130 s/pass at k=313 over just 20k rows at sf1.
+# The join path pays one corpus shuffle per pass instead — the standard
+# trade once centers stop being "a handful".
+_LITERAL_K_MAX = 64
+
+
+def with_nearest_cell(
+    df: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    *,
+    vec_col: str,
+    cell_col: str = "cell",
+    id_col: str | None = None,
+    literal_k_max: int = _LITERAL_K_MAX,
+) -> DataFrame:
+    """Attach each row's nearest-center id (cosine, ties → lower id),
+    picking the physical strategy by center count:
+
+      * small k: the zero-shuffle literal-centers expression
+        (:func:`nearest_cells`) — centers inline into a per-row argmax;
+      * large k: centers ship to every task inside an Arrow-batched
+        ``mapInPandas`` closure that scores rows-x-centers as vectorized
+        numpy blocks — accumulating dimension-by-dimension in the SAME
+        left-fold order as the ``cosine`` expression (one vectorized op
+        per dimension), so the doubles are IDENTICAL by construction and
+        ``argmax`` over centers sorted by id reproduces the ties→lower-id
+        rule. Same precedent (and same bit-equality argument) as
+        ``embedding_near_dup_pairs``' blocked comparator. The literal
+        expression at k=313 measured ~130 s per pass over 20k rows
+        (Catalyst analysis + per-row interpreted eval of k x dim inlined
+        literals); the blocked path is scan-speed.
+
+    Semantics are identical either way — the data picks the plan, the
+    same posture as the broadcast-join threshold."""
+    if len(centers) <= literal_k_max:
+        return df.withColumn(
+            cell_col, F.element_at(nearest_cells(F.col(vec_col), centers, 1), 1)
+        )
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from wiki_mysql_spark.sources.tables import map_in_pandas_spread
+
+    cents = sorted((int(cid), [float(x) for x in cv]) for cid, cv in centers)
+    cent_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+
+    def _seq_dot(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros((A.shape[0], B.shape[0]))
+        for k in range(A.shape[1]):
+            acc += np.multiply.outer(A[:, k], B[:, k])
+        return acc
+
+    def _seq_norm(A: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(A.shape[0])
+        for k in range(A.shape[1]):
+            acc += A[:, k] * A[:, k]
+        return np.sqrt(acc)
+
+    ncent = _seq_norm(C)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(cell_col, LongType())]
+    )
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(**{cell_col: pd.Series([], dtype="int64")})
+                continue
+            A = np.array(
+                [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]],
+                dtype=np.float32,
+            ).astype(np.float64)
+            cos = _seq_dot(A, C) / np.multiply.outer(_seq_norm(A), ncent)
+            # argmax returns the FIRST max -> centers sorted by id give the
+            # ties->lower-id rule of nearest_cells
+            best = cent_ids[np.argmax(cos, axis=1)]
+            out = pdf.copy()
+            out[cell_col] = best
+            yield out
+
+    return map_in_pandas_spread(df, _assign, out_schema)
+
+
 def kmeans_codebook(
     corpus: DataFrame,
     *,
@@ -151,16 +241,18 @@ def kmeans_codebook(
             "kmeans_codebook: corpus is empty — cannot seed any centroid"
         )
     centers = sorted((int(r.cent_id), [float(x) for x in r.v]) for r in seeds)
-    vecs = corpus.select(F.col(vec_col).alias("v"))
+    vecs = corpus.select(
+        F.col(id_col).alias("_kid"), F.col(vec_col).alias("v")
+    )
     for _ in range(n_iters):
         updated = (
             # two projections: putting the generator (posexplode) in the same
             # select as the lambda-bearing struct argmax trips a Spark
             # analyzer bug that strips struct field names (FIELD_NOT_FOUND).
-            vecs.select(
-                F.element_at(nearest_cells(F.col("v"), centers, 1), 1).alias("cell"),
-                "v",
+            with_nearest_cell(
+                vecs, centers, vec_col="v", cell_col="cell", id_col="_kid"
             )
+            .select("cell", "v")
             .select(
                 "cell",
                 F.posexplode(F.col("v").cast("array<double>")).alias("pos", "x"),
@@ -522,10 +614,12 @@ def semdedup(
         corpus, n_centroids=n_centroids, n_iters=n_iters,
         id_col=id_col, vec_col=vec_col,
     )
-    cells = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
-        F.element_at(nearest_cells(F.col(vec_col), book, 1), 1).alias("cell"),
+    cells = with_nearest_cell(
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")),
+        book,
+        vec_col="v",
+        cell_col="cell",
+        id_col="vid",
     ).localCheckpoint(eager=False)  # assignment reused by both join sides
     # skew gate: one k-row aggregate over the (now-materialized) assignment
     hot = (
