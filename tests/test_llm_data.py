@@ -1288,3 +1288,61 @@ def test_nearest_cell_literal_and_arrow_paths_identical(spark):
     a = sorted((r["vec_id"], r["cell"]) for r in lit.collect())
     b = sorted((r["vec_id"], r["cell"]) for r in arw.collect())
     assert a == b
+
+
+def test_wav_float_and_g711_formats_decode():
+    """WAV format coverage beyond PCM16 (r5): IEEE-float32 (format 3)
+    round-trips exactly; G.711 A-law/mu-law (formats 6/7) expand against
+    canonical ITU table values (mu 0x00 -> -32124, 0x80 -> +32124,
+    0xFF -> 0; A 0xD5 -> +8, 0x55 -> -8, 0xAA -> +32256, 0x2A -> -32256)
+    and every segment boundary is monotone; unsupported combos refuse."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from wiki_mysql_spark.operators.multimodal import (
+        _g711_alaw_decode,
+        _g711_mulaw_decode,
+        decode_wav,
+    )
+
+    def wav(fmt_code, bits, data, rate=8000, ch=1):
+        block = ch * bits // 8
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, fmt_code, ch, rate,
+                                    rate * block, block, bits)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    # float32 exact round-trip
+    x = np.array([0.0, 0.5, -1.0, 0.25, 1.0], dtype="<f4")
+    rate, ch, s = decode_wav(wav(3, 32, x.tobytes()))
+    assert rate == 8000 and ch == 1 and (s[:, 0] == x).all()
+
+    # canonical G.711 values
+    mu = _g711_mulaw_decode(np.array([0x00, 0x80, 0xFF, 0x7F], dtype=np.uint8))
+    assert mu.tolist() == [-32124, 32124, 0, 0]
+    al = _g711_alaw_decode(np.array([0xD5, 0x55, 0xAA, 0x2A], dtype=np.uint8))
+    assert al.tolist() == [8, -8, 32256, -32256]
+    # mu-law decode is monotone over the positive half (codes 0xFF..0x80)
+    pos = _g711_mulaw_decode(np.arange(0xFF, 0x7F, -1, dtype=np.uint8))
+    assert (np.diff(pos.astype(int)) > 0).all()
+    # A-law positive half: 0xD5 (smallest +) .. each segment increases
+    apos = _g711_alaw_decode(
+        np.array([c ^ 0x55 for c in range(0x80, 0x100)], dtype=np.uint8)
+    )
+    assert (np.diff(np.sort(apos.astype(int))) >= 0).all() and apos.min() == 8
+
+    # through the WAV container
+    codes = bytes([0x00, 0x80, 0xFF])
+    _, _, smu = decode_wav(wav(7, 8, codes))
+    assert smu[:, 0].tolist() == [-32124, 32124, 0]
+    _, _, sal = decode_wav(wav(6, 8, bytes([0xD5, 0x55])))
+    assert sal[:, 0].tolist() == [8, -8]
+
+    with _pytest.raises(NotImplementedError):
+        decode_wav(wav(1, 8, b"\x00"))  # 8-bit PCM not claimed
+    with _pytest.raises(NotImplementedError):
+        decode_wav(wav(2, 4, b"\x00"))  # ADPCM not claimed

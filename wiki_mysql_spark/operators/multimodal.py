@@ -306,26 +306,69 @@ def encode_wav(samples: "np.ndarray", *, rate: int = 8000) -> bytes:
     )
 
 
+def _g711_mulaw_decode(codes: "np.ndarray") -> "np.ndarray":
+    """ITU-T G.711 mu-law byte -> linear PCM16 (public spec): complement,
+    split sign/exponent/mantissa, expand with the 0x84 bias."""
+    u = (~codes) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant.astype(np.int32) << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _g711_alaw_decode(codes: "np.ndarray") -> "np.ndarray":
+    """ITU-T G.711 A-law byte -> linear PCM16: XOR 0x55, expand segments
+    (segment 0 is linear, others shift with the implicit leading 1). Note
+    A-law's sign convention is inverted vs mu-law: bit 7 SET means
+    POSITIVE (0xD5 -> +8, 0x55 -> -8, 0xAA -> +32256)."""
+    a = codes ^ 0x55
+    positive = (a & 0x80) != 0
+    exp = (a >> 4) & 0x07
+    mant = (a & 0x0F).astype(np.int32)
+    mag = np.where(
+        exp == 0,
+        (mant << 4) + 8,
+        ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
+    )
+    return np.where(positive, mag, -mag).astype(np.int16)
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
-    """Decode a 16-bit PCM WAV to (sample_rate, channels, samples[n, ch])."""
+    """Decode a WAV to (sample_rate, channels, samples[n, ch]).
+
+    Formats: 16-bit PCM (code 1), 32-bit IEEE float (code 3, returned as
+    float32), and the G.711 telephony pair — A-law (6) and mu-law (7),
+    expanded to linear PCM16 per the public ITU-T tables. Other
+    format/bit-depth combinations raise NotImplementedError honestly."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     # walk the chunk list (fmt / data may be preceded by others, e.g. LIST)
-    pos, rate, ch, bits, data = 12, None, None, None, None
+    pos, rate, ch, bits, data, fmt_code = 12, None, None, None, None, None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         if cid == b"fmt ":
             fmt_code, ch, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", payload, pos + 8
             )
-            if fmt_code != 1 or bits != 16:
-                raise NotImplementedError("only 16-bit PCM WAV supported")
+            if (fmt_code, bits) not in ((1, 16), (3, 32), (6, 8), (7, 8)):
+                raise NotImplementedError(
+                    "supported WAV formats: PCM16, IEEE-float32, G.711 "
+                    f"A-law/mu-law (got format {fmt_code} at {bits} bits)"
+                )
         elif cid == b"data":
             data = payload[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    samples = np.frombuffer(data, dtype="<i2")
+    if fmt_code == 1:
+        samples = np.frombuffer(data, dtype="<i2")
+    elif fmt_code == 3:
+        samples = np.frombuffer(data, dtype="<f4")
+    elif fmt_code == 6:
+        samples = _g711_alaw_decode(np.frombuffer(data, dtype=np.uint8))
+    else:  # 7
+        samples = _g711_mulaw_decode(np.frombuffer(data, dtype=np.uint8))
     return rate, ch, samples.reshape(-1, ch)
 
 
