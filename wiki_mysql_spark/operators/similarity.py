@@ -453,8 +453,11 @@ def pq_codebooks(
     id; centroid update = per-position mean rounded to 6). Same
     distributed shape as :func:`kmeans_codebook`: centers broadcast into
     a per-row argmin, update is a partial-aggregatable per-(cell,pos)
-    mean — only m x k x subdim partial sums move. One job per subspace
-    (m jobs; clarity over a fused single pass at fixture scale)."""
+    mean — only m x k x subdim partial sums move. All ``m`` subspaces
+    train in ONE fused job (each row emits m (subspace, cell, slice)
+    structs; the update groups on (subspace, cell, pos)) — the per-
+    subspace spelling cost m sequential job barriers for identical
+    math."""
     subdim = dim // m
     # seed from the first n_centroids rows BY ID ORDER, not `id < n`: a
     # corpus whose ids don't cover 0..n-1 (post-filter slices, sparse ids)
@@ -469,27 +472,43 @@ def pq_codebooks(
         raise ValueError(
             "pq_codebooks: corpus is empty — cannot seed any codebook centroid"
         )
-    books: list[list[tuple[int, list[float]]]] = []
-    for s in range(m):
-        seeds = sorted(
+    seeds_by_s = [
+        sorted(
             (int(r["cid"]), [float(x) for x in r["v"]][s * subdim : (s + 1) * subdim])
             for r in seed_rows
         )
-        sl = _slice_col(vec_col, s, subdim)
-        cents = (
-            corpus.select(_nearest_code_l2(sl, seeds).alias("cell"), sl.alias("v"))
-            .select("cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.round(F.avg("x"), 6).alias("mpos"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "mpos"))).alias("pm"))
-            .select("cell", F.transform("pm", lambda t: t["mpos"]).alias("centv"))
-            .collect()
+        for s in range(m)
+    ]
+    per_s = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                _nearest_code_l2(
+                    _slice_col(vec_col, s, subdim), seeds_by_s[s]
+                ).alias("cell"),
+                _slice_col(vec_col, s, subdim).alias("v"),
+            )
+            for s in range(m)
+        ]
+    )
+    cents = (
+        corpus.select(F.explode(per_s).alias("t"))
+        .select(
+            F.col("t.s").alias("s"),
+            F.col("t.cell").alias("cell"),
+            F.posexplode("t.v").alias("pos", "x"),
         )
-        books.append(
-            sorted((int(r["cell"]), [float(x) for x in r["centv"]]) for r in cents)
-        )
-    return books
+        .groupBy("s", "cell", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("mpos"))
+        .groupBy("s", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mpos"))).alias("pm"))
+        .select("s", "cell", F.transform("pm", lambda t: t["mpos"]).alias("centv"))
+        .collect()
+    )
+    books: list[list[tuple[int, list[float]]]] = [[] for _ in range(m)]
+    for r in cents:
+        books[int(r["s"])].append((int(r["cell"]), [float(x) for x in r["centv"]]))
+    return [sorted(b) for b in books]
 
 
 def pq_topk(
