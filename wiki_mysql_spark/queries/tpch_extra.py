@@ -742,7 +742,7 @@ def q20_excess_red_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pagerank_iter_cte(prev: str, cur: str) -> str:
     return f"""
-    {cur} AS (
+    {cur} AS MATERIALIZED (
         SELECT n.node, round(0.15 + 0.85 * coalesce(c.s, 0.0), 9) AS rank
         FROM nodes n LEFT JOIN (
             SELECT e.dst, sum(r.rank / e.outdeg) AS s
@@ -755,13 +755,17 @@ def _pagerank_iter_cte(prev: str, cur: str) -> str:
 @query(
     "graph_pagerank",
     f"""
-    WITH edges AS (
+    -- MATERIALIZED is load-bearing (the BPE-oracle lesson): edges is
+    -- referenced by deg/e_deg/nodes and each rank round references its
+    -- predecessor; inlined CTEs would re-evaluate the whole chain
+    -- exponentially (measured 485s at sf1 on the dangling variant)
+    WITH edges AS MATERIALIZED (
         SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
-    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-    e_deg AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
-    nodes AS (
+    deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    e_deg AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+    nodes AS MATERIALIZED (
         SELECT DISTINCT node FROM
         (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
     ),
@@ -801,11 +805,11 @@ def _pagerank_dangling_iter_cte(prev: str, cur: str) -> str:
     # expression (base first, then the dangling term), so per-iteration
     # 9-digit rounding pins both engines to identical doubles.
     return f"""
-    dang_{prev} AS (
+    dang_{prev} AS MATERIALIZED (
         SELECT coalesce(sum(rank), 0.0) AS m FROM {prev}
         WHERE node NOT IN (SELECT src FROM deg)
     ),
-    {cur} AS (
+    {cur} AS MATERIALIZED (
         SELECT n.node,
                round((0.15 + 0.85 * coalesce(c.s, 0.0))
                      + 0.85 * (SELECT m FROM dang_{prev})
@@ -821,17 +825,21 @@ def _pagerank_dangling_iter_cte(prev: str, cur: str) -> str:
 @query(
     "graph_pagerank_dangling",
     f"""
-    WITH edges AS (
+    -- MATERIALIZED is load-bearing (the BPE-oracle lesson): edges is
+    -- referenced by deg/e_deg/nodes and each rank round references its
+    -- predecessor; inlined CTEs would re-evaluate the whole chain
+    -- exponentially (measured 485s at sf1 on the dangling variant)
+    WITH edges AS MATERIALIZED (
         SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
-    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-    e_deg AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
-    nodes AS (
+    deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    e_deg AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+    nodes AS MATERIALIZED (
         SELECT DISTINCT node FROM
         (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
     ),
-    ncnt AS (SELECT count(*)::DOUBLE AS cnt FROM nodes),
+    ncnt AS MATERIALIZED (SELECT count(*)::DOUBLE AS cnt FROM nodes),
     r0 AS (SELECT node, 1.0 AS rank FROM nodes),
     {_pagerank_dangling_iter_cte('r0', 'r1')},
     {_pagerank_dangling_iter_cte('r1', 'r2')},
