@@ -118,10 +118,12 @@ def derived_n_centroids(
 # Above this center count, the literal-expression argmax (k structs x a
 # 64-literal cosine each, all inlined into one projection) stops being the
 # fast path: Catalyst analysis + interpreted eval cost grows with the
-# expression tree, measured ~130 s/pass at k=313 over just 20k rows at sf1.
-# The join path pays one corpus shuffle per pass instead — the standard
-# trade once centers stop being "a handful".
-_LITERAL_K_MAX = 64
+# expression tree — measured ~130 s/pass at k=313 over 20k rows (sf1) and
+# ~4.5 s/pass at k=32 over 2,000 rows (sf0.1, where the HOF eval also ran
+# on one scan partition). The Arrow-blocked path below self-spreads and
+# vectorizes, so the literal form only wins for a handful of centers,
+# where it avoids the Python boundary entirely.
+_LITERAL_K_MAX = 16
 
 
 def with_nearest_cell(
