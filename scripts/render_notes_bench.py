@@ -43,7 +43,7 @@ def main() -> None:
         f"<!-- rendered by scripts/render_notes_bench.py from {args.bench} -->",
         f"Bench ({args.bench}): **{len(q)}-entry headline "
         f"{b['value']:.2f}s** at sf={b.get('sf')} on "
-        f"{b.get('cpus', b.get('concurrent_spark_jvms', '?'))} cpus; "
+        f"{b.get('cpus') or '?'} cpus; "
         f"calibration {b.get('calibration_sec', float('nan')):.2f}s, "
         f"load1 {b.get('load1_at_start', float('nan')):.2f}, "
         f"min-of-{b.get('repeats_per_entry_min_reported', '?')} per entry.",
