@@ -761,7 +761,8 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part a JOIN part b
       ON string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
      AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+      AND levenshtein(a.p_name, b.p_name) <= 3
     """,
 )
 def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -785,9 +786,18 @@ def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("blk", F.split("p_name", " ").getItem(0))
     )
     pairs = skew_safe_block_self_pairs(p, block="blk", id_col="p_partkey")
+    # length prefilter: |len(a)-len(b)| > 3 implies lev > 3, so the cheap
+    # length compare prunes candidates BEFORE the O(len^2) levenshtein —
+    # the left conjunct short-circuits inside codegen
+    close_len = (
+        F.abs(
+            F.length(F.col("l")["p_name"]) - F.length(F.col("r")["p_name"])
+        )
+        <= 3
+    )
     dist = F.levenshtein(F.col("l")["p_name"], F.col("r")["p_name"])
     return (
-        pairs.where(dist <= 3)
+        pairs.where(close_len & (dist <= 3))
         .select(
             F.col("l")["p_partkey"].alias("a_key"),
             F.col("r")["p_partkey"].alias("b_key"),
@@ -814,7 +824,8 @@ def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part a JOIN part b
           ON string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
          AND a.p_partkey < b.p_partkey
-        WHERE levenshtein(a.p_name, b.p_name) <= 3
+        WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+          AND levenshtein(a.p_name, b.p_name) <= 3
     ),
     sym AS MATERIALIZED (
         SELECT a_key AS a, b_key AS b FROM pairs
@@ -870,8 +881,14 @@ def dedup_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("blk", F.split("p_name", " ").getItem(0))
     )
     pairs = skew_safe_block_self_pairs(p, block="blk", id_col="p_partkey")
+    close_len = (
+        F.abs(
+            F.length(F.col("l")["p_name"]) - F.length(F.col("r")["p_name"])
+        )
+        <= 3
+    )
     dist = F.levenshtein(F.col("l")["p_name"], F.col("r")["p_name"])
-    edges = pairs.where(dist <= 3).select(
+    edges = pairs.where(close_len & (dist <= 3)).select(
         F.col("l")["p_partkey"].alias("a_key"),
         F.col("r")["p_partkey"].alias("b_key"),
     )
