@@ -1280,10 +1280,10 @@ def test_nearest_cell_literal_and_arrow_paths_identical(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     book = kmeans_codebook(df, n_centroids=80, n_iters=1)
     lit = with_nearest_cell(
-        df, book, vec_col="embedding", id_col="vec_id", literal_k_max=1000
+        df, book, vec_col="embedding", literal_k_max=1000
     )
     arw = with_nearest_cell(
-        df, book, vec_col="embedding", id_col="vec_id", literal_k_max=8
+        df, book, vec_col="embedding", literal_k_max=8
     )
     a = sorted((r["vec_id"], r["cell"]) for r in lit.collect())
     b = sorted((r["vec_id"], r["cell"]) for r in arw.collect())

@@ -176,6 +176,7 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    changed = -1
     for _ in range(max_rounds):
         neigh = csym.join(labels, csym.b == labels.node).select(
             F.col("a").alias("node"), "label"
@@ -197,6 +198,20 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # returning here would hand the caller silently-WRONG labels (one
+        # hop per round short of the true minimum) — a path-graph component
+        # of diameter > max_rounds on the CONTRACTED graph hits this. Loud
+        # failure over silent divergence: the oracle-checked callers
+        # (dedup_fuzzy_clusters, dedup_minhash_components) compute exact
+        # components on their side, so an unconverged propagation here is a
+        # correctness bug, not a tolerable approximation.
+        raise RuntimeError(
+            f"connected_components: min-label propagation did not converge "
+            f"within max_rounds={max_rounds} (last round still changed "
+            f"{changed} labels); raise max_rounds — rounds needed scale "
+            f"with the contracted graph's diameter"
+        )
     # un-contract: every original node inherits its local minimum's
     # component label; a component fully swallowed by contraction (no
     # surviving contracted edge) keeps the local minimum itself

@@ -132,7 +132,6 @@ def with_nearest_cell(
     *,
     vec_col: str,
     cell_col: str = "cell",
-    id_col: str | None = None,
     literal_k_max: int = _LITERAL_K_MAX,
 ) -> DataFrame:
     """Attach each row's nearest-center id (cosine, ties → lower id),
@@ -243,17 +242,13 @@ def kmeans_codebook(
             "kmeans_codebook: corpus is empty — cannot seed any centroid"
         )
     centers = sorted((int(r.cent_id), [float(x) for x in r.v]) for r in seeds)
-    vecs = corpus.select(
-        F.col(id_col).alias("_kid"), F.col(vec_col).alias("v")
-    )
+    vecs = corpus.select(F.col(vec_col).alias("v"))
     for _ in range(n_iters):
         updated = (
             # two projections: putting the generator (posexplode) in the same
             # select as the lambda-bearing struct argmax trips a Spark
             # analyzer bug that strips struct field names (FIELD_NOT_FOUND).
-            with_nearest_cell(
-                vecs, centers, vec_col="v", cell_col="cell", id_col="_kid"
-            )
+            with_nearest_cell(vecs, centers, vec_col="v", cell_col="cell")
             .select("cell", "v")
             .select(
                 "cell",
@@ -640,7 +635,6 @@ def semdedup(
         book,
         vec_col="v",
         cell_col="cell",
-        id_col="vid",
     ).localCheckpoint(eager=False)  # assignment reused by both join sides
     # skew gate: one k-row aggregate over the (now-materialized) assignment
     hot = (
