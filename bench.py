@@ -63,6 +63,10 @@ HEADLINE = [
     "corpus_dsir_weights",
     "rag_retrieve_context",
     "agg_hll_merge_partitions",
+    # round-6: the IVF+PQ composition (cell-bounded ADC), and the fuzzy
+    # family's distinct-name contraction (the r5 scale-killer fix)
+    "ann_topk_ivfpq",
+    "dedup_fuzzy_clusters",
 ]
 
 

@@ -343,3 +343,12 @@ def test_block_self_pairs_spread_quadratic_output(spark, tmp_path):
     ), "pair explosion still lands on the single scan partition"
     # exactness unchanged: 5 blocks x C(400, 2) unordered pairs
     assert pairs.count() == 5 * (400 * 399) // 2
+
+
+def test_ivfpq_candidate_join_is_equi_on_cell(spark):
+    """IVFADC's acceptance bar (r5 verdict): the candidate join must be an
+    equi-join on the probed cell — NOT the BroadcastNestedLoopJoin over the
+    full code table that exhaustive-ADC pq_topk uses."""
+    plan = _plan("ann_topk_ivfpq", spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

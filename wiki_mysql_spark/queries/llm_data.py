@@ -1663,6 +1663,139 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, emb.where(F.col("vec_id") < 5), k=10, m=4, n_centroids=8)
 
 
+def _sql_ivfpq(
+    n_coarse: int, n_probe: int, m: int, n_centroids: int, dim: int,
+    n_queries: int, k: int,
+) -> str:
+    """IVFADC oracle: replay coarse assignment, residual computation,
+    residual-PQ training (first-k residual-slice seeds + one rounded-L2
+    Lloyd iteration), encoding, probing, per-cell query residuals, and
+    fixed-order ADC — in DuckDB SQL with the same rounded arithmetic as
+    ``operators/similarity.py:ivfpq_topk``."""
+    subdim = dim // m
+    frags = [
+        f"""cent AS MATERIALIZED (
+      SELECT vec_id AS cent_id,
+             list_transform(embedding, x -> x::DOUBLE) AS centv
+      FROM embeddings WHERE vec_id < {n_coarse}),
+    rescorp AS MATERIALIZED (
+      SELECT vec_id, cv, cell,
+             list_transform(range(1, {dim + 1}),
+                            i -> cv[i]::DOUBLE - centv[i]) AS rv
+      FROM (
+        SELECT e.vec_id, e.embedding AS cv, c.cent_id AS cell, c.centv,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_sql_cosine('e.embedding', 'c.centv')} DESC,
+                                           c.cent_id) AS rk
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rk = 1)"""
+    ]
+    for s in range(m):
+        lo, hi = s * subdim + 1, (s + 1) * subdim
+        sl = f"r.rv[{lo}:{hi}]"
+        frags.append(f"""
+    seeds{s} AS MATERIALIZED (
+      SELECT vec_id AS cid, rv[{lo}:{hi}] AS centv
+      FROM rescorp WHERE vec_id < {n_centroids}),
+    asg{s} AS MATERIALIZED (
+      SELECT v, cell FROM (
+        SELECT {sl} AS v, sd.cid AS cell,
+               row_number() OVER (PARTITION BY r.vec_id
+                                  ORDER BY round({_sql_l2sq(sl, 'sd.centv', subdim)}, 6),
+                                           sd.cid) AS rk
+        FROM rescorp r CROSS JOIN seeds{s} sd
+      ) WHERE rk = 1),
+    cent{s} AS MATERIALIZED (
+      SELECT cell AS cid, list(mv ORDER BY pos) AS centv FROM (
+        SELECT a.cell, t.i AS pos, round(avg(a.v[t.i]), 6) AS mv
+        FROM asg{s} a CROSS JOIN range(1, {subdim + 1}) t(i)
+        GROUP BY a.cell, t.i
+      ) GROUP BY cell),
+    code{s} AS MATERIALIZED (
+      SELECT vec_id, cid AS c FROM (
+        SELECT r.vec_id, ct.cid,
+               row_number() OVER (PARTITION BY r.vec_id
+                                  ORDER BY round({_sql_l2sq(sl, 'ct.centv', subdim)}, 6),
+                                           ct.cid) AS rk
+        FROM rescorp r CROSS JOIN cent{s} ct
+      ) WHERE rk = 1)""")
+    code_joins = " ".join(
+        f"JOIN code{s} c{s} ON c{s}.vec_id = r.vec_id" for s in range(m)
+    )
+    code_cols = ", ".join(f"c{s}.c AS c{s}" for s in range(m))
+    d_terms = []
+    cent_joins = []
+    for s in range(m):
+        lo, hi = s * subdim + 1, (s + 1) * subdim
+        cent_joins.append(f"JOIN cent{s} ct{s} ON ct{s}.cid = cd.c{s}")
+        d_terms.append(
+            f"round({_sql_l2sq(f'q.qr[{lo}:{hi}]', f'ct{s}.centv', subdim)}, 6)"
+        )
+    adc = d_terms[0]
+    for t in d_terms[1:]:
+        adc = f"({adc} + {t})"
+    return f"""
+    WITH {','.join(frags)},
+    codes AS MATERIALIZED (
+      SELECT r.vec_id, r.cv, r.cell, {code_cols}
+      FROM rescorp r {code_joins}),
+    probes AS MATERIALIZED (
+      SELECT query_id, qv, cell,
+             list_transform(range(1, {dim + 1}),
+                            i -> qv[i]::DOUBLE - centv[i]) AS qr
+      FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv,
+               c.cent_id AS cell, c.centv,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_sql_cosine('q.embedding', 'c.centv')} DESC,
+                                           c.cent_id) AS rk
+        FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < {n_queries}
+      ) WHERE rk <= {n_probe}),
+    scored AS (
+      SELECT q.query_id, cd.vec_id AS neighbor_id,
+             {adc} AS adc_raw,
+             {_sql_cosine('q.qv', 'cd.cv')} AS raw_sim
+      FROM probes q JOIN codes cd ON q.cell = cd.cell
+      {' '.join(cent_joins)}
+      WHERE q.query_id <> cd.vec_id)
+    SELECT query_id, neighbor_id,
+           round(adc_raw, 6) + 0 AS adc_dist,
+           round(raw_sim, 6) + 0 AS cos_sim, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_raw, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query(
+    "ann_topk_ivfpq",
+    _sql_ivfpq(n_coarse=8, n_probe=2, m=4, n_centroids=8, dim=64,
+               n_queries=5, k=10),
+)
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the IVF + PQ composition (Jégou et al. 2011 §IV) the r5
+    verdict ordered: coarse cells bound the candidate set (a query's ADC
+    scan touches only its n_probe=2 probed cells' CODES — no
+    BroadcastNestedLoopJoin over the full code table, which is what
+    `ann_topk_pq`'s exhaustive-ADC mode does), and PQ codes of the
+    RESIDUAL vector compress each cell entry to (cell, m codes). This is
+    the shape a real billion-vector index uses at 100 TB: the code table
+    is written partitioned by cell, a query reads n_probe partitions of
+    codes, and raw vectors are only consulted for the exact-cosine
+    verifier column attached to returned pairs (family invariant; the
+    subset-of-bruteforce containment is pinned in
+    tests/test_llm_data.py)."""
+    from wiki_mysql_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, emb.where(F.col("vec_id") < 5),
+        k=10, n_coarse=8, n_probe=2, m=4, n_centroids=8,
+    )
+
+
 @query(
     "dedup_semdedup",
     f"""
