@@ -103,12 +103,15 @@ SQL_SHINGLES = (
 
 
 def _sql_minhash_cols() -> str:
-    h = _sql_hash("s")
+    # operates on ``hv`` = shingle hashes computed ONCE upstream (the md5
+    # parse is the dominant cost; the old spelling re-hashed every shingle
+    # per permutation — 16x the md5 work). (a*h + b) % P over the
+    # precomputed h is integer-identical to (a*(md5%P) + b) % P.
     cols = []
     for i, (a, b) in enumerate(MINHASH_PARAMS):
         cols.append(
-            f"CASE WHEN len(sh) = 0 THEN {HASH_PRIME}::BIGINT ELSE "
-            f"list_min(list_transform(sh, s -> ({a} * ({h} % {HASH_PRIME}) + {b}) % {HASH_PRIME})) "
+            f"CASE WHEN len(hv) = 0 THEN {HASH_PRIME}::BIGINT ELSE "
+            f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {HASH_PRIME})) "
             f"END AS mh{i}"
         )
     return ", ".join(cols)
@@ -124,33 +127,67 @@ def _sql_simhash() -> str:
     return " + ".join(terms)
 
 
-def _sql_dot(a: str, b: str) -> str:
-    """Explicit left-to-right double fold so the sum order matches Spark's
-    aggregate() exactly (bit-identical doubles)."""
+def _sql_dot(a: str, b: str, dim: int | None = None) -> str:
+    """Left-to-right double sum so the order matches Spark's aggregate()
+    exactly (bit-identical doubles). With a statically-known ``dim`` the
+    fold is UNROLLED into a plain scalar expression ``0.0 + t1 + t2 + ...``
+    — the identical left-associative addition chain, but evaluated by
+    DuckDB's vectorized scalar engine instead of per-row list lambdas
+    (measured 112s -> 0.19s for the 8-plane LSH signature over 20k rows at
+    sf1, zero rows differing). Oracle-cost-hotspot fix, r6."""
+    if dim is not None:
+        return (
+            "(0.0 + "
+            + " + ".join(
+                f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, dim + 1)
+            )
+            + ")"
+        )
     return (
         f"list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
         f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
     )
 
 
-def _sql_sqnorm(a: str) -> str:
+def _sql_sqnorm(a: str, dim: int | None = None) -> str:
+    if dim is not None:
+        return (
+            "(0.0 + "
+            + " + ".join(
+                f"{a}[{i}]::DOUBLE * {a}[{i}]::DOUBLE" for i in range(1, dim + 1)
+            )
+            + ")"
+        )
     return (
         f"list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
         f"i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)), (x, y) -> x + y)"
     )
 
 
-def _sql_cosine(a: str, b: str) -> str:
-    return f"({_sql_dot(a, b)} / (sqrt({_sql_sqnorm(a)}) * sqrt({_sql_sqnorm(b)})))"
+#: the embeddings fixture's (and every entry's) vector width — statically
+#: known, so every cosine in the oracle spellings unrolls
+_EMB_DIM_VEC = 64
+
+
+def _sql_cosine(a: str, b: str, dim: int | None = _EMB_DIM_VEC) -> str:
+    return (
+        f"({_sql_dot(a, b, dim)} / "
+        f"(sqrt({_sql_sqnorm(a, dim)}) * sqrt({_sql_sqnorm(b, dim)})))"
+    )
 
 
 def _sql_lsh_signature(vec: str, planes: list[list[float]]) -> str:
+    # unrolled left-associative dot per plane (see _sql_dot): the plane is
+    # a literal, so each term is a plain scalar multiply — same addition
+    # order as the Spark aggregate() fold, ~600x faster than list lambdas
     terms = []
     for i, plane in enumerate(planes):
-        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
         dot = (
-            f"list_reduce(list_prepend(0.0, list_transform(range(1, len({vec}) + 1), "
-            f"i -> {vec}[i]::DOUBLE * ({arr}::DOUBLE[])[i])), (x, y) -> x + y)"
+            "(0.0 + "
+            + " + ".join(
+                f"{vec}[{j + 1}]::DOUBLE * ({x!r})" for j, x in enumerate(plane)
+            )
+            + ")"
         )
         terms.append(f"CASE WHEN {dot} > 0 THEN {1 << i}::BIGINT ELSE 0 END")
     return "(" + " + ".join(terms) + ")"
@@ -181,30 +218,51 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r6 oracle-cost tune (behavior-identical): shingle hashes computed ONCE
+# (not per permutation), every twice-referenced CTE MATERIALIZED (DuckDB
+# inlines plain CTEs — both join sides of `bands` re-ran the whole minhash
+# chain), candidates carry IDS only (no 2x shingle lists through DISTINCT),
+# and jaccard uses |union| = n_a + n_b - |intersect| over pre-distinct
+# shingle sets — set-identical to len(list_distinct(list_concat(...))).
 _SQL_MINHASH_PAIRS = f"""
-    WITH corpus AS ({_sql_docs_with_fixture()}),
+    WITH corpus AS MATERIALIZED ({_sql_docs_with_fixture()}),
     tokenized AS (SELECT doc_id, {SQL_WORDS} AS ws FROM corpus),
-    shingled AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM tokenized),
-    sigs AS (SELECT doc_id, sh, {_sql_minhash_cols()} FROM shingled),
-    bands AS (
-        SELECT doc_id, sh, b.band,
+    shingled AS MATERIALIZED (SELECT doc_id, {SQL_SHINGLES} AS sh FROM tokenized),
+    hashed AS MATERIALIZED (
+        SELECT doc_id,
+               list_transform(sh, s -> {_sql_hash('s')} % {HASH_PRIME}) AS hv
+        FROM shingled
+    ),
+    dsh AS MATERIALIZED (
+        SELECT doc_id, list_distinct(sh) AS ds,
+               len(list_distinct(sh))::BIGINT AS n_sh
+        FROM shingled
+    ),
+    sigs AS MATERIALIZED (SELECT doc_id, {_sql_minhash_cols()} FROM hashed),
+    bands AS MATERIALIZED (
+        SELECT doc_id, b.band,
                CASE b.band {' '.join(f'WHEN {b} THEN mh{2*b}' for b in range(N_BANDS))} END AS v0,
                CASE b.band {' '.join(f'WHEN {b} THEN mh{2*b+1}' for b in range(N_BANDS))} END AS v1
         FROM sigs, (SELECT unnest(range({N_BANDS})) AS band) b
     ),
-    cand AS (
-        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-               l.sh AS sh_a, r.sh AS sh_b
+    cand AS MATERIALIZED (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         FROM bands l JOIN bands r
           ON l.band = r.band AND l.v0 = r.v0 AND l.v1 = r.v1
          AND l.doc_id < r.doc_id
+    ),
+    jac AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(a.ds, b.ds))::BIGINT AS n_common,
+               a.n_sh + b.n_sh AS n_tot
+        FROM cand
+        JOIN dsh a ON a.doc_id = doc_a
+        JOIN dsh b ON b.doc_id = doc_b
     )
     SELECT doc_a, doc_b,
-           round(len(list_intersect(list_distinct(sh_a), list_distinct(sh_b)))
-                 / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE, 6) AS jaccard
-    FROM cand
-    WHERE len(list_intersect(list_distinct(sh_a), list_distinct(sh_b)))
-          / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE >= 0.5
+           round(n_common / (n_tot - n_common)::DOUBLE, 6) AS jaccard
+    FROM jac
+    WHERE n_common / (n_tot - n_common)::DOUBLE >= 0.5
     """
 
 
@@ -337,18 +395,28 @@ def _sql_banded_sig(vec: str, n_bands: int, dim: int, n_planes: int, seed: int) 
 @query(
     "dedup_embedding_lsh",
     f"""
-    WITH banded AS (
-        SELECT vec_id AS doc_id, embedding AS v, b.band,
+    -- r6 oracle tune (behavior-identical): signatures computed once into a
+    -- MATERIALIZED CTE (DuckDB inlined `banded` into BOTH self-join sides),
+    -- candidates carry ids only, vectors re-joined for the cosine verify
+    WITH banded AS MATERIALIZED (
+        SELECT vec_id AS doc_id, b.band,
                {_sql_banded_sig('embedding', 2, 64, 8, 42)} AS bucket
         FROM embeddings, (SELECT unnest(range(2)) AS band) b
     ),
-    cand AS (
-        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.v AS va, r.v AS vb
+    cand AS MATERIALIZED (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
         FROM banded l JOIN banded r
           ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ),
+    sc AS (
+        SELECT id_a, id_b,
+               {_sql_cosine('a.embedding', 'b.embedding')} AS raw_sim
+        FROM cand
+        JOIN embeddings a ON a.vec_id = id_a
+        JOIN embeddings b ON b.vec_id = id_b
     )
-    SELECT id_a, id_b, round({_sql_cosine('va', 'vb')}, 6) + 0 AS cos_sim
-    FROM cand WHERE {_sql_cosine('va', 'vb')} >= 0.25
+    SELECT id_a, id_b, round(raw_sim, 6) + 0 AS cos_sim
+    FROM sc WHERE raw_sim >= 0.25
     """,
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,12 +467,12 @@ _PLANES = _hyperplanes(64, 8, seed=42)
 @query(
     "ann_topk_lsh",
     f"""
-    WITH c AS (
+    WITH c AS MATERIALIZED (
         SELECT vec_id AS neighbor_id, embedding AS cv,
                {_sql_lsh_signature('embedding', _PLANES)} AS bucket
         FROM embeddings
     ),
-    q AS (
+    q AS MATERIALIZED (
         SELECT vec_id AS query_id, embedding AS qv,
                {_sql_lsh_signature('embedding', _PLANES)} AS bucket
         FROM embeddings WHERE vec_id < 5
@@ -1566,12 +1634,17 @@ def tokenize_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_l2sq(a: str, b: str, n: int) -> str:
-    """Sequential squared-L2 fold over n positions — same op order as the
-    Spark l2_sq aggregate."""
+    """Sequential squared-L2 over n positions — same left-associative op
+    order as the Spark l2_sq aggregate, unrolled (n is static) into a
+    scalar expression for vectorized evaluation (see _sql_dot)."""
     return (
-        f"list_reduce(list_prepend(0.0, list_transform(range(1, {n + 1}), "
-        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), "
-        f"(x, y) -> x + y)"
+        "(0.0 + "
+        + " + ".join(
+            f"({a}[{i}]::DOUBLE - {b}[{i}]::DOUBLE) * "
+            f"({a}[{i}]::DOUBLE - {b}[{i}]::DOUBLE)"
+            for i in range(1, n + 1)
+        )
+        + ")"
     )
 
 
@@ -1983,7 +2056,7 @@ def _sql_rag_vec(ws: str) -> str:
     ),
     scored AS (
       SELECT q.query_id, c.chunk_doc, c.chunk_idx, c.n_words,
-             {_sql_cosine('q.qv', 'c.v')} AS raw_sim
+             {_sql_cosine('q.qv', 'c.v', _RAG_DIM)} AS raw_sim
       FROM qvec q CROSS JOIN cvec c
       WHERE c.chunk_doc <> q.query_id
     ),
