@@ -141,8 +141,13 @@ def main() -> None:
     # observation — one GC pause / page-cache miss / cron neighbor no
     # longer reads as a query regression (VERDICT r3 What's-wrong #2).
     timings: dict[str, float] = {}
+    # machine load snapshot alongside each entry: cross-round noise
+    # attribution (r5's 7 phantom "regressions" were load drift) becomes
+    # mechanical — compare the per-entry load columns, not the narrative
+    load_at_entry: dict[str, float] = {}
     for name in names:
         best = float("inf")
+        load_at_entry[name] = round(os.getloadavg()[0], 2)
         for _ in range(repeats):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
@@ -163,8 +168,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                 "concurrent_spark_jvms": other_jvms,
                 "load1_at_start": round(load1, 2),
+                "load1_at_entry": load_at_entry,
                 "calibration_sec": calibration,
                 "repeats_per_entry_min_reported": repeats,
             }
