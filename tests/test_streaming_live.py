@@ -188,3 +188,80 @@ def test_foreachbatch_jdbc_sink_exactly_once(spark, tmp_path):
     got_sum = back.agg(F.sum("value")).collect()[0][0]
     want_sum = want.agg(F.sum("value")).collect()[0][0]
     assert abs(got_sum - want_sum) < 1e-6
+
+
+def test_streaming_state_is_bounded_across_batches(spark):
+    """Bounded-state evidence (r5 verdict #5): drained one file per
+    micro-batch, the state-store row count must PLATEAU at the key-domain
+    size — (day-window x event_type) for the tumbling aggregate, |users|
+    for the stateful profiles — instead of growing with the number of
+    batches processed. A state store that kept per-batch rows would grow
+    ~linearly in batches and sink a long-running 100 TB stream."""
+    import shutil
+    import uuid as _uuid
+
+    from wiki_mysql_spark.sources.tables import load_table
+    from wiki_mysql_spark.streaming.stateful import user_profiles_stateful
+    from wiki_mysql_spark.streaming.upsert import stage_events_as_files
+
+    sf_dir = "/root/testdata/sf0.01"
+    staging, ev = stage_events_as_files(spark, sf_dir, n_files=6)
+
+    def drain(out, mode):
+        name = f"bounded_{_uuid.uuid4().hex[:10]}"
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode(mode).trigger(availableNow=True).start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+        rows = []
+        for p in q.recentProgress:
+            ops = p.get("stateOperators") or []
+            if int(p.get("numInputRows") or 0) > 0:
+                rows.append(sum(int(s.get("numRowsTotal") or 0) for s in ops))
+        return rows
+
+    try:
+        def norm(df):
+            if dict(df.dtypes)["ts"] != "timestamp":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            return df
+
+        src = norm(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(staging)
+        )
+        agg = (
+            src.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        win_state = drain(agg, "complete")
+        n_keys = (
+            load_table(spark, sf_dir, "events")
+            .select(F.date_trunc("day", "ts"), "event_type").distinct().count()
+        )
+        assert len(win_state) >= 4, win_state
+        # monotone up to the key-domain bound, never beyond it
+        assert win_state[-1] <= n_keys
+        assert max(win_state) <= n_keys
+        # plateau: the last batches add (almost) no state — the domain is
+        # saturated long before the stream ends
+        assert win_state[-1] - win_state[-2] <= max(1, n_keys // 20)
+
+        src = norm(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(staging)
+        )
+        prof_state = drain(user_profiles_stateful(src), "update")
+        n_users = (
+            load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+        )
+        assert len(prof_state) >= 4, prof_state
+        assert max(prof_state) <= n_users
+        assert prof_state[-1] == n_users  # every user seen by the end
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
