@@ -25,17 +25,24 @@ from wiki_mysql_spark.sources.tables import load_table
 
 _FORMATS = ("orc", "csv", "json")
 
+# the price checksum sums SCALED-TO-CENTS BIGINTs, not doubles: a double
+# sum over 1.5M ~2.5e5-magnitude values differs across engines/partition
+# orders in the 2nd decimal (caught by the r6 sf1 sweep — 375233912585.6
+# vs .61); per-row round(x*100) is engine-identical (x*100 is within 1e-9
+# of an integer, so rounding mode never matters) and the integer sum is
+# order-independent
 _AGG_SQL = """
     WITH agg AS (
         SELECT count(*)::BIGINT AS n_rows,
                count(DISTINCT o_orderkey)::BIGINT AS n_keys,
-               round(sum(o_totalprice), 2) AS sum_price,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS sum_price_cents,
                min(o_orderdate) AS min_date,
                max(o_orderdate) AS max_date,
                count(DISTINCT o_orderpriority)::BIGINT AS n_prios
         FROM orders
     )
-    SELECT fmt, n_rows, n_keys, sum_price, min_date, max_date, n_prios
+    SELECT fmt, n_rows, n_keys, sum_price_cents, min_date, max_date, n_prios
     FROM (VALUES ('orc'), ('csv'), ('json')) f(fmt) CROSS JOIN agg
 """
 
@@ -85,7 +92,9 @@ def source_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 back.agg(
                     F.count(F.lit(1)).alias("n_rows"),
                     F.countDistinct("o_orderkey").alias("n_keys"),
-                    F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                    F.sum(
+                        F.round(F.col("o_totalprice") * 100).cast("long")
+                    ).alias("sum_price_cents"),
                     F.min("o_orderdate").alias("min_date"),
                     F.max("o_orderdate").alias("max_date"),
                     F.countDistinct("o_orderpriority").alias("n_prios"),
