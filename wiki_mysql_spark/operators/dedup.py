@@ -393,11 +393,14 @@ def embedding_near_dup_pairs(
     pairs = map_in_pandas_spread(
         emb.select(F.col(id_col), F.col(vec_col)), _block, schema
     )
+    # threshold on the RAW cosine (round only for display): rounding first
+    # would admit pairs in [threshold - 5e-7, threshold), which the exact
+    # definition — and the SQL oracle — exclude
     return (
-        pairs.select(
+        pairs.where(F.col("cos_raw") >= threshold)
+        .select(
             "id_a", "id_b", (F.round(F.col("cos_raw"), 6) + 0.0).alias("cos_sim")
         )
-        .where(F.col("cos_sim") >= threshold)
     )
 
 

@@ -51,7 +51,8 @@ def q4_priority_with_late_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            extract(year FROM l_shipdate)::INT AS ship_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+           cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) / 100.0 AS volume
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -91,7 +92,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            # exact cents summed as BIGINT: order-independent, so Spark and
+            # the oracle agree bit-for-bit even over sf1's ~6M-row groups
+            # (a double sum differs in the last cent depending on add order)
+            (F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")) / 100.0).alias(
                 "volume"
             )
         )
@@ -297,8 +301,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_profit_by_nation_year",
     """
     SELECT n_name AS nation, extract(year FROM l_shipdate)::INT AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - 0.5 * p_retailprice * l_quantity), 2) + 0 AS sum_profit
+           cast(sum(cast(round((l_extendedprice * (1 - l_discount)
+                                - 0.5 * p_retailprice * l_quantity) * 100)
+                         AS BIGINT)) AS BIGINT) / 100.0 AS sum_profit
     FROM lineitem
     JOIN part     ON l_partkey = p_partkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -324,7 +329,8 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
-        .agg((F.round(F.sum(profit), 2) + 0.0).alias("sum_profit"))
+        # cents-as-BIGINT sum: order-independent (see q7_nation_volume)
+        .agg((F.sum(F.round(profit * 100).cast("bigint")) / 100.0).alias("sum_profit"))
     )
 
 
