@@ -100,8 +100,15 @@ def main() -> None:
     from wiki_mysql_spark.session import RUNTIME_CONFS, configure
 
     workdir = tempfile.mkdtemp(prefix="wiki_bench_")
-    dump = os.path.join(workdir, "dump.xml.bz2")
-    gen_dump(dump, n_pages)
+    # Dump generation is setup, not measured work; for the big slope points
+    # (5M/10M pages, ~6-12 min of single-threaded bz2 write) allow reusing a
+    # dump pre-generated with THIS generator at the default seed.
+    pre = os.environ.get("SPARK_GRAFT_DUMP")
+    if pre and os.path.exists(pre):
+        dump = pre
+    else:
+        dump = os.path.join(workdir, "dump.xml.bz2")
+        gen_dump(dump, n_pages)
     dump_mb = os.path.getsize(dump) / 1e6
 
     from pyspark.sql import SparkSession
