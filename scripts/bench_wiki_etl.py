@@ -29,11 +29,15 @@ WORDS = (
 ).split()
 
 
-def gen_dump(path: str, n_pages: int, seed: int = 42) -> None:
-    rng = random.Random(seed)
+def _gen_range(path: str, lo: int, hi: int, n_pages: int, seed: int) -> None:
+    """One dump file covering global page indices [lo, hi). Redirect targets
+    stay GLOBAL (any page < i) so redirect chains cross shard boundaries —
+    the fixpoint join must shuffle across input files, as it would on a real
+    multi-part dump."""
+    rng = random.Random((seed, lo, n_pages))
     with bz2.open(path, "wt", encoding="utf-8") as f:
         f.write("<mediawiki>\n")
-        for i in range(n_pages):
+        for i in range(lo, hi):
             title = f"Page {i}"
             if i % 7 == 6:  # redirects, some chained
                 target = f"Page {rng.randrange(max(1, i))}"
@@ -59,6 +63,29 @@ def gen_dump(path: str, n_pages: int, seed: int = 42) -> None:
                 f"<revision><text>{text}</text></revision></page>\n"
             )
         f.write("</mediawiki>\n")
+
+
+def gen_dump(path: str, n_pages: int, seed: int = 42, shards: int = 1) -> None:
+    """shards=1: one .xml.bz2 file at ``path`` (the degenerate case — a
+    single bz2 stream is NOT split by the XML source, so the whole parse is
+    one task regardless of cluster size). shards>1: ``path`` becomes a
+    directory of ``part-NNNN.xml.bz2`` files generated in parallel — the
+    shape real mediawiki dumps ship in (multistream parts) and the one the
+    100 TB posture assumes: parse parallelism = number of input files."""
+    if shards <= 1:
+        _gen_range(path, 0, n_pages, n_pages, seed)
+        return
+    import multiprocessing
+
+    os.makedirs(path, exist_ok=True)
+    bounds = [round(s * n_pages / shards) for s in range(shards + 1)]
+    jobs = [
+        (os.path.join(path, f"part-{s:04d}.xml.bz2"),
+         bounds[s], bounds[s + 1], n_pages, seed)
+        for s in range(shards)
+    ]
+    with multiprocessing.Pool(min(shards, os.cpu_count() or 8)) as pool:
+        pool.starmap(_gen_range, jobs)
 
 
 def _ui_metrics(spark) -> dict:
@@ -103,13 +130,22 @@ def main() -> None:
     # Dump generation is setup, not measured work; for the big slope points
     # (5M/10M pages, ~6-12 min of single-threaded bz2 write) allow reusing a
     # dump pre-generated with THIS generator at the default seed.
+    shards = int(os.environ.get("SPARK_GRAFT_SHARDS", "1"))
     pre = os.environ.get("SPARK_GRAFT_DUMP")
     if pre and os.path.exists(pre):
         dump = pre
+    elif shards > 1:
+        dump = os.path.join(workdir, "dump_shards")
+        gen_dump(dump, n_pages, shards=shards)
     else:
         dump = os.path.join(workdir, "dump.xml.bz2")
         gen_dump(dump, n_pages)
-    dump_mb = os.path.getsize(dump) / 1e6
+    if os.path.isdir(dump):
+        dump_mb = sum(
+            os.path.getsize(os.path.join(dump, f)) for f in os.listdir(dump)
+        ) / 1e6
+    else:
+        dump_mb = os.path.getsize(dump) / 1e6
 
     from pyspark.sql import SparkSession
 
@@ -131,6 +167,9 @@ def main() -> None:
         "value": round(n_pages / elapsed, 1),
         "unit": "pages/sec",
         "n_pages": n_pages,
+        "n_input_files": shards if not (pre and os.path.exists(pre)) else (
+            len(os.listdir(dump)) if os.path.isdir(dump) else 1
+        ),
         "elapsed_sec": round(elapsed, 2),
         "dump_mb_bz2": round(dump_mb, 1),
         "counts": counts,

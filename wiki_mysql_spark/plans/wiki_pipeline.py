@@ -124,6 +124,7 @@ def run_wiki_etl(
     jdbc_user: str = "root",
     jdbc_password: str = "",
     limit: int | None = None,
+    splittable: bool = True,
     **build_kwargs,
 ) -> dict[str, int]:
     """The full CLI workload (``/root/reference/dbfy.py:254-313`` analog):
@@ -132,7 +133,13 @@ def run_wiki_etl(
 
     ``limit`` caps the number of pages processed — exact-n ``df.limit``
     semantics (the reference's ``--limit`` was off-by-chunk between its
-    1-proc and MP paths; SURVEY documents choosing exact-n)."""
+    1-proc and MP paths; SURVEY documents choosing exact-n).
+
+    ``splittable=True`` (default) parses via the text-source/``from_xml``
+    reader, which splits WITHIN bz2 files (the XML source reads one task
+    per file — a single-file dump would serialize the whole parse onto one
+    core no matter the cluster size) and bounds structural-corruption loss
+    to the broken page instead of the rest of its file."""
     from wiki_mysql_spark.sinks import (
         ARTICLES_DDL,
         BODIES_DDL,
@@ -144,6 +151,7 @@ def run_wiki_etl(
         project_corrupt,
         project_pages,
         read_wiki_dump_raw,
+        read_wiki_dump_raw_splittable,
     )
 
     # ONE XML parse, materialized once: all three sinks (articles, bodies,
@@ -151,7 +159,8 @@ def run_wiki_etl(
     # sink's lineage would otherwise re-tokenize the whole dump (3-4 full
     # parses; the 4th, added for the corrupt audit, measured -18% on the
     # 1M-page throughput benchmark before this refactor)
-    raw = read_wiki_dump_raw(spark, dump_path).localCheckpoint(eager=False)
+    reader = read_wiki_dump_raw_splittable if splittable else read_wiki_dump_raw
+    raw = reader(spark, dump_path).localCheckpoint(eager=False)
     pages = project_pages(raw)
     if limit is not None:
         pages = pages.limit(limit)

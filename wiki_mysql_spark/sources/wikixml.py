@@ -4,10 +4,14 @@ The reference streams ``bz2.BZ2File`` through gensim's ``extract_pages``
 (``/root/reference/dbfy.py:188-191,228-233``) on one machine. Spark-first:
 
   * Spark's XML source reads each FILE whole (measured: one task per file,
-    compressed or not), so single-file dumps parse on one core. The scale
-    recipe is the multistream/part-file layout Wikipedia already publishes —
-    one task per part. Downstream stages are decoupled from input splits:
-    the pipeline repartitions after the parse (plans/wiki_pipeline.py).
+    compressed or not), so single-file dumps parse on one core. Two scale
+    recipes: the multistream/part-file layout Wikipedia already publishes
+    (one task per part), and — the default ETL hot path —
+    :func:`read_wiki_dump_raw_splittable`, which reads the dump through the
+    TEXT source with ``lineSep="</page>"`` so even ONE bz2 stream splits
+    across tasks (BZip2Codec is splittable), then parses fragments with
+    ``from_xml``. Downstream stages are decoupled from input splits: the
+    pipeline repartitions after the parse (plans/wiki_pipeline.py).
   * Spark 4's built-in XML source (``format("xml"), rowTag="page"``) does the
     page parsing with a pushable schema; the namespace filter becomes a
     Catalyst predicate instead of gensim's ``("0",)`` argument.
@@ -40,11 +44,14 @@ PAGE_SCHEMA = StructType(
         ),
         # PERMISSIVE corrupt capture: a structurally-broken <page> becomes a
         # row with this column set (and everything else null). Measured
-        # semantics of Spark's XML tokenizer: the REST OF THAT FILE after
-        # the structural break is lost too — file-granularity loss, which
-        # the multistream/part-file layout bounds to one shard; this column
-        # is what makes the loss OBSERVABLE (read_wiki_dump_corrupt)
-        # instead of the reference's silent drop (dbfy.py:142-143).
+        # semantics of Spark's XML tokenizer (read_wiki_dump_raw only): the
+        # REST OF THAT FILE after the structural break is lost too —
+        # file-granularity loss, which the multistream/part-file layout
+        # bounds to one shard. The splittable reader
+        # (read_wiki_dump_raw_splittable) bounds the loss to the broken page
+        # itself. Either way this column is what makes the loss OBSERVABLE
+        # (read_wiki_dump_corrupt) instead of the reference's silent drop
+        # (dbfy.py:142-143).
         StructField("_corrupt_record", StringType()),
     ]
 )
@@ -63,6 +70,61 @@ def read_wiki_dump_raw(spark: SparkSession, path: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .schema(PAGE_SCHEMA)
         .load(path)
+    )
+
+
+def read_wiki_dump_raw_splittable(spark: SparkSession, path: str) -> DataFrame:
+    """Same output shape as :func:`read_wiki_dump_raw`, but the parse SPLITS
+    WITHIN a file: the dump is read by the text source with
+    ``lineSep="</page>"`` (Hadoop's BZip2Codec is a SplittableCompressionCodec,
+    so even one .bz2 stream fans out across tasks at
+    ``spark.sql.files.maxPartitionBytes`` granularity — measured: 17 tasks for
+    a 271 MB single-file dump vs exactly 1 task through the XML source), and
+    each ``<page>`` fragment is parsed by ``from_xml`` in whole-stage codegen.
+
+    This is the hot-path reader for ``run_wiki_etl``: parse parallelism no
+    longer depends on how many part-files the dump ships as. It also has
+    STRICTLY TIGHTER corrupt semantics than the XML source: a structurally
+    broken page loses only itself (its fragment fails ``from_xml`` and lands
+    in ``_corrupt_record``), not the remainder of the file — the
+    file-granularity caveat documented on :data:`PAGE_SCHEMA` applies to the
+    XML-source reader only.
+
+    Framing handling: the fragment before the first page carries the
+    ``<mediawiki>`` header (and any ``<siteinfo>`` block) ahead of its
+    ``<page``; the fragment after the last page is the ``</mediawiki>``
+    trailer with no ``<page`` at all. Page-less fragments that still carry
+    non-framing text (e.g. a page whose OPENING tag was destroyed) are kept
+    as corrupt records rather than dropped — same observability contract as
+    the XML source (reference drops them silently, dbfy.py:142-143)."""
+    txt = spark.read.option("lineSep", "</page>").text(path)
+    pos = F.locate("<page", F.col("value"))
+    fragment = F.concat(
+        F.col("value").substr(pos, F.length("value")), F.lit("</page>")
+    )
+    parsed = F.from_xml(
+        fragment,
+        PAGE_SCHEMA,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    # a page-less fragment is framing noise iff nothing non-whitespace
+    # remains after the mediawiki open/close tags and the siteinfo header
+    # are stripped (NB: F.trim strips only spaces, not newlines)
+    has_residue = F.regexp_replace(
+        F.col("value"), r"(?s)</?mediawiki[^>]*>|<siteinfo>.*?</siteinfo>", ""
+    ).rlike(r"\S")
+    corrupt_row = F.struct(
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in PAGE_SCHEMA.fields
+            if f.name != "_corrupt_record"
+        ],
+        F.col("value").alias("_corrupt_record"),
+    )
+    return (
+        txt.where((pos > 0) | has_residue)
+        .select(F.when(pos > 0, parsed).otherwise(corrupt_row).alias("p"))
+        .select("p.*")
     )
 
 
