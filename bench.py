@@ -130,6 +130,14 @@ def main() -> None:
 
     spark = get_session("wiki_mysql_spark-bench")
     names = [n for n in HEADLINE if n in QUERIES]
+    # Targeted re-runs (e.g. confirming a round-over-round drift is load
+    # noise, not a plan change) without touching the headline set.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        names = [n for n in names if n in wanted] or [
+            n for n in wanted if n in QUERIES
+        ]
 
     # Warm the JVM/codegen once on the smallest SF so per-query numbers
     # measure execution, not first-call classloading.

@@ -34,7 +34,7 @@ def _gen_range(path: str, lo: int, hi: int, n_pages: int, seed: int) -> None:
     stay GLOBAL (any page < i) so redirect chains cross shard boundaries —
     the fixpoint join must shuffle across input files, as it would on a real
     multi-part dump."""
-    rng = random.Random((seed, lo, n_pages))
+    rng = random.Random(f"{seed}:{lo}:{n_pages}")
     with bz2.open(path, "wt", encoding="utf-8") as f:
         f.write("<mediawiki>\n")
         for i in range(lo, hi):

@@ -24,6 +24,14 @@ def duck():
     """DuckDB connection with the fixture tables registered as views, the
     same way the driver's oracle does."""
     con = duckdb.connect()
+    # DuckDB's default limit is 80% of PHYSICAL ram, sized as if it owned
+    # the box — but here it shares the machine with a ~30 GB Spark JVM, so
+    # a big intermediate can hit a raw malloc failure (observed: a flaky
+    # OutOfMemoryException on ann_topk_pq mid-suite) before DuckDB ever
+    # starts spilling. A hard cap well under the JVM-adjusted headroom
+    # makes DuckDB spill instead of racing the JVM for the last page;
+    # every sf0.01 oracle fits in <8 GB (measured), so 24 GB is 3× slack.
+    con.execute("SET memory_limit='24GB'")
     for name in TABLE_NAMES:
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS "
