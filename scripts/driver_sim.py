@@ -72,6 +72,14 @@ def build_spark(cpus: int = 32):
 
 def build_duck(sf_dir: str):
     con = duckdb.connect()
+    # Same co-residency sizing as the Spark driver heap above: DuckDB's
+    # default memory limit is 80% of PHYSICAL ram, but here it shares the
+    # box with a 24g JVM, and its buffer pool grows toward the limit and
+    # never shrinks — a long sweep ballooned the process until raw malloc
+    # failed (bad-allocation OOMs on 32-BYTE blocks, plus thread-spawn
+    # failures). Capped, DuckDB spills to temp instead; every fixture-scale
+    # oracle fits in far less (largest measured sf0.01 need: <8 GB).
+    con.execute("SET memory_limit='24GB'")
     for name in TABLE_NAMES:
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS "
