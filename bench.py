@@ -135,9 +135,14 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
         wanted = [n.strip() for n in only.split(",") if n.strip()]
-        names = [n for n in names if n in wanted] or [
-            n for n in wanted if n in QUERIES
-        ]
+        unknown = [n for n in wanted if n not in QUERIES]
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_ONLY names not in the registry: {unknown}"
+            )
+        # every requested registry entry runs, headline or not — a mixed
+        # list must not silently drop the non-headline members
+        names = wanted
 
     # Warm the JVM/codegen once on the smallest SF so per-query numbers
     # measure execution, not first-call classloading.

@@ -60,10 +60,14 @@ def _drain(out_df, *, output_mode: str, timeout_sec: int = 600) -> dict:
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
     finally:
         q.stop()
-    return _progress_metrics(q)
+    m = _progress_metrics(q)
+    # a timed-out drain reports partial progress — flag it rather than let a
+    # truncated run masquerade as a legitimate sustained-rate measurement
+    m["truncated"] = not finished
+    return m
 
 
 def _progress_metrics(q) -> dict:
@@ -134,12 +138,16 @@ def main() -> None:
 
         # 3. foreachBatch copy-on-write upsert (stream_upsert_profiles'
         # plan). foreachBatch reports no state operator (state lives in the
-        # versioned parquet target), so rate only.
-        t0 = time.perf_counter()
+        # versioned parquet target), so rate only. The staged source and the
+        # input-row count are prepared OUTSIDE the timed window — the window
+        # covers exactly the drain (stream read + per-batch merge writes).
         from wiki_mysql_spark.streaming.upsert import run_stream_upsert
 
-        target, n_batches = run_stream_upsert(spark, sf_dir, n_files=n_files)
         n_rows = ev.count()
+        t0 = time.perf_counter()
+        target, n_batches = run_stream_upsert(
+            spark, sf_dir, n_files=n_files, staging=staging
+        )
         elapsed = time.perf_counter() - t0
         results["stream_upsert_profiles"] = {
             "n_batches": n_batches,

@@ -74,18 +74,27 @@ def gen_dump(path: str, n_pages: int, seed: int = 42, shards: int = 1) -> None:
     100 TB posture assumes: parse parallelism = number of input files."""
     if shards <= 1:
         _gen_range(path, 0, n_pages, n_pages, seed)
-        return
-    import multiprocessing
+    else:
+        import multiprocessing
 
-    os.makedirs(path, exist_ok=True)
-    bounds = [round(s * n_pages / shards) for s in range(shards + 1)]
-    jobs = [
-        (os.path.join(path, f"part-{s:04d}.xml.bz2"),
-         bounds[s], bounds[s + 1], n_pages, seed)
-        for s in range(shards)
-    ]
-    with multiprocessing.Pool(min(shards, os.cpu_count() or 8)) as pool:
-        pool.starmap(_gen_range, jobs)
+        os.makedirs(path, exist_ok=True)
+        bounds = [round(s * n_pages / shards) for s in range(shards + 1)]
+        jobs = [
+            (os.path.join(path, f"part-{s:04d}.xml.bz2"),
+             bounds[s], bounds[s + 1], n_pages, seed)
+            for s in range(shards)
+        ]
+        with multiprocessing.Pool(min(shards, os.cpu_count() or 8)) as pool:
+            pool.starmap(_gen_range, jobs)
+    # sidecar (outside the dump dir, so the reader never sees it): lets a
+    # later SPARK_GRAFT_DUMP reuse verify it measures the page count it
+    # divides by instead of silently reporting a wrong pages/sec
+    with open(_meta_path(path), "w") as f:
+        json.dump({"n_pages": n_pages, "seed": seed, "shards": shards}, f)
+
+
+def _meta_path(dump: str) -> str:
+    return dump.rstrip("/") + ".meta.json"
 
 
 def _ui_metrics(spark) -> dict:
@@ -132,7 +141,27 @@ def main() -> None:
     # dump pre-generated with THIS generator at the default seed.
     shards = int(os.environ.get("SPARK_GRAFT_SHARDS", "1"))
     pre = os.environ.get("SPARK_GRAFT_DUMP")
-    if pre and os.path.exists(pre):
+    if pre:
+        # loud, not silent: a typo'd path must not fall through to 6-12 min
+        # of unintended regeneration, and a dump generated for a different
+        # page count must not inflate/deflate the reported pages/sec
+        if not os.path.exists(pre):
+            raise SystemExit(f"SPARK_GRAFT_DUMP={pre} does not exist")
+        meta_p = _meta_path(pre)
+        if os.path.exists(meta_p):
+            with open(meta_p) as f:
+                meta = json.load(f)
+            if int(meta.get("n_pages", -1)) != n_pages:
+                raise SystemExit(
+                    f"SPARK_GRAFT_DUMP holds {meta.get('n_pages')} pages "
+                    f"(per {meta_p}) but the CLI asked for {n_pages}"
+                )
+        else:
+            print(
+                f"# WARNING: no sidecar at {meta_p} — trusting that the "
+                f"pre-generated dump holds exactly {n_pages} pages",
+                file=sys.stderr,
+            )
         dump = pre
     elif shards > 1:
         dump = os.path.join(workdir, "dump_shards")
@@ -167,7 +196,7 @@ def main() -> None:
         "value": round(n_pages / elapsed, 1),
         "unit": "pages/sec",
         "n_pages": n_pages,
-        "n_input_files": shards if not (pre and os.path.exists(pre)) else (
+        "n_input_files": shards if not pre else (
             len(os.listdir(dump)) if os.path.isdir(dump) else 1
         ),
         "elapsed_sec": round(elapsed, 2),

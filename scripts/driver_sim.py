@@ -71,15 +71,27 @@ def build_spark(cpus: int = 32):
 
 
 def build_duck(sf_dir: str):
+    """Fresh DuckDB connection per ENTRY (not per sweep) — root-caused fix
+    for the mid-sweep "Failed to allocate block ... (bad allocation)" flake.
+
+    The failures were never byte exhaustion (RSS ~1 GB when they hit): the
+    big unrolled-expression oracles (ann_topk_*, dedup_semdedup) drive
+    DuckDB's internal allocator to tens of thousands of distinct anonymous
+    mmaps (measured: one ann_topk_ivfpq at 32 threads peaks >28k maps and
+    RETAINS >30k on the connection), so a few heavy oracles on one
+    long-lived connection cross the kernel's per-process vm.max_map_count
+    (65530 default) and the next 1 MB malloc fails with free RAM to spare.
+    Measured remedies, both applied here: ``threads=8`` cuts the peak ~5×
+    (6.8k vs 28k at sf0.1 — and is FASTER, 2.2s vs 3.9s, since 32 DuckDB
+    threads oversubscribe against the co-resident 32-thread JVM), and
+    closing the connection releases every retained map (26.8k -> 892,
+    reopen costs 8 ms)."""
     con = duckdb.connect()
-    # Same co-residency sizing as the Spark driver heap above: DuckDB's
-    # default memory limit is 80% of PHYSICAL ram, but here it shares the
-    # box with a 24g JVM, and its buffer pool grows toward the limit and
-    # never shrinks — a long sweep ballooned the process until raw malloc
-    # failed (bad-allocation OOMs on 32-BYTE blocks, plus thread-spawn
-    # failures). Capped, DuckDB spills to temp instead; every fixture-scale
-    # oracle fits in far less (largest measured sf0.01 need: <8 GB).
-    con.execute("SET memory_limit='24GB'")
+    con.execute("SET threads TO 8")
+    # memory cap: min() so it only ever TIGHTENS DuckDB's 80%-of-physical
+    # default — co-residency with the 24g JVM (see tests/conftest.py)
+    phys_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 1e9
+    con.execute(f"SET memory_limit='{min(24, max(1, int(phys_gb * 0.6)))}GB'")
     for name in TABLE_NAMES:
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS "
@@ -131,10 +143,12 @@ def run_sweep(sf_dir: str, cpus: int, only: list[str] | None = None) -> dict:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     spark = build_spark(cpus)
-    con = build_duck(sf_dir)
     out: dict[str, dict] = {}
     names = [n for n in qs if (not only or n in only)]
     for i, name in enumerate(names):
+        # per-entry connection: releases the retained mmaps of heavy
+        # unrolled oracles before they accumulate (see build_duck)
+        con = build_duck(sf_dir)
         rec = {
             "rows_match": False, "schema_match": False, "hash_match": False,
             "spark_rows": None, "oracle_rows": None, "err": None,
@@ -158,6 +172,8 @@ def run_sweep(sf_dir: str, cpus: int, only: list[str] | None = None) -> dict:
                 )
         except Exception:
             rec["err"] = traceback.format_exc(limit=3).strip().splitlines()[-1]
+        finally:
+            con.close()
         rec["sec"] = round(time.time() - t0, 2)
         out[name] = rec
         status = (
@@ -167,7 +183,6 @@ def run_sweep(sf_dir: str, cpus: int, only: list[str] | None = None) -> dict:
         )
         print(f"[{i + 1}/{len(names)}] {name}: {status} ({rec['sec']}s)",
               flush=True)
-    con.close()
     spark.stop()
     return out
 

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 from pyspark.sql import SparkSession
@@ -19,19 +21,30 @@ def spark() -> SparkSession:
     s.stop()
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def duck():
     """DuckDB connection with the fixture tables registered as views, the
-    same way the driver's oracle does."""
+    same way the driver's oracle does.
+
+    FUNCTION-scoped (fresh connection per test, reopen costs ~8 ms) with
+    ``threads=8`` — the root-caused fix for the mid-suite "Failed to
+    allocate block ... (bad allocation)" flake. That error was never byte
+    exhaustion (RSS ~1 GB when it hit): the big unrolled-expression oracles
+    (ann_topk_*, dedup_semdedup) drive DuckDB's internal allocator to tens
+    of thousands of distinct anonymous mmaps (one ann oracle at 32 threads:
+    >21k maps, RETAINED on the connection; the oracle test module peaked at
+    64,148 maps — measured), so a long-lived session connection crosses the
+    kernel's per-process vm.max_map_count (65530) and the next plain malloc
+    fails with 120 GB free. threads=8 cuts the per-query peak ~5× (and is
+    FASTER — 32 DuckDB threads oversubscribe against the co-resident
+    32-thread JVM); closing the connection releases every retained map
+    (26.8k -> 892, measured)."""
     con = duckdb.connect()
-    # DuckDB's default limit is 80% of PHYSICAL ram, sized as if it owned
-    # the box — but here it shares the machine with a ~30 GB Spark JVM, so
-    # a big intermediate can hit a raw malloc failure (observed: a flaky
-    # OutOfMemoryException on ann_topk_pq mid-suite) before DuckDB ever
-    # starts spilling. A hard cap well under the JVM-adjusted headroom
-    # makes DuckDB spill instead of racing the JVM for the last page;
-    # every sf0.01 oracle fits in <8 GB (measured), so 24 GB is 3× slack.
-    con.execute("SET memory_limit='24GB'")
+    con.execute("SET threads TO 8")
+    # memory cap: min() so it only ever TIGHTENS DuckDB's 80%-of-physical
+    # default — co-residency with the test JVM heap
+    phys_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 1e9
+    con.execute(f"SET memory_limit='{min(24, max(1, int(phys_gb * 0.6)))}GB'")
     for name in TABLE_NAMES:
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS "

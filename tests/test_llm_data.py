@@ -1407,3 +1407,49 @@ def test_ivfpq_topk_invariants(spark):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         keys = [(r["adc_dist"], r["neighbor_id"]) for r in rs]
         assert keys == sorted(keys)
+
+
+def test_threshold_on_raw_similarity_not_rounded(spark):
+    """Similarity thresholds must apply to the RAW value, rounding only for
+    display: a raw value in [t - 5e-7, t) rounds UP to t and would slip
+    through a rounded-value filter, but the SQL oracles (and the exact
+    definition) threshold raw. Regression for the r6 review finding on
+    embedding_lsh_pairs / ngram_jaccard_pairs / minhash jaccard."""
+    import numpy as np
+
+    from wiki_mysql_spark.operators.dedup import (
+        embedding_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from wiki_mysql_spark.operators.similarity import _hyperplanes
+
+    # --- embedding path: cosine exactly 2.5e-7 below the threshold --------
+    t = 0.25
+    c0 = t - 2.5e-7  # rounds to 0.250000 at 6 digits, raw < t
+    va = [1.0, 0.0]
+    vb = [c0, float(np.sqrt(1.0 - c0 * c0))]
+    # pick a deterministic seed whose single hyperplane puts both vectors on
+    # the same side — the pair is then an LSH CANDIDATE and only the cosine
+    # filter decides (the search is itself deterministic)
+    seed = next(
+        s for s in range(100)
+        if np.sign(np.dot(_hyperplanes(2, 1, s)[0], va))
+        == np.sign(np.dot(_hyperplanes(2, 1, s)[0], vb))
+    )
+    emb = spark.createDataFrame(
+        [(0, va), (1, vb)], "vec_id long, embedding array<double>"
+    )
+    kwargs = dict(dim=2, n_planes=1, n_bands=1, seed=seed)
+    # sanity: the pair IS a candidate (drops out at a permissive threshold)
+    assert embedding_lsh_pairs(emb, threshold=0.2, **kwargs).count() == 1
+    # boundary: raw < t excludes it even though round(raw, 6) == t
+    assert embedding_lsh_pairs(emb, threshold=t, **kwargs).count() == 0
+
+    # --- n-gram jaccard path: raw 2/3, threshold between raw and rounded --
+    # A={abc,bcd,cde}, B={abc,bcd}: jaccard = 2/3 = 0.66666...; round(.,6)
+    # = 0.666667 >= 0.6666667 > raw — a rounded filter admits, raw rejects
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d")], "doc_id long, text string"
+    )
+    assert ngram_jaccard_pairs(docs, threshold=0.6).count() == 1
+    assert ngram_jaccard_pairs(docs, threshold=0.6666667).count() == 0

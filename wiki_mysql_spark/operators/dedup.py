@@ -171,9 +171,13 @@ def minhash_lsh_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(inter / union.cast("double"), 6).alias("jaccard"),
+            (inter / union.cast("double")).alias("jac_raw"),
         )
-        .where(F.col("jaccard") >= jaccard_threshold)
+        # threshold on the RAW ratio (round only for display): rounding
+        # first would admit pairs in [threshold - 5e-7, threshold), which
+        # the SQL oracle's raw-valued WHERE excludes
+        .where(F.col("jac_raw") >= jaccard_threshold)
+        .select("doc_a", "doc_b", F.round("jac_raw", 6).alias("jaccard"))
     )
 
 
@@ -286,9 +290,12 @@ def ngram_jaccard_pairs(
         )
     )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
-    return common.select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
-    ).where(F.col("jaccard") >= threshold)
+    # raw-threshold / display-round, matching the minhash and embedding paths
+    return (
+        common.select("doc_a", "doc_b", jac.alias("jac_raw"))
+        .where(F.col("jac_raw") >= threshold)
+        .select("doc_a", "doc_b", F.round("jac_raw", 6).alias("jaccard"))
+    )
 
 
 def embedding_near_dup_pairs(
@@ -461,9 +468,16 @@ def embedding_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])  # pair may collide in several bands
     )
     cos = cosine(F.col("va"), F.col("vb"))
-    return cand.select(
-        "id_a", "id_b", (F.round(cos, 6) + 0.0).alias("cos_sim")
-    ).where(F.col("cos_sim") >= threshold)
+    # threshold on the RAW cosine (round only for display) — same rule as
+    # embedding_near_dup_pairs: rounding first would admit pairs in
+    # [threshold - 5e-7, threshold), which the SQL oracle excludes
+    return (
+        cand.select("id_a", "id_b", cos.alias("cos_raw"))
+        .where(F.col("cos_raw") >= threshold)
+        .select(
+            "id_a", "id_b", (F.round(F.col("cos_raw"), 6) + 0.0).alias("cos_sim")
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

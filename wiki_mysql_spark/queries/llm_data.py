@@ -169,7 +169,11 @@ def _sql_sqnorm(a: str, dim: int | None = None) -> str:
 _EMB_DIM_VEC = 64
 
 
-def _sql_cosine(a: str, b: str, dim: int | None = _EMB_DIM_VEC) -> str:
+def _sql_cosine(a: str, b: str, dim: int | None) -> str:
+    # dim is REQUIRED: a defaulted width would silently produce NULL cosines
+    # (DuckDB out-of-range list indexing) for any caller whose vectors are
+    # not that wide — pass the caller's static width, or None to emit the
+    # dynamic-length (slower, list-lambda) spelling
     return (
         f"({_sql_dot(a, b, dim)} / "
         f"(sqrt({_sql_sqnorm(a, dim)}) * sqrt({_sql_sqnorm(b, dim)})))"
@@ -370,9 +374,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_sql_cosine('a.embedding', 'b.embedding')}, 6) + 0 AS cos_sim
+           round({_sql_cosine('a.embedding', 'b.embedding', _EMB_DIM_VEC)}, 6) + 0 AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.25
+    WHERE {_sql_cosine('a.embedding', 'b.embedding', _EMB_DIM_VEC)} >= 0.25
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,7 +414,7 @@ def _sql_banded_sig(vec: str, n_bands: int, dim: int, n_planes: int, seed: int) 
     ),
     sc AS (
         SELECT id_a, id_b,
-               {_sql_cosine('a.embedding', 'b.embedding')} AS raw_sim
+               {_sql_cosine('a.embedding', 'b.embedding', _EMB_DIM_VEC)} AS raw_sim
         FROM cand
         JOIN embeddings a ON a.vec_id = id_a
         JOIN embeddings b ON b.vec_id = id_b
@@ -443,7 +447,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
     scored AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
-               {_sql_cosine('q.qv', 'c.embedding')} AS raw_sim
+               {_sql_cosine('q.qv', 'c.embedding', _EMB_DIM_VEC)} AS raw_sim
         FROM q JOIN embeddings c ON q.query_id <> c.vec_id
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
@@ -478,7 +482,7 @@ _PLANES = _hyperplanes(64, 8, seed=42)
         FROM embeddings WHERE vec_id < 5
     ),
     scored AS (
-        SELECT q.query_id, c.neighbor_id, {_sql_cosine('q.qv', 'c.cv')} AS raw_sim
+        SELECT q.query_id, c.neighbor_id, {_sql_cosine('q.qv', 'c.cv', _EMB_DIM_VEC)} AS raw_sim
         FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
@@ -611,7 +615,7 @@ def text_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT neighbor_id, cv, cent_id AS cell FROM (
             SELECT c.vec_id AS neighbor_id, c.embedding AS cv, cent.cent_id,
                    row_number() OVER (PARTITION BY c.vec_id
-                                      ORDER BY {_sql_cosine('c.embedding', 'cent.centv')} DESC,
+                                      ORDER BY {_sql_cosine('c.embedding', 'cent.centv', _EMB_DIM_VEC)} DESC,
                                                cent.cent_id) AS crank
             FROM embeddings c CROSS JOIN cent
         ) WHERE crank = 1
@@ -620,14 +624,14 @@ def text_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT query_id, qv, cent_id AS cell FROM (
             SELECT q.vec_id AS query_id, q.embedding AS qv, cent.cent_id,
                    row_number() OVER (PARTITION BY q.vec_id
-                                      ORDER BY {_sql_cosine('q.embedding', 'cent.centv')} DESC,
+                                      ORDER BY {_sql_cosine('q.embedding', 'cent.centv', _EMB_DIM_VEC)} DESC,
                                                cent.cent_id) AS crank
             FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 5
         ) WHERE crank <= 2
     ),
     scored AS (
         SELECT DISTINCT p.query_id, c.neighbor_id,
-               {_sql_cosine('p.qv', 'c.cv')} AS raw_sim
+               {_sql_cosine('p.qv', 'c.cv', _EMB_DIM_VEC)} AS raw_sim
         FROM probes p JOIN cells c ON p.cell = c.cell
         WHERE p.query_id <> c.neighbor_id
     )
@@ -676,7 +680,7 @@ def _sql_kmeans_cents(
         SELECT v, cell FROM (
             SELECT e.embedding AS v, c.cent_id AS cell,
                    row_number() OVER (PARTITION BY e.vec_id
-                                      ORDER BY {_sql_cosine('e.embedding', 'c.centv')} DESC,
+                                      ORDER BY {_sql_cosine('e.embedding', 'c.centv', _EMB_DIM_VEC)} DESC,
                                                c.cent_id) AS crank
             FROM embeddings e CROSS JOIN {prev} c
         ) WHERE crank = 1
@@ -716,7 +720,7 @@ _SD_CENTS, _SD_FINAL = _sql_kmeans_cents(
         SELECT neighbor_id, cv, cent_id AS cell FROM (
             SELECT c.vec_id AS neighbor_id, c.embedding AS cv, cent.cent_id,
                    row_number() OVER (PARTITION BY c.vec_id
-                                      ORDER BY {_sql_cosine('c.embedding', 'cent.centv')} DESC,
+                                      ORDER BY {_sql_cosine('c.embedding', 'cent.centv', _EMB_DIM_VEC)} DESC,
                                                cent.cent_id) AS crank
             FROM embeddings c CROSS JOIN {_KM_FINAL} cent
         ) WHERE crank = 1
@@ -725,14 +729,14 @@ _SD_CENTS, _SD_FINAL = _sql_kmeans_cents(
         SELECT query_id, qv, cent_id AS cell FROM (
             SELECT q.vec_id AS query_id, q.embedding AS qv, cent.cent_id,
                    row_number() OVER (PARTITION BY q.vec_id
-                                      ORDER BY {_sql_cosine('q.embedding', 'cent.centv')} DESC,
+                                      ORDER BY {_sql_cosine('q.embedding', 'cent.centv', _EMB_DIM_VEC)} DESC,
                                                cent.cent_id) AS crank
             FROM embeddings q CROSS JOIN {_KM_FINAL} cent WHERE q.vec_id < 5
         ) WHERE crank <= 2
     ),
     scored AS (
         SELECT DISTINCT p.query_id, c.neighbor_id,
-               {_sql_cosine('p.qv', 'c.cv')} AS raw_sim
+               {_sql_cosine('p.qv', 'c.cv', _EMB_DIM_VEC)} AS raw_sim
         FROM probes p JOIN cells c ON p.cell = c.cell
         WHERE p.query_id <> c.neighbor_id
     )
@@ -1702,7 +1706,7 @@ def _sql_pq(m: int, n_centroids: int, dim: int, n_queries: int, k: int) -> str:
     scored AS (
       SELECT q.query_id, c0.neighbor_id,
              {adc} AS adc_raw,
-             {_sql_cosine('q.qv', 'c0.cv')} AS raw_sim
+             {_sql_cosine('q.qv', 'c0.cv', _EMB_DIM_VEC)} AS raw_sim
       {' '.join(joins)}
       WHERE q.query_id <> c0.neighbor_id)
     SELECT query_id, neighbor_id,
@@ -1758,7 +1762,7 @@ def _sql_ivfpq(
       FROM (
         SELECT e.vec_id, e.embedding AS cv, c.cent_id AS cell, c.centv,
                row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {_sql_cosine('e.embedding', 'c.centv')} DESC,
+                                  ORDER BY {_sql_cosine('e.embedding', 'c.centv', _EMB_DIM_VEC)} DESC,
                                            c.cent_id) AS rk
         FROM embeddings e CROSS JOIN cent c
       ) WHERE rk = 1)"""
@@ -1820,14 +1824,14 @@ def _sql_ivfpq(
         SELECT q.vec_id AS query_id, q.embedding AS qv,
                c.cent_id AS cell, c.centv,
                row_number() OVER (PARTITION BY q.vec_id
-                                  ORDER BY {_sql_cosine('q.embedding', 'c.centv')} DESC,
+                                  ORDER BY {_sql_cosine('q.embedding', 'c.centv', _EMB_DIM_VEC)} DESC,
                                            c.cent_id) AS rk
         FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < {n_queries}
       ) WHERE rk <= {n_probe}),
     scored AS (
       SELECT q.query_id, cd.vec_id AS neighbor_id,
              {adc} AS adc_raw,
-             {_sql_cosine('q.qv', 'cd.cv')} AS raw_sim
+             {_sql_cosine('q.qv', 'cd.cv', _EMB_DIM_VEC)} AS raw_sim
       FROM probes q JOIN codes cd ON q.cell = cd.cell
       {' '.join(cent_joins)}
       WHERE q.query_id <> cd.vec_id)
@@ -1881,14 +1885,14 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vid, v, cell FROM (
         SELECT e.vec_id AS vid, e.embedding AS v, c.cent_id AS cell,
                row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {_sql_cosine('e.embedding', 'c.centv')} DESC,
+                                  ORDER BY {_sql_cosine('e.embedding', 'c.centv', _EMB_DIM_VEC)} DESC,
                                            c.cent_id) AS crank
         FROM embeddings e CROSS JOIN {_SD_FINAL} c
       ) WHERE crank = 1),
     sd_dups AS MATERIALIZED (
       SELECT DISTINCT b.vid
       FROM sd_cells a JOIN sd_cells b ON a.cell = b.cell AND a.vid < b.vid
-      WHERE round({_sql_cosine('a.v', 'b.v')}, 6) + 0 >= 0.3)
+      WHERE round({_sql_cosine('a.v', 'b.v', _EMB_DIM_VEC)}, 6) + 0 >= 0.3)
     SELECT c.vid AS vec_id, c.cell, (d.vid IS NULL) AS keep
     FROM sd_cells c LEFT JOIN sd_dups d ON d.vid = c.vid
     """,

@@ -50,6 +50,7 @@ def run_stream_upsert(
     *,
     n_files: int = 4,
     timeout_sec: int = 180,
+    staging: str | None = None,
 ) -> tuple[DataFrame, int]:
     """Drain the staged event stream one file per micro-batch, merging each
     batch's per-user aggregate into the running profile table. Returns the
@@ -59,8 +60,17 @@ def run_stream_upsert(
     user_id; additive counts/sums, greatest timestamp) — associative and
     commutative per key, so the final table equals the one-shot batch
     aggregate regardless of how rows landed in batches (the oracle's claim).
+
+    Pass ``staging`` to reuse a directory already produced by
+    ``stage_events_as_files`` (the caller then owns its lifetime — e.g. the
+    rate bench, which must not time a second staging write); when omitted,
+    this function stages and cleans up itself.
     """
-    staging, ev = stage_events_as_files(spark, sf_dir, n_files=n_files)
+    own_staging = staging is None
+    if own_staging:
+        staging, ev = stage_events_as_files(spark, sf_dir, n_files=n_files)
+    else:
+        ev = load_table(spark, sf_dir, "events")
     target_root = tempfile.mkdtemp(prefix="stream_upsert_tgt_")
     state: dict[str, object] = {"path": None, "batches": 0}
 
@@ -113,7 +123,8 @@ def run_stream_upsert(
         q.awaitTermination(timeout_sec)
     finally:
         q.stop()
-        shutil.rmtree(staging, ignore_errors=True)
+        if own_staging:
+            shutil.rmtree(str(staging), ignore_errors=True)
     try:
         if state["path"] is None:
             # zero micro-batches (empty source): an empty profile table, not a
