@@ -93,15 +93,16 @@ def _concurrent_spark_jvms() -> int:
 
 def _calibration_sec(spark) -> float:
     """Fixed, fixture-independent workload (codegen hash + one shuffle +
-    agg over a generated range) timed as min-of-2. Identical work every
-    round, so the ratio between two rounds' calibration numbers measures
-    MACHINE drift — divide a round-over-round entry comparison by it
-    before calling a change a regression."""
+    agg over a generated range): one untimed warm run (codegen compile +
+    JIT), then min-of-4. Identical work every round, so the ratio between
+    two rounds' calibration numbers measures MACHINE drift — divide a
+    round-over-round entry comparison by it before calling a change a
+    regression. (min-of-2 WITH the compile run included swung 14% between
+    otherwise-identical rounds — enough to manufacture phantom
+    drift-normalized regressions.)"""
     from pyspark.sql import functions as F
 
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
+    def probe() -> None:
         (
             spark.range(0, 20_000_000)
             .select(((F.col("id") * 2654435761) % 1_000_003).alias("k"))
@@ -109,6 +110,12 @@ def _calibration_sec(spark) -> float:
             .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s"))
             .write.format("noop").mode("overwrite").save()
         )
+
+    probe()  # untimed: codegen compilation + JIT warmup
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        probe()
         best = min(best, time.perf_counter() - t0)
     return round(best, 4)
 
