@@ -91,6 +91,23 @@ def _concurrent_spark_jvms() -> int:
     return n
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat. Steal is time the HYPERVISOR
+    ran someone else while this VM wanted the cpu — the one contention
+    source neither loadavg nor concurrent-JVM counting can see (observed:
+    an idle-guest run 1.4x slower than the committed round artifact with
+    calibration drifting in lockstep — host-level neighbors). Recording the
+    per-run steal share makes that attribution mechanical."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
 def _calibration_sec(spark) -> float:
     """Fixed, fixture-independent workload (codegen hash + one shuffle +
     agg over a generated range): one untimed warm run (codegen compile +
@@ -165,6 +182,7 @@ def main() -> None:
     # attribution (r5's 7 phantom "regressions" were load drift) becomes
     # mechanical — compare the per-entry load columns, not the narrative
     load_at_entry: dict[str, float] = {}
+    steal0, total0 = _cpu_jiffies()
     for name in names:
         best = float("inf")
         load_at_entry[name] = round(os.getloadavg()[0], 2)
@@ -178,6 +196,12 @@ def main() -> None:
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    steal1, total1 = _cpu_jiffies()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
+        if total1 > total0
+        else None
+    )
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -192,6 +216,7 @@ def main() -> None:
                 "concurrent_spark_jvms": other_jvms,
                 "load1_at_start": round(load1, 2),
                 "load1_at_entry": load_at_entry,
+                "host_steal_pct": steal_pct,
                 "calibration_sec": calibration,
                 "repeats_per_entry_min_reported": repeats,
             }
