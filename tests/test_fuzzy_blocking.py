@@ -197,3 +197,78 @@ def test_connected_components_raises_when_unconverged(spark):
     ok = connected_components(short, max_rounds=32)
     labels = {r["node"]: r["label"] for r in ok.collect()}
     assert set(labels.values()) == {0}
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_sorted_neighborhood_complete_at_full_window(spark):
+    """With window >= the distinct count, every pair lands inside the window
+    of the forward pass, so the result must equal the FULL all-pairs
+    levenshtein <= 3 set — no blocking approximation survives."""
+    from wiki_mysql_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rng = random.Random(7)
+    base = ["spark graft", "spark graff", "park graft", "sparq graft",
+            "lemon tree", "lemon trees", "melon tree", "wholly other"]
+    rows = [(i, rng.choice(base) if rng.random() < 0.5 else
+             "".join(rng.choice("abcdef ") for _ in range(rng.randint(4, 12))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, nm string")
+    got = {
+        (r["an"], r["bn"], r["dist"])
+        for r in sorted_neighborhood_pairs(
+            df, name_col="nm", window=10_000, max_dist=3
+        ).collect()
+    }
+    names = sorted({nm for _, nm in rows})
+    want = {
+        (a, b, _lev(a, b))
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if abs(len(a) - len(b)) <= 3 and _lev(a, b) <= 3
+    }
+    assert got == want and want  # non-vacuous
+
+
+def test_sorted_neighborhood_reverse_pass_catches_leading_edits(spark):
+    """A pair differing only in the FIRST character defeats first-token
+    blocking AND can sit far apart in the forward sort — the reversed-string
+    pass puts shared suffixes adjacent. This is the multi-pass rationale."""
+    from wiki_mysql_spark.operators.dedup import sorted_neighborhood_pairs
+
+    # 'aaa zebra suffix' vs 'zzz zebra suffix'... too far (3 edits on the
+    # token). Use one leading-char edit with many forward-order separators.
+    names = [("a shared suffix",), ("b shared suffix",)] + [
+        (f"a{c} wholly unrelated {c}",) for c in "bcdefghijklmnop"
+    ]
+    df = spark.createDataFrame(names, "nm string")
+    out = sorted_neighborhood_pairs(df, name_col="nm", window=3, max_dist=3)
+    pairs = {(r["an"], r["bn"]) for r in out.collect()}
+    assert ("a shared suffix", "b shared suffix") in pairs
+    # and the composed-key generator (first token) misses it by design
+    fz = {
+        (r["an"], r["bn"])
+        for r in fuzzy_name_pairs(df, name_col="nm").collect()
+    }
+    assert ("a shared suffix", "b shared suffix") not in fz
+
+
+def test_sorted_neighborhood_deterministic_across_partitioning(spark):
+    """Rank assignment (dense_ids) and pair recovery must not leak partition
+    placement into the result."""
+    from wiki_mysql_spark.operators.dedup import sorted_neighborhood_pairs
+
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet").select("p_name")
+    a = sorted(map(tuple, sorted_neighborhood_pairs(
+        p, name_col="p_name").collect()))
+    b = sorted(map(tuple, sorted_neighborhood_pairs(
+        p.repartition(7), name_col="p_name").collect()))
+    assert a == b and a

@@ -561,3 +561,69 @@ def fuzzy_name_pairs(
             lnm.alias("an"), rnm.alias("bn"), dist.cast("long").alias("dist")
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    *,
+    name_col: str,
+    window: int = 5,
+    max_dist: int = FUZZY_MAX_DIST,
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood near-duplicate NAME pairs
+    ``(an, bn, dist)`` with ``an < bn`` — the merge/purge blocking paradigm
+    (Hernández & Stolfo 1995) re-expressed for Spark.
+
+    Where `fuzzy_name_pairs` blocks on a composed KEY (work O(Σ block²),
+    bounded only because the key composition bounds block growth),
+    sorted-neighborhood sorts the distinct values and compares each value
+    only to its next ``window - 1`` successors per sort pass: total work is
+    O(d · window · passes) — strictly linear in the distinct count with NO
+    block-size term, which makes it the robust choice when every candidate
+    blocking key is skewed. The cost is bounded recall per pass (a pair
+    further than `window` apart in a sort order is missed), which the
+    classic remedy addresses: MULTIPLE independent sort passes — here the
+    name itself (catches shared prefixes) and the reversed string (catches
+    shared suffixes, e.g. edits in the first token that defeat both
+    first-token blocking and the forward pass).
+
+    Scale shape: the global sort rank comes from `dense_ids`
+    (range-partitioned sort + per-partition offsets — no unpartitioned
+    window), neighbors are recovered by an EQUI-join on ``rank + i`` for
+    ``i in 1..window-1`` (broadcast offset table, one shuffle per pass), and
+    levenshtein runs once per DISTINCT candidate pair after a length
+    prefilter. No self-join on a value key exists anywhere, so a hot
+    (high-frequency) name costs exactly one rank row, not a block.
+    """
+    from wiki_mysql_spark.operators.ids import dense_ids
+
+    spark = df.sparkSession
+    names = (
+        df.select(F.col(name_col).alias("nm"))
+        .where(F.col("nm").isNotNull())
+        .distinct()
+    )
+    offs = F.broadcast(
+        spark.range(1, window).select(F.col("id").alias("_off"))
+    )
+    cand = None
+    for key_expr in (F.col("nm"), F.reverse(F.col("nm"))):
+        ranked = dense_ids(
+            names.withColumn("_k", key_expr), ["_k", "nm"], id_col="rk"
+        ).select("rk", "nm")
+        probe = ranked.crossJoin(offs).select(
+            F.col("nm").alias("na"), (F.col("rk") + F.col("_off")).alias("rk")
+        )
+        pass_cand = probe.join(ranked, "rk").select(
+            "na", F.col("nm").alias("nb")
+        )
+        cand = pass_cand if cand is None else cand.unionByName(pass_cand)
+    und = cand.select(
+        F.least("na", "nb").alias("an"), F.greatest("na", "nb").alias("bn")
+    ).distinct()
+    dist = F.levenshtein(F.col("an"), F.col("bn"))
+    return (
+        und.where(F.abs(F.length("an") - F.length("bn")) <= max_dist)
+        .where(dist <= max_dist)
+        .select("an", "bn", dist.cast("long").alias("dist"))
+    )

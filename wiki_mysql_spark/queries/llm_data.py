@@ -40,6 +40,7 @@ from wiki_mysql_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
+    sorted_neighborhood_pairs,
 )
 from wiki_mysql_spark.operators.similarity import (
     _hyperplanes,
@@ -917,6 +918,54 @@ def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a_key") < F.col("b_key"))
         .select("a_key", "b_key", "a_name", "b_name", "dist")
     )
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    """
+    -- multi-pass sorted-neighborhood blocking (Hernandez & Stolfo
+    -- merge/purge): distinct names ranked in two sort orders (the name and
+    -- its reversed string); each name is compared only to its next 4
+    -- successors per pass, levenshtein verifies. Work is O(d * window *
+    -- passes) — linear in the distinct count, no block-size term at all.
+    WITH nm AS MATERIALIZED (
+        SELECT DISTINCT p_name AS nm FROM part WHERE p_name IS NOT NULL
+    ),
+    fwd AS MATERIALIZED (
+        SELECT nm, row_number() OVER (ORDER BY nm) AS rk FROM nm
+    ),
+    rev AS MATERIALIZED (
+        SELECT nm, row_number() OVER (ORDER BY reverse(nm), nm) AS rk FROM nm
+    ),
+    cand AS (
+        SELECT a.nm AS na, b.nm AS nb
+        FROM fwd a JOIN fwd b ON b.rk - a.rk BETWEEN 1 AND 4
+        UNION ALL
+        SELECT a.nm, b.nm
+        FROM rev a JOIN rev b ON b.rk - a.rk BETWEEN 1 AND 4
+    ),
+    und AS (
+        SELECT DISTINCT least(na, nb) AS an, greatest(na, nb) AS bn FROM cand
+    )
+    SELECT an, bn, levenshtein(an, bn)::BIGINT AS dist
+    FROM und
+    WHERE abs(length(an) - length(bn)) <= 3 AND levenshtein(an, bn) <= 3
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part names via MULTI-PASS SORTED-NEIGHBORHOOD blocking
+    (`operators/dedup.py:sorted_neighborhood_pairs`) — the linear-work
+    complement to the composed-key blocking of `dedup_fuzzy_editdist`:
+    sort the distinct names (two passes — forward, and reversed-string to
+    catch leading-token edits), compare each name only to its next
+    ``window - 1`` successors per order. Total comparisons are
+    O(d · window · passes) regardless of how skewed any blocking key is;
+    the global rank is `dense_ids`' range-partitioned sort (no
+    unpartitioned window), and neighbors come back via an equi-join on
+    rank + offset. Pairs found by both passes (or several offsets) are
+    emitted once."""
+    p = load_table(spark, sf_dir, "part").select("p_name")
+    return sorted_neighborhood_pairs(p, name_col="p_name", window=5, max_dist=3)
 
 
 @query(
