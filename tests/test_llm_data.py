@@ -1453,3 +1453,68 @@ def test_threshold_on_raw_similarity_not_rounded(spark):
     )
     assert ngram_jaccard_pairs(docs, threshold=0.6).count() == 1
     assert ngram_jaccard_pairs(docs, threshold=0.6666667).count() == 0
+
+
+def test_lsh_multi_probe_dominates_single_probe(spark):
+    """probe_bits=1 only ADDS candidate buckets (the query's own bucket is
+    always probed), so per query: at least as many results, and a rank-1
+    similarity at least as good. Radius > 1 is an explicit error."""
+    from wiki_mysql_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    single = lsh_topk(emb, q, k=5).collect()
+    multi = lsh_topk(emb, q, k=5, probe_bits=1).collect()
+
+    def best(rows):
+        out = {}
+        for r in rows:
+            cur = out.get(r["query_id"])
+            if cur is None or r["cos_sim"] > cur:
+                out[r["query_id"]] = r["cos_sim"]
+        return out
+
+    sb, mb = best(single), best(multi)
+    from collections import Counter
+
+    sn, mn = Counter(r["query_id"] for r in single), Counter(
+        r["query_id"] for r in multi
+    )
+    for qid in sb:
+        assert mb[qid] >= sb[qid]
+        assert mn[qid] >= sn[qid]
+    with pytest.raises(ValueError):
+        lsh_topk(emb, q, k=5, probe_bits=2)
+
+
+def test_pq_recall_high_on_clustered_data(spark):
+    """The ANN recall artifact shows low PQ recall on the near-isotropic
+    synthetic fixture — this pins that the limit is the DATA, not the ADC
+    machinery: on clustered vectors (200 tight clusters x 10 members) PQ
+    recovers the query's cluster-mates, mean recall@9 >= 0.7."""
+    import numpy as np
+
+    from wiki_mysql_spark.operators.similarity import brute_force_topk, pq_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(200, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(10):
+            v = c + rng.normal(scale=0.01, size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") % 200 == 0).limit(10)
+    k = 9  # a query's cluster-mates
+    exact, approx = {}, {}
+    for r in brute_force_topk(emb, q, k=k).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in pq_topk(emb, q, k=k, m=4, n_centroids=8).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(approx.get(qid, set()) & s) / k for qid, s in exact.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls

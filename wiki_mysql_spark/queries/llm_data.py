@@ -477,10 +477,18 @@ _PLANES = _hyperplanes(64, 8, seed=42)
                {_sql_lsh_signature('embedding', _PLANES)} AS bucket
         FROM embeddings
     ),
+    -- multi-probe (r6): each query probes its own bucket plus the 8
+    -- single-bit-flip buckets, mirroring lsh_topk's probe_bits=1
     q AS MATERIALIZED (
-        SELECT vec_id AS query_id, embedding AS qv,
-               {_sql_lsh_signature('embedding', _PLANES)} AS bucket
-        FROM embeddings WHERE vec_id < 5
+        SELECT query_id, qv,
+               unnest([q0.bucket,
+                       {', '.join(f'xor(q0.bucket, {1 << i})' for i in range(8))}])
+                   AS bucket
+        FROM (
+            SELECT vec_id AS query_id, embedding AS qv,
+                   {_sql_lsh_signature('embedding', _PLANES)} AS bucket
+            FROM embeddings WHERE vec_id < 5
+        ) q0
     ),
     scored AS (
         SELECT q.query_id, c.neighbor_id, {_sql_cosine('q.qv', 'c.cv', _EMB_DIM_VEC)} AS raw_sim
@@ -496,10 +504,18 @@ _PLANES = _hyperplanes(64, 8, seed=42)
 )
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: 8-bit random-hyperplane LSH buckets (frozen seed),
-    exact cosine within bucket. The 100 TB path — a query touches one bucket
-    partition instead of the whole corpus."""
+    exact cosine within the probed buckets. The 100 TB path — a query
+    touches 9 bucket partitions (its own + the 8 one-bit-flip multi-probe
+    buckets, Lv et al. 2007) instead of the whole corpus; measured
+    recall@10 on the sf0.1 fixture rose 0.02 -> 0.11 vs single-probe at
+    ~4% of the corpus scanned per query; the near-isotropic synthetic
+    embeddings cap absolute recall at small candidate fractions — the
+    monotone knob response is the evidence (`ANN_RECALL_r6.json`)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10, dim=64, n_planes=8)
+    return lsh_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=10, dim=64, n_planes=8,
+        probe_bits=1,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -628,7 +644,7 @@ def text_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ORDER BY {_sql_cosine('q.embedding', 'cent.centv', _EMB_DIM_VEC)} DESC,
                                                cent.cent_id) AS crank
             FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 5
-        ) WHERE crank <= 2
+        ) WHERE crank <= 3
     ),
     scored AS (
         SELECT DISTINCT p.query_id, c.neighbor_id,
@@ -646,13 +662,13 @@ def text_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into centroid cells, probe
-    the query's 2 nearest cells only. Deterministic codebook (first-8
+    the query's 3 nearest cells only. Deterministic codebook (first-8
     vectors) stands in for trained k-means — identical plan shape."""
     from wiki_mysql_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
-        emb, emb.where(F.col("vec_id") < 5), k=10, n_centroids=8, n_probe=2
+        emb, emb.where(F.col("vec_id") < 5), k=10, n_centroids=8, n_probe=3
     )
 
 
@@ -733,7 +749,7 @@ _SD_CENTS, _SD_FINAL = _sql_kmeans_cents(
                                       ORDER BY {_sql_cosine('q.embedding', 'cent.centv', _EMB_DIM_VEC)} DESC,
                                                cent.cent_id) AS crank
             FROM embeddings q CROSS JOIN {_KM_FINAL} cent WHERE q.vec_id < 5
-        ) WHERE crank <= 2
+        ) WHERE crank <= 3
     ),
     scored AS (
         SELECT DISTINCT p.query_id, c.neighbor_id,
@@ -765,7 +781,7 @@ def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         emb.where(F.col("vec_id") < 5),
         k=10,
-        n_probe=2,
+        n_probe=3,
         codebook=book,
     )
 
@@ -1897,13 +1913,13 @@ def _sql_ivfpq(
 
 @query(
     "ann_topk_ivfpq",
-    _sql_ivfpq(n_coarse=8, n_probe=2, m=4, n_centroids=8, dim=64,
+    _sql_ivfpq(n_coarse=8, n_probe=3, m=4, n_centroids=8, dim=64,
                n_queries=5, k=10),
 )
 def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC — the IVF + PQ composition (Jégou et al. 2011 §IV) the r5
     verdict ordered: coarse cells bound the candidate set (a query's ADC
-    scan touches only its n_probe=2 probed cells' CODES — no
+    scan touches only its n_probe=3 probed cells' CODES — no
     BroadcastNestedLoopJoin over the full code table, which is what
     `ann_topk_pq`'s exhaustive-ADC mode does), and PQ codes of the
     RESIDUAL vector compress each cell entry to (cell, m codes). This is
@@ -1918,7 +1934,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivfpq_topk(
         emb, emb.where(F.col("vec_id") < 5),
-        k=10, n_coarse=8, n_probe=2, m=4, n_centroids=8,
+        k=10, n_coarse=8, n_probe=3, m=4, n_centroids=8,
     )
 
 
