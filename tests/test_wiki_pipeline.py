@@ -311,3 +311,44 @@ def test_wiki_pipeline_fuzz_vs_reference_semantics(spark, tmp_path):
                 "",
             )
         )
+
+
+def test_etl_progress_reporting(spark, tmp_path):
+    """P4 (reference tqdm bars, dbfy.py:158,191): progress=True narrates
+    live task progress to the given sink while the ETL runs, prints a
+    terminal 'done' line, and leaves no reporter thread behind. The
+    reporter must not perturb results."""
+    import io
+    import threading
+    import time
+
+    from wiki_mysql_spark.plans.progress import job_progress
+    from wiki_mysql_spark.plans.wiki_pipeline import run_wiki_etl
+
+    dump = tmp_path / "mini.xml"
+    pages = "".join(
+        f"<page><title>P{i}</title><ns>0</ns><id>{i}</id>"
+        f"<revision><text>body text {i}</text></revision></page>"
+        for i in range(8)
+    )
+    dump.write_text(f"<mediawiki>{pages}</mediawiki>")
+
+    counts = run_wiki_etl(
+        spark, str(dump), str(tmp_path / "out"), progress=True
+    )
+    assert counts == {"articles": 8, "bodies": 8, "quarantine": 0}
+    assert not [
+        t for t in threading.enumerate() if t.name.startswith("progress-")
+    ]
+
+    # the reporter itself, against a slow enough action to be observed
+    sink = io.StringIO()
+    with job_progress(spark, "probe", interval_sec=0.1, out=sink):
+        spark.range(0, 30_000_000, 1, 64).selectExpr(
+            "sum(id * 3 % 7)"
+        ).collect()
+        time.sleep(0.3)
+    lines = sink.getvalue().splitlines()
+    assert lines and lines[-1].startswith("[probe] done in")
+    task_lines = [l for l in lines if "tasks (" in l and "stage" in l]
+    assert task_lines, lines  # at least one live stage report

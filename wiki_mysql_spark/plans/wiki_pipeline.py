@@ -134,6 +134,7 @@ def run_wiki_etl(
     jdbc_password: str = "",
     limit: int | None = None,
     splittable: bool = True,
+    progress: bool = False,
     **build_kwargs,
 ) -> dict[str, int]:
     """The full CLI workload (``/root/reference/dbfy.py:254-313`` analog):
@@ -148,7 +149,14 @@ def run_wiki_etl(
     reader, which splits WITHIN bz2 files (the XML source reads one task
     per file — a single-file dump would serialize the whole parse onto one
     core no matter the cluster size) and bounds structural-corruption loss
-    to the broken page instead of the rest of its file."""
+    to the broken page instead of the rest of its file.
+
+    ``progress=True`` reports live task progress to stderr while the ETL
+    runs — the reference's tqdm bars (``dbfy.py:158,191,231``), Spark-native
+    (`plans/progress.py:job_progress` over StatusTracker telemetry)."""
+    from contextlib import nullcontext
+
+    from wiki_mysql_spark.plans.progress import job_progress
     from wiki_mysql_spark.sinks import (
         ARTICLES_DDL,
         BODIES_DDL,
@@ -188,19 +196,25 @@ def run_wiki_etl(
     )
     quarantine = quarantine.unionByName(corrupt)
 
-    write_parquet(articles, f"{out_dir}/articles")
-    write_parquet(bodies, f"{out_dir}/bodies")
-    write_parquet(quarantine, f"{out_dir}/quarantine")
+    reporter = (
+        job_progress(spark, "wiki-etl") if progress else nullcontext()
+    )
+    with reporter:
+        write_parquet(articles, f"{out_dir}/articles")
+        write_parquet(bodies, f"{out_dir}/bodies")
+        write_parquet(quarantine, f"{out_dir}/quarantine")
 
-    if jdbc_url:
-        write_jdbc(
-            spark.read.parquet(f"{out_dir}/articles"), jdbc_url, "articles",
-            user=jdbc_user, password=jdbc_password, create_table_ddl=ARTICLES_DDL,
-        )
-        write_jdbc(
-            spark.read.parquet(f"{out_dir}/bodies"), jdbc_url, "bodies",
-            user=jdbc_user, password=jdbc_password, create_table_ddl=BODIES_DDL,
-        )
+        if jdbc_url:
+            write_jdbc(
+                spark.read.parquet(f"{out_dir}/articles"), jdbc_url, "articles",
+                user=jdbc_user, password=jdbc_password,
+                create_table_ddl=ARTICLES_DDL,
+            )
+            write_jdbc(
+                spark.read.parquet(f"{out_dir}/bodies"), jdbc_url, "bodies",
+                user=jdbc_user, password=jdbc_password,
+                create_table_ddl=BODIES_DDL,
+            )
 
     return {
         "articles": spark.read.parquet(f"{out_dir}/articles").count(),
@@ -240,6 +254,9 @@ if __name__ == "__main__":  # pragma: no cover — thin CLI (dbfy.py analog)
                    help="accepted for drop-in compatibility; the collapse is "
                         "always applied, matching the reference's ACTUAL "
                         "behavior (its flag was parsed but never wired)")
+    p.add_argument("--progress", action="store_true",
+                   help="print live task progress to stderr (the "
+                        "reference's tqdm bars, Spark-native)")
     args = p.parse_args()
     counts = run_wiki_etl(
         get_session("wiki-etl"),
@@ -249,6 +266,7 @@ if __name__ == "__main__":  # pragma: no cover — thin CLI (dbfy.py analog)
         jdbc_user=args.jdbc_user,
         jdbc_password=args.jdbc_password,
         limit=args.limit,
+        progress=args.progress,
         remove_html=bool(args.remove_html),
         valid_unicodes=tuple(args.valid_unichrs or ()),
         invalid_unicodes=tuple(args.invalid_unichrs or ()),
