@@ -51,3 +51,44 @@ def l2_sq(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+# ---------------------------------------------------------------------------
+# numpy twins of the folds above, for the Arrow-blocked fast paths.
+# ONE definition, shared by operators/dedup.py (embedding_near_dup_pairs)
+# and operators/similarity.py (with_nearest_cell): the bit-equality argument
+# both rely on — "same IEEE op sequence per element as the sequential
+# aggregate() fold" — must not live in two copies that can drift apart.
+# ---------------------------------------------------------------------------
+
+
+def seq_dot_np(A, B):
+    """acc += a_k * b_k one dimension at a time — the same IEEE op sequence
+    per element as the sequential ``aggregate()`` fold in :func:`dot`."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    for k in range(A.shape[1]):
+        acc += np.multiply.outer(A[:, k], B[:, k])
+    return acc
+
+
+def seq_norm_np(A):
+    """Dimension-ordered accumulation twin of :func:`norm`."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0])
+    for k in range(A.shape[1]):
+        acc += A[:, k] * A[:, k]
+    return np.sqrt(acc)
+
+
+def pack_rows_np(values):
+    """Row-pack a sequence of vectors as float32 then cast to float64 —
+    exactly the storage->compute widening ``_as_double`` applies before
+    folding, so the numpy paths see bit-identical inputs."""
+    import numpy as np
+
+    return np.array(
+        [np.asarray(v, dtype=np.float32) for v in values], dtype=np.float32
+    ).astype(np.float64)

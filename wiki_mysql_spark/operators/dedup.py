@@ -344,19 +344,11 @@ def embedding_near_dup_pairs(
             "embedding_lsh_pairs (banded LSH + exact-cosine verify) at scale."
         )
 
-    def _seq_dot(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
-        # acc += a_k * b_k, one dimension at a time: the same IEEE op
-        # sequence per element as the sequential aggregate() fold
-        acc = np.zeros((A.shape[0], B.shape[0]))
-        for k in range(A.shape[1]):
-            acc += np.multiply.outer(A[:, k], B[:, k])
-        return acc
-
-    def _seq_norm(A: "np.ndarray") -> "np.ndarray":
-        acc = np.zeros(A.shape[0])
-        for k in range(A.shape[1]):
-            acc += A[:, k] * A[:, k]
-        return np.sqrt(acc)
+    from wiki_mysql_spark.functions.vectors import (
+        pack_rows_np,
+        seq_dot_np,
+        seq_norm_np,
+    )
 
     corpus_rows = emb.select(F.col(id_col), F.col(vec_col)).collect()
     if not corpus_rows:
@@ -367,10 +359,8 @@ def embedding_near_dup_pairs(
         )
     ids_b = np.array([r[id_col] for r in corpus_rows], dtype=np.int64)
     # float32 storage -> double, exactly as _as_double casts before folding
-    B = np.array([r[vec_col] for r in corpus_rows], dtype=np.float32).astype(
-        np.float64
-    )
-    nb = _seq_norm(B)
+    B = pack_rows_np([r[vec_col] for r in corpus_rows])
+    nb = seq_norm_np(B)
     pre_cut = threshold - 1e-6  # authoritative round+filter happens in Spark
 
     schema = StructType(
@@ -384,11 +374,8 @@ def embedding_near_dup_pairs(
     def _block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids_a = pdf[id_col].to_numpy(dtype=np.int64)
-            A = np.array(
-                [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]],
-                dtype=np.float32,
-            ).astype(np.float64)
-            cos = _seq_dot(A, B) / np.multiply.outer(_seq_norm(A), nb)
+            A = pack_rows_np(pdf[vec_col])
+            cos = seq_dot_np(A, B) / np.multiply.outer(seq_norm_np(A), nb)
             keep = (ids_a[:, None] < ids_b[None, :]) & (cos >= pre_cut)
             ai, bi = np.nonzero(keep)
             yield pd.DataFrame(

@@ -1471,7 +1471,9 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, list]:
                 walk(body[4:])  # skip the list type tag
             elif cid == b"avih":
                 usec = struct.unpack_from("<I", body, 0)[0]
-                fps = round(1_000_000 / usec) if usec else 0
+                # int(x + 0.5), not round(): banker's half-to-even would
+                # diverge from the SQL oracle's half-up on exact .5 rates
+                fps = int(1_000_000 / usec + 0.5) if usec else 0
             elif cid == b"00dc" and body[:2] == b"\xff\xd8":
                 frames.append(decode_jpeg(body))
             pos += 8 + size + (size & 1)  # chunks are word-aligned

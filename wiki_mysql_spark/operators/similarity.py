@@ -165,23 +165,16 @@ def with_nearest_cell(
 
     from wiki_mysql_spark.sources.tables import map_in_pandas_spread
 
+    from wiki_mysql_spark.functions.vectors import (
+        pack_rows_np,
+        seq_dot_np,
+        seq_norm_np,
+    )
+
     cents = sorted((int(cid), [float(x) for x in cv]) for cid, cv in centers)
     cent_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
     C = np.array([cv for _, cv in cents], dtype=np.float64)
-
-    def _seq_dot(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
-        acc = np.zeros((A.shape[0], B.shape[0]))
-        for k in range(A.shape[1]):
-            acc += np.multiply.outer(A[:, k], B[:, k])
-        return acc
-
-    def _seq_norm(A: "np.ndarray") -> "np.ndarray":
-        acc = np.zeros(A.shape[0])
-        for k in range(A.shape[1]):
-            acc += A[:, k] * A[:, k]
-        return np.sqrt(acc)
-
-    ncent = _seq_norm(C)
+    ncent = seq_norm_np(C)
     out_schema = StructType(
         list(df.schema.fields) + [StructField(cell_col, LongType())]
     )
@@ -191,11 +184,8 @@ def with_nearest_cell(
             if len(pdf) == 0:
                 yield pdf.assign(**{cell_col: pd.Series([], dtype="int64")})
                 continue
-            A = np.array(
-                [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]],
-                dtype=np.float32,
-            ).astype(np.float64)
-            cos = _seq_dot(A, C) / np.multiply.outer(_seq_norm(A), ncent)
+            A = pack_rows_np(pdf[vec_col])
+            cos = seq_dot_np(A, C) / np.multiply.outer(seq_norm_np(A), ncent)
             # argmax returns the FIRST max -> centers sorted by id give the
             # ties->lower-id rule of nearest_cells
             best = cent_ids[np.argmax(cos, axis=1)]
@@ -293,14 +283,22 @@ def ivf_topk(
     n_probe partitions instead of the full scan.
     """
     if codebook is None:
+        # first n_centroids rows BY ID ORDER — `id < n` (the old spelling,
+        # and the bug kmeans_codebook/pq_codebooks already fixed) silently
+        # under-seeds or EMPTIES the codebook on sparse/offset ids, turning
+        # every cell NULL and the result empty with no error. On dense
+        # 0-based ids this is byte-identical, keeping the oracles in step.
         seeds = (
-            corpus.where(F.col(id_col) < n_centroids)
+            corpus.orderBy(F.col(id_col))
+            .limit(n_centroids)
             .select(
                 F.col(id_col).cast("long").alias("cent_id"),
                 F.col(vec_col).alias("v"),
             )
             .collect()
         )
+        if not seeds:
+            raise ValueError("ivf_topk: corpus is empty — cannot seed cells")
         codebook = sorted((int(r.cent_id), [float(x) for x in r.v]) for r in seeds)
 
     cells = corpus.select(
@@ -321,7 +319,10 @@ def ivf_topk(
         .select(
             "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("raw_sim")
         )
-        .dropDuplicates(["query_id", "neighbor_id"])  # neighbor via 2 probed cells
+        # no dedup needed (and none of its shuffle): each corpus vector
+        # lives in exactly ONE cell and a query's probed cells are
+        # distinct, so a (query, neighbor) pair meets at most once — the
+        # same argument lsh_topk and ivfpq_topk state
     )
     w = Window.partitionBy("query_id").orderBy(F.col("raw_sim").desc(), F.col("neighbor_id"))
     return (
@@ -380,6 +381,15 @@ def lsh_topk(
     9 probed buckets (~4.5% of the corpus) per query. The corpus side is
     untouched — each corpus vector still lives in exactly one bucket, so
     a (query, neighbor) pair meets at most once and no dedup is needed."""
+    # one-row width probe: a dim mismatch would null-pad zip_with, NULL
+    # every dot product, collapse all signatures to bucket 0, and silently
+    # degrade the bucket join into the full corpus-x-queries product this
+    # operator exists to avoid — fail loudly instead (one 1-row job)
+    probe = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is not None and probe["d"] != dim:
+        raise ValueError(
+            f"lsh_topk: dim={dim} but '{vec_col}' vectors are {probe['d']}-wide"
+        )
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -13,6 +13,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt_hash(df: DataFrame, salt_source: Column | None) -> Column:
+    """Deterministic per-row salt basis. The old default, ``F.rand(seed=7)``,
+    replays POSITIONALLY per partition — if a fetch failure re-executes an
+    upstream map stage and rows arrive in a different order, a recomputed
+    row draws a different salt than the one some reducers already consumed,
+    double-counting or dropping it (the SPARK-23207 nondeterministic-key
+    class). Hashing the row's own columns is stable under any recompute;
+    the caveat (exact-duplicate rows share a salt, so a hot key made of
+    IDENTICAL rows won't spread) is the documented reason to pass an
+    explicit ``salt_source`` with a distinguishing column."""
+    if salt_source is not None:
+        return F.xxhash64(salt_source)
+    return F.xxhash64(*[F.col(c) for c in df.columns])
+
+
 def salted_agg(
     df: DataFrame,
     key: str,
@@ -30,13 +45,12 @@ def salted_agg(
     monoids; avg must be decomposed by the caller into sum+count).
     """
     mergers = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
-    salt = F.pmod(
-        F.xxhash64(salt_source if salt_source is not None else F.rand(seed=7)),
-        F.lit(n_salt),
-    )
+    salt = F.pmod(_salt_hash(df, salt_source), F.lit(n_salt))
+    # count(col) — null-skipping, like the unsalted F.count(col) the module
+    # contract promises equivalence with (count(1) would count null rows)
     phase1 = df.withColumn("_salt", salt).groupBy(key, "_salt").agg(
         *[
-            getattr(F, fn)(col if fn != "count" else F.lit(1)).alias(out)
+            getattr(F, fn)(F.col(col)).alias(out)
             for out, (col, fn) in aggs.items()
         ]
     )
@@ -64,10 +78,7 @@ def salted_join(
     this when right is much smaller (but too big / too skew-prone to
     broadcast outright). Result set is identical to a plain inner join.
     """
-    salt = F.pmod(
-        F.xxhash64(salt_source if salt_source is not None else F.rand(seed=7)),
-        F.lit(n_salt),
-    )
+    salt = F.pmod(_salt_hash(left, salt_source), F.lit(n_salt))
     l = left.withColumn("_salt", salt)
     r = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))

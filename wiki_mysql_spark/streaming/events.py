@@ -66,7 +66,14 @@ def run_stream_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
     finally:
         q.stop()
+    if not finished:
+        # a timed-out drain leaves PARTIAL aggregates in the sink — raising
+        # beats returning them as if they were the complete answer
+        raise TimeoutError(
+            f"streaming drain did not finish within {timeout_sec}s "
+            f"(query {name}); partial results discarded"
+        )
     return out.sparkSession.table(name)

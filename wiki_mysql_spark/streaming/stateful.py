@@ -41,6 +41,17 @@ STATE_SCHEMA = StructType(
 )
 
 
+def _round_half_up(x: float, digits: int = 2) -> float:
+    """Round like Spark's F.round / DuckDB's round (HALF_UP on the double's
+    shortest decimal repr) — NOT Python's built-in round(), whose banker's
+    half-to-even flips exact .xx5 ties (e.g. 2.125 -> 2.12 vs 2.13) and
+    would diverge this operator from its SQL oracle on tie-valued sums."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def user_profiles_stateful(events: DataFrame) -> DataFrame:
     """events stream -> per-user running profile with explicit GroupState."""
 
@@ -58,7 +69,7 @@ def user_profiles_stateful(events: DataFrame) -> DataFrame:
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(total, 2)],
+                "total_value": [_round_half_up(total, 2)],
                 "last_ts": [last_ts],
             }
         )

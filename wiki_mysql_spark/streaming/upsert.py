@@ -120,12 +120,20 @@ def run_stream_upsert(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
-        if own_staging:
-            shutil.rmtree(str(staging), ignore_errors=True)
-    try:
+        try:
+            finished = q.awaitTermination(timeout_sec)
+        finally:
+            q.stop()
+            if own_staging:
+                shutil.rmtree(str(staging), ignore_errors=True)
+        if not finished:
+            # a timed-out drain means the target holds PARTIAL merges —
+            # raise instead of returning half a profile table with an
+            # understated batch count
+            raise TimeoutError(
+                f"stream upsert did not drain within {timeout_sec}s "
+                f"({state['batches']} of the staged micro-batches merged)"
+            )
         if state["path"] is None:
             # zero micro-batches (empty source): an empty profile table, not a
             # confusing read-from-None path error
@@ -136,5 +144,9 @@ def run_stream_upsert(
             # otherwise every call leaks its final parquet version
             final = spark.read.parquet(str(state["path"])).localCheckpoint(eager=True)
     finally:
+        # single outer finally: the versioned target is removed on EVERY
+        # path, including a query exception mid-drain (was: a second
+        # try/finally never reached on the exception path, leaking a
+        # stream_upsert_tgt_* parquet tree per failed run)
         shutil.rmtree(target_root, ignore_errors=True)
     return final, int(state["batches"])  # type: ignore[call-overload]
