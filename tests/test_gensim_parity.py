@@ -331,3 +331,39 @@ def test_exact_templates_matches_default_on_regular_fixtures(spark):
         f"{r['t']!r}\n  default: {r['dflt']!r}\n  exact: {r['exact']!r}"
         for r in bad
     )
+
+
+def test_table_markup_parity_including_text_start(spark):
+    """Regression for two review-caught gensim divergences: (1) the
+    consuming RE_P12 spelling swallowed the newline gensim's (?=\\n)
+    lookahead preserves, stranding '| ' cell markers when a body BEGINS
+    with a table; (2) the reduced nested-iteration pass list missed table
+    markers whose required newline is created by a later literal pass of
+    the same iteration. Hand shapes plus an adversarial table-token fuzz
+    (the original fuzz only generated well-formed mid-string spans)."""
+    import random
+
+    cases = [
+        "{| class=wikitable\n| cell1 || cell2\n|}\nbody text",
+        "|-\n| a || b\n|}\nrest",
+        "lead\n{| x\n| c1\n|}\n",
+        "{| t\n|}",
+        "{| t\n|} tail",
+    ]
+    rng = random.Random(3)
+    toks = ["{|", "|}", "|-", "|| c", "| x", "word", "\n", "!!", "a |", " "]
+    for _ in range(300):
+        cases.append("".join(rng.choice(toks) for _ in range(rng.randint(2, 14))))
+    df = spark.createDataFrame(list(enumerate(cases)), ["i", "t"])
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", clean_wiki_body(F.col("t")).alias("c")).collect()
+    }
+    diverged = [
+        (t, got[i], wiki_body_filter(t))
+        for i, t in enumerate(cases)
+        if got[i] != wiki_body_filter(t)
+    ]
+    assert not diverged, "\n".join(
+        f"{t!r}\n  native: {g!r}\n  gensim: {w!r}" for t, g, w in diverged[:5]
+    )

@@ -52,6 +52,27 @@ def test_quarantine_split(spark):
     assert len(q) == 1 and q[0]["table_name"] == "articles" and q[0]["id"] == 2
 
 
+def test_quarantine_orphaned_article_is_audited(spark):
+    """An article whose BODY is quarantined must itself leave an audit row
+    — not silently vanish from articles_ok (the reference's silent-drop
+    behavior this function exists to replace)."""
+    from wiki_mysql_spark.sinks import BODY_MAX_BYTES
+
+    articles = spark.createDataFrame(
+        [(1, 10, "ok", 1), (2, 20, "points at huge body", 2)],
+        ["id", "aid", "title", "body"],
+    )
+    bodies = spark.createDataFrame(
+        [(1, "fine"), (2, "x" * (BODY_MAX_BYTES + 1))], ["id", "body"]
+    )
+    a_ok, b_ok, quarantine = split_quarantine(articles, bodies)
+    assert [r["id"] for r in a_ok.collect()] == [1]
+    assert [r["id"] for r in b_ok.collect()] == [1]
+    q = {(r["table_name"], r["id"]): r["reject_reason"] for r in quarantine.collect()}
+    assert q[("bodies", 2)] == "body exceeds MEDIUMTEXT"
+    assert q[("articles", 2)] == "references quarantined body"
+
+
 def _ts(s):
     return datetime.datetime.fromisoformat(s)
 

@@ -122,7 +122,16 @@ def remove_templates_exact_udf():
     @F.pandas_udf(StringType())
     def _strip(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in batches:
-            yield s.map(remove_templates_scan)
+            # in-Python short-circuit: Spark extracts a pandas UDF out of
+            # CASE WHEN and evaluates it on EVERY row (measured), so the
+            # caller-side contains('{{') gate cannot keep template-free
+            # rows off the scan — this cheap substring check is the gate
+            # that actually works
+            yield s.map(
+                lambda x: remove_templates_scan(x)
+                if x is not None and "{{" in x
+                else x
+            )
 
     return _strip
 
@@ -211,8 +220,14 @@ MARKUP_PASSES: list[tuple[str, str, str]] = [
     ("lit", "|-||", "\n|"),        # '-'-filled cell
     # RE_P12 ({| / |} / |- lines up to \n), one alternation; the '|-' arms
     # encode gensim's (?!\d) without lookahead: '|-' matches only before \n
-    # or a non-digit.
-    ("re", r"(\{\||\|\})[^\n]*\n|\|-(\n|[^\d\n][^\n]*\n)", "\n"),
+    # or a non-digit. The replacement re-emits the newline this consuming
+    # spelling swallows (gensim's (?=\n) lookahead PRESERVES it): without
+    # the second \n, RE_P13 below loses its \n\n left-context whenever a
+    # body BEGINS with a table (or related first-line shapes) and leaves a
+    # stray '| ' cell marker in the cleaned text — a real gensim-parity
+    # break the well-formed-span fuzz never generated. The extra newline
+    # itself is invisible in final output (F6 collapses whitespace runs).
+    ("re", r"(\{\||\|\})[^\n]*\n|\|-(\n|[^\d\n][^\n]*\n)", "\n\n"),
     ("lit", "|||", "|\n|"),        # each cell on its own line
     ("lit", "||", "\n|"),
     # RE_P13 (cell-marker strip). gensim's fixed-width lookbehind becomes a
@@ -236,20 +251,17 @@ MARKUP_PASSES: list[tuple[str, str, str]] = [
     ("lit", "[]", ""),
 ]
 
-# Later iterations only need the passes whose constructs NEST (links,
-# tags): within one iteration, tag/link removal runs BEFORE the table
-# passes (gensim's order; templates are already fully gone from the
-# TEMPLATE stage), so any table markup a removal reveals is consumed in
-# the SAME iteration — tables/RE_P13/RE_P17/literal cell splits never need
-# a second round. Cuts the fixed-pass regex work of iterations 2..n by
-# half; parity vs transcribed gensim is pinned by
-# tests/test_gensim_parity.py over the nesting-heavy fixtures + fuzz.
-MARKUP_NESTED_PASSES: list[tuple[str, str, str]] = [
-    *MARKUP_PASSES[0:6],  # the sequential deletion passes (P0/P1/P9/P10/P11/P14)
-    ("re", r"\[(\w+)://([^ \]]*)( ([^\]]*))?\]", "$3"),
-    ("re", r"\[([^\]\[]*)\|([^\]\[|]*)\]", "$2"),
-    ("lit", "[]", ""),
-]
+# Iterations 2..n run the FULL pass list — gensim's exact loop semantics.
+# An earlier optimization ran only the nesting passes (links/tags) here,
+# on the argument that table markup revealed by a removal is consumed in
+# the same iteration; the counterexample is table markers whose REQUIRED
+# trailing newline is only CREATED by a later literal pass ('||' -> '\n|')
+# of the same iteration — gensim's next iteration then strips them, the
+# reduced list never did (adversarial table-token fuzz: 30/400 diffs).
+# Full repetition measured +5% on the sf0.1 documents cleaning pass
+# (0.55s -> 0.58s): the table regexes are cheap scans on real text, so
+# exact parity wins. Fuzz after this change: 0 diffs / 602.
+MARKUP_NESTED_PASSES: list[tuple[str, str, str]] = list(MARKUP_PASSES)
 
 # gensim promote_remaining
 PROMOTE_PASSES: list[tuple[str, str, str]] = [
@@ -303,11 +315,11 @@ def strip_wiki_markup(
     if exact_templates:
         # the nesting-exact scan (reference parity for templates holding
         # stray single braces, e.g. a {| table |} inside an infobox, where
-        # the regex tail pass over-drops to end-of-text); Arrow-batched,
-        # gated on a cheap contains check so template-free rows stay native
-        col = F.when(
-            col.contains("{{"), remove_templates_exact_udf()(col)
-        ).otherwise(col)
+        # the regex tail pass over-drops to end-of-text); Arrow-batched.
+        # NOTE: the template-free short-circuit lives INSIDE the UDF — a
+        # CASE WHEN gate here does not work (Spark extracts the pandas UDF
+        # out of the conditional and runs it on every row; measured)
+        col = remove_templates_exact_udf()(col)
     else:
         for _ in range(iterations):
             for kind, pat, repl in TEMPLATE_PASSES:

@@ -54,16 +54,22 @@ def dense_ids(
     # range exchange, the layout checkpoint, and the per-partition counts
     # collect all disappear. At real scale the leaves are TBs of parquet and
     # the parallel path below runs.
-    from wiki_mysql_spark.sources.tables import is_small_input, leaf_bytes
+    from wiki_mysql_spark.sources.tables import (
+        is_rdd_backed,
+        is_small_input,
+        leaf_bytes,
+    )
 
     # For unknown-stats inputs (RDD/checkpoint-backed, e.g. the wiki
     # pipeline's frames) materialize BEFORE the gate: both strategies
     # consume the frame fully anyway, and the checkpoint makes the byte
     # probe read materialized blocks instead of re-running the upstream
     # DAG — which lets the gate measure BYTES (the single-task sort bound)
-    # rather than trusting row count alone.
+    # rather than trusting row count alone. Skip when the frame is ALREADY
+    # checkpoint-backed (e.g. global_ntile checkpoints before its count):
+    # re-checkpointing would hold a second full copy in the block manager.
     _, stats_unknown = leaf_bytes(df)
-    if stats_unknown:
+    if stats_unknown and not is_rdd_backed(df):
         df = df.localCheckpoint(eager=True)
     if is_small_input(df, max_bytes=_SMALL_SORT_BYTES, byte_probe=True):
         # repartition (not coalesce): coalesce(1) would drag the upstream

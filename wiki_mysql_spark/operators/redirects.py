@@ -68,8 +68,13 @@ def resolve_redirects(
             Extra columns (e.g. ``aid``) are carried through untouched.
         targets: resolvable endpoints ``(title, body_id)`` — the loaded
             articles (the reference's ``ttl2bid``, ``dbfy.py:183-186``).
-        max_depth: chains longer than this are dropped (the reference's
-            implicit bound is Python's recursion limit, ~1000).
+        max_depth: depth bound, rounded UP to the next power of two (the
+            pointer-doubling loop's natural granularity — callers get AT
+            LEAST max_depth); chains longer than the rounded bound are
+            dropped. Both physical strategies apply the SAME rounded bound,
+            so the small/driver path and the distributed path agree on
+            results for every input. (The reference's implicit bound is
+            Python's recursion limit, ~1000.)
         force_distributed: skip the small-input driver fast path (tests use
             this to pin the pointer-doubling loop's behavior).
 
@@ -78,6 +83,12 @@ def resolve_redirects(
         whose chain ends in a loaded article. Cycle members and dangling
         chains produce no row (``dbfy.py:118-121,161-166``).
     """
+    # ONE effective bound for both strategies: the doubling loop covers
+    # exactly 2^rounds hops, so the driver path must use the same rounded
+    # figure or the two plans would disagree on chains in
+    # (max_depth, 2^ceil(log2(max_depth))]
+    rounds = max(1, math.ceil(math.log2(max_depth)))
+    eff_depth = 1 << rounds
     edges = redirects.select(
         F.col("title").alias("src"), F.col("target").alias("dst")
     )
@@ -98,7 +109,7 @@ def resolve_redirects(
     if not force_distributed and is_small_input(
         edges, max_bytes=_SMALL_EDGES_BYTES, byte_probe=True
     ):
-        mapping = _resolve_small(edges, max_depth)
+        mapping = _resolve_small(edges, eff_depth)
         resolved = mapping.join(
             targets.select(F.col("title").alias("t_title"), "body_id"),
             mapping.dst == F.col("t_title"),
@@ -138,7 +149,6 @@ def resolve_redirects(
     # own count doubles as the materializing action), saving one job on
     # every invocation — the empty/trivial case costs the same either way.
     prev_n: int | None = None
-    rounds = max(1, math.ceil(math.log2(max_depth)))
     for _ in range(rounds):
         if prev_n == 0:
             break

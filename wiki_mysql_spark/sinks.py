@@ -63,9 +63,24 @@ def split_quarantine(
         F.col("id"),
         F.lit("body exceeds MEDIUMTEXT").alias("reject_reason"),
     )
-    quarantine = articles_bad.unionByName(bodies_bad)
-
     bad_body_ids = bodies.where(bad_body).select(F.col("id").alias("_bad"))
+    # articles referencing a quarantined body are ALSO dropped from the ok
+    # set — each gets its own audit row (without it an auditor reconciling
+    # article counts would find unexplained missing ids, exactly the silent
+    # drop this function exists to prevent)
+    articles_orphaned = (
+        articles.where(~bad_title)
+        .join(bad_body_ids, articles.body == F.col("_bad"), "left_semi")
+        .select(
+            F.lit("articles").alias("table_name"),
+            F.col("id"),
+            F.lit("references quarantined body").alias("reject_reason"),
+        )
+    )
+    quarantine = articles_bad.unionByName(bodies_bad).unionByName(
+        articles_orphaned
+    )
+
     bodies_ok = bodies.where(~bad_body)
     articles_ok = articles.where(~bad_title).join(
         bad_body_ids, articles.body == F.col("_bad"), "left_anti"
@@ -117,7 +132,12 @@ def execute_ddl(
     not data-plane work, so it never touches an executor."""
     jvm = spark._jvm
     if driver is not None:
-        jvm.java.lang.Class.forName(driver)
+        # Spark's own loader, not java.lang.Class.forName: py4j's forName
+        # consults the JVM system classloader, which cannot see jars added
+        # via spark.jars/--jars (the documented way to supply the MySQL
+        # connector) — the driver would "work in tests" only because Derby
+        # ships on the system classpath
+        jvm.org.apache.spark.util.Utils.classForName(driver, True, False)
     props = jvm.java.util.Properties()
     if user is not None:
         props.setProperty("user", user)
@@ -163,6 +183,16 @@ def write_jdbc(
     Spark); against MySQL, pass the connector jar via ``spark.jars`` and the
     MySQL url/credentials — the writer code is identical.
     """
+    if create_table_ddl is not None:
+        # the reference-parity schema must actually EXIST before the write:
+        # a createTableOptions string never executes any DDL, so Spark would
+        # auto-generate a keyless TEXT schema from the DataFrame instead of
+        # sql/init.sql's types/keys. The DDLs are IF NOT EXISTS (re-runs
+        # no-op) and the truncate write below preserves the schema.
+        execute_ddl(
+            df.sparkSession, url, [create_table_ddl],
+            user=user, password=password, driver=driver,
+        )
     w = (
         df.write.format("jdbc")
         .option("url", url)

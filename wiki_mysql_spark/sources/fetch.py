@@ -38,13 +38,26 @@ def download_dump(src: str) -> tuple[str, bool]:
     """
     parsed = urllib.parse.urlparse(src)
     if parsed.scheme in ("", "file"):
-        path = parsed.path if parsed.scheme == "file" else src
+        # unquote: file:// URLs carry percent-encoded characters (%20 etc.)
+        # which the filesystem does not — the verbatim path would miss an
+        # existing file
+        path = (
+            urllib.parse.unquote(parsed.path)
+            if parsed.scheme == "file"
+            else src
+        )
         if not os.path.exists(path):
             raise FileNotFoundError(path)
         return path, False
     fd, path = tempfile.mkstemp(suffix=os.path.basename(parsed.path) or ".dump")
     os.close(fd)
-    urllib.request.urlretrieve(src, path)  # noqa: S310 — dump staging by design
+    try:
+        urllib.request.urlretrieve(src, path)  # noqa: S310 — staging by design
+    except BaseException:
+        # a failed fetch must not leak its (possibly multi-GB partial)
+        # temp file on every retry
+        os.remove(path)
+        raise
     return path, True
 
 

@@ -53,6 +53,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _STATS_UNKNOWN = (1 << 63) - 1  # Catalyst's default sizeInBytes
 
 
+def is_rdd_backed(df: DataFrame) -> bool:
+    """True when the frame's whole plan is a (local)checkpointed /
+    RDD-backed leaf (LogicalRDD) — i.e. it is already materialized (or
+    marked for one-shot materialization) and a further localCheckpoint
+    would only duplicate the full frame in the block manager."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        return plan.getClass().getSimpleName() == "LogicalRDD"
+    except Exception:
+        return False
+
+
 def leaf_bytes(df: DataFrame) -> tuple[int | None, bool]:
     """(sum of KNOWN leaf sizes, any-leaf-unknown) from optimizer stats —
     free, no job. ``(None, True)`` when the plan can't be inspected."""
