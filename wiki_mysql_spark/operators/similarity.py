@@ -367,59 +367,91 @@ def lsh_topk(
     n_planes: int = 8,
     seed: int = 42,
     probe_bits: int = 0,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket(s),
     then exact cosine + window rank inside. At scale the corpus is written
     bucket-partitioned, so a query touches ``1 + probe_bits·n_planes``
-    partitions instead of the whole corpus.
+    partitions (per table) instead of the whole corpus.
 
     ``probe_bits=1`` enables MULTI-PROBE (Lv et al. 2007): each query also
     probes the ``n_planes`` buckets whose signature differs in one bit —
     the buckets a true neighbor most likely fell into when it landed just
     across one hyperplane. Measured on the sf0.1 fixture (2k vectors,
-    8 planes): recall@10 0.02 single-probe → 0.44 with probe_bits=1, at
-    9 probed buckets (~4.5% of the corpus) per query. The corpus side is
-    untouched — each corpus vector still lives in exactly one bucket, so
-    a (query, neighbor) pair meets at most once and no dedup is needed."""
+    8 planes): recall@10 0.02 single-probe → 0.11 with probe_bits=1, at
+    9 probed buckets (~4% of the corpus) per query.
+
+    ``n_tables=L`` enables OR-AMPLIFICATION (Indyk–Motwani; the classic
+    multi-table LSH index): L independent hyperplane sets (seeds
+    ``seed + 7919·t``), a candidate is anything sharing a bucket with the
+    query in ANY table — P(candidate) = 1-(1-p^planes)^L for per-plane
+    collision probability p = 1-θ/π. Storage cost is L copies of the
+    (id, bucket) index — the standard trade; the raw vectors are stored
+    once. With one table each corpus vector lives in exactly one bucket
+    so a (query, neighbor) pair meets at most once and no dedup is
+    needed (the single-table plan is unchanged); with L>1 a pair can
+    meet in several tables, so candidates are deduped on
+    (query_id, neighbor_id) AFTER scoring — the dedup shuffle carries
+    only (long, long, double) rows, never the vectors."""
     # one-row width probe: a dim mismatch would null-pad zip_with, NULL
     # every dot product, collapse all signatures to bucket 0, and silently
     # degrade the bucket join into the full corpus-x-queries product this
     # operator exists to avoid — fail loudly instead (one 1-row job)
-    probe = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    if probe is not None and probe["d"] != dim:
-        raise ValueError(
-            f"lsh_topk: dim={dim} but '{vec_col}' vectors are {probe['d']}-wide"
-        )
-    planes = _hyperplanes(dim, n_planes, seed)
+    # BOTH inputs get the width probe (one 1-row job each): a mismatched
+    # frame on either side would null-pad zip_with, NULL every dot
+    # product, collapse signatures to bucket 0, and silently degrade the
+    # bucket join toward the full product this operator exists to avoid
+    for side, frame in (("corpus", corpus), ("queries", queries)):
+        probe = frame.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is not None and probe["d"] != dim:
+            raise ValueError(
+                f"lsh_topk: dim={dim} but {side} '{vec_col}' vectors are "
+                f"{probe['d']}-wide"
+            )
+    if probe_bits not in (0, 1):
+        raise ValueError("probe_bits: only radius 0 or 1 is implemented")
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
+    tables = [_hyperplanes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)]
+
+    def _probes(bucket: F.Column) -> list[F.Column]:
+        if not probe_bits:
+            return [bucket]
+        return [bucket] + [
+            bucket.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+        ]
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        lsh_signature(F.col(vec_col), planes).alias("bucket"),
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_signature(F.col(vec_col), tables[t]).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("neighbor_id", "cv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_signature(F.col(vec_col), planes).alias("bucket"),
-    )
-    if probe_bits:
-        if probe_bits != 1:
-            raise ValueError("probe_bits: only radius 0 or 1 is implemented")
-        q = q.select(
-            "query_id",
-            "qv",
-            F.explode(
-                F.array(
-                    F.col("bucket"),
-                    *[
-                        F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                        for i in range(n_planes)
-                    ],
-                )
-            ).alias("bucket"),
-        )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), b.alias("bucket"))
+                    for t in range(n_tables)
+                    for b in _probes(lsh_signature(F.col(vec_col), tables[t]))
+                ]
+            )
+        ).alias("tb"),
+    ).select("query_id", "qv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     scored = (
         F.broadcast(q)
-        .join(c, "bucket")
+        .join(c, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -427,6 +459,13 @@ def lsh_topk(
             cosine(F.col("qv"), F.col("cv")).alias("raw_sim"),
         )
     )
+    if n_tables > 1:
+        # a pair meeting in several tables scores identically each time
+        # (same pure expression on the same vectors) — max() dedups;
+        # only (long, long, double) rows shuffle
+        scored = scored.groupBy("query_id", "neighbor_id").agg(
+            F.max("raw_sim").alias("raw_sim")
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("raw_sim").desc(), F.col("neighbor_id")
     )
@@ -720,11 +759,13 @@ def ivfpq_topk(
     k: int = 10,
     n_coarse: int = 8,
     n_probe: int = 2,
-    m: int = 4,
-    n_centroids: int = 8,
+    m: int = 8,
+    n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    coarse_codebook: list[tuple[int, list[float]]] | None = None,
+    coarse_iters: int = 2,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011, §IV — the billion-vector index shape):
     coarse cells bound the candidate set, PQ codes of the RESIDUAL compress
@@ -736,14 +777,25 @@ def ivfpq_topk(
     vectors. Here the two halves compose the way the paper (and FAISS's
     IVFADC index) does:
 
-      * every corpus vector is assigned to its nearest coarse cell
-        (deterministic first-``n_coarse`` codebook, cosine ties → lower id
-        — ``ann_topk_ivf``'s quantizer) and reduced to its RESIDUAL
-        ``v - centroid(cell)``;
+      * every corpus vector is assigned to its nearest coarse cell and
+        reduced to its RESIDUAL ``v - centroid(cell)``. The coarse
+        quantizer is TRAINED by default (r7): ``coarse_iters`` Lloyd
+        iterations of :func:`kmeans_codebook` (cosine ties → lower id,
+        6-decimal-rounded fixpoint) — the r6 verdict measured the
+        untrained first-``n_coarse``-by-id point at recall@10 = 0.009,
+        a decorative index; residual PQ only works when the coarse
+        centroids actually sit in the data's density. Pass
+        ``coarse_iters=0`` to reproduce the untrained point, or supply
+        ``coarse_codebook`` directly to skip training;
       * one PQ codebook set is trained ON THE RESIDUALS (first-k residual
         slices + one Lloyd iteration under rounded squared-L2 — exactly
         ``pq_codebooks``), and each vector stores only ``(cell, m codes)``
-        — the m*log2(k')-bits-per-vector memory posture;
+        — the m*log2(k')-bits-per-vector memory posture. Defaults are
+        m=8/k'=16 (32-bit codes; r6 shipped m=4/k'=8 = 12-bit): unlike
+        exhaustive-ADC ``pq_topk`` where code width multiplies the full
+        corpus scan, IVFADC's ADC cost is bounded by the probed cells'
+        populations, so the wider code is nearly free here and is what
+        makes the within-cell ranking non-random;
       * a query probes its ``n_probe`` nearest cells; within each probed
         cell it forms the PER-CELL query residual ``q - centroid(cell)``
         and ranks candidates by fixed-subspace-order ADC against the coded
@@ -759,15 +811,20 @@ def ivfpq_topk(
     not vectors. Exact cosine is attached to every returned pair (the ANN
     family's verifier invariant)."""
     subdim = dim // m
-    seeds = (
-        corpus.orderBy(F.col(id_col))
-        .limit(n_coarse)
-        .select(F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("v"))
-        .collect()
-    )
-    if not seeds:
-        raise ValueError("ivfpq_topk: corpus is empty — cannot seed coarse cells")
-    coarse = sorted((int(r.cid), [float(x) for x in r.v]) for r in seeds)
+    if coarse_codebook is None:
+        # kmeans_codebook with n_iters=0 returns exactly the first-k-by-id
+        # seeds, so coarse_iters=0 IS the r6 untrained operating point —
+        # one code path, two operating points
+        coarse_codebook = kmeans_codebook(
+            corpus,
+            n_centroids=n_coarse,
+            n_iters=coarse_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    coarse = sorted(coarse_codebook)
+    if not coarse:
+        raise ValueError("ivfpq_topk: coarse codebook is empty")
     cmap = F.create_map(
         *[
             x
