@@ -108,6 +108,33 @@ def _cpu_jiffies() -> tuple[int, int]:
         return 0, 0
 
 
+def _membw_gbps() -> float:
+    """STREAM-triad-style memory-bandwidth probe (r6 verdict What's-wrong
+    #2): the CPU-bound calibration probe stayed flat (within 7%) across
+    host windows where per-entry times on UNCHANGED code swung up to
+    ~1.8x — the shuffle/scan-heavy entries are bandwidth-bound, and
+    noisy-neighbor bandwidth contention is invisible to a
+    cache-resident CPU probe. numpy triad ``a = b + 3.0*c`` over 16M
+    float64 (3 x 128 MB per pass — far past any LLC), best of 5 passes:
+    'best observed' is this window's bandwidth ceiling, so a depressed
+    value vs another round's makes a same-code per-entry delta
+    attributable to the machine, mechanically. The kernel is STREAM's
+    COPY (16 bytes/element — one read + one write, no temporaries, so
+    the byte accounting is exact; numpy's triad would hide an unfused
+    temp array)."""
+    import numpy as np
+
+    n = 16_000_000
+    b = np.full(n, 1.5)
+    a = np.empty(n)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.copyto(a, b)
+        best = min(best, time.perf_counter() - t0)
+    return round(16.0 * n / best / 1e9, 2)
+
+
 def _calibration_sec(spark) -> float:
     """Fixed, fixture-independent workload (codegen hash + one shuffle +
     agg over a generated range): one untimed warm run (codegen compile +
@@ -172,7 +199,9 @@ def main() -> None:
     # measure execution, not first-call classloading.
     QUERIES[names[0]](spark, "/root/testdata/sf0.001").collect()
     calibration = _calibration_sec(spark)
-    print(f"# calibration: {calibration:.3f}s", file=sys.stderr)
+    membw_start = _membw_gbps()
+    print(f"# calibration: {calibration:.3f}s  membw: {membw_start} GB/s",
+          file=sys.stderr)
 
     # Per-entry min over `repeats` runs: the min is the least-contended
     # observation — one GC pause / page-cache miss / cron neighbor no
@@ -196,6 +225,7 @@ def main() -> None:
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    membw_end = _membw_gbps()
     steal1, total1 = _cpu_jiffies()
     steal_pct = (
         round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
@@ -218,6 +248,8 @@ def main() -> None:
                 "load1_at_entry": load_at_entry,
                 "host_steal_pct": steal_pct,
                 "calibration_sec": calibration,
+                "membw_gbps_start": membw_start,
+                "membw_gbps_end": membw_end,
                 "repeats_per_entry_min_reported": repeats,
             }
         )

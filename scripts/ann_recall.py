@@ -5,9 +5,21 @@ The ANN entries are hash-oracled (deterministic parity with DuckDB) and
 invariant-tested (subset-of-probed-cells, verifier-equals-bruteforce), but
 parity says nothing about SEARCH QUALITY — how much of the true top-k each
 approximate index recovers, which is the number a user sizes n_probe /
-n_planes / window against. This script measures recall@k of every
-approximate path against exact brute force over a real query sample and
-emits one JSON artifact:
+n_planes / n_tables / window against. This script measures recall@k of
+every approximate path against exact brute force and emits one JSON
+artifact with three sections:
+
+  * ``isotropic`` — the shipped parameterizations on the synthetic
+    sf fixture (near-isotropic random vectors: the HARD case — true
+    neighbors are barely more similar than random points, so recall at
+    small candidate fractions is information-theoretically capped);
+  * ``clustered`` — the same index shapes on a deterministic clustered
+    fixture (200 tight clusters x 10 members — the regime real embedding
+    corpora live in, and the one the quality bar is set against);
+  * ``lsh_frontier`` — the (n_planes x n_tables x probe_bits) trade
+    measured on BOTH fixtures, with the fraction of the corpus each
+    point actually scanned per query (candidates / corpus), so the
+    chosen default is a recorded trade, not a guess.
 
     python scripts/ann_recall.py [out.json]
     # honors SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
@@ -38,6 +50,89 @@ def topk_sets(df) -> dict[int, frozenset[int]]:
     return {q: frozenset(s) for q, s in out.items()}
 
 
+def recall_stats(approx: dict, exact: dict) -> dict:
+    per_q = [
+        len(approx.get(q, frozenset()) & exact_set) / K
+        for q, exact_set in exact.items()
+    ]
+    per_q.sort()
+    return {
+        "recall_at_10": round(sum(per_q) / len(per_q), 4),
+        "recall_p10": round(per_q[len(per_q) // 10], 3),
+        "recall_min": round(per_q[0], 3),
+    }
+
+
+def measure(methods: dict, exact: dict) -> dict[str, dict]:
+    results: dict[str, dict] = {}
+    for name, run in methods.items():
+        t0 = time.time()
+        approx = topk_sets(run())
+        sec = round(time.time() - t0, 1)
+        results[name] = {**recall_stats(approx, exact), "sec": sec}
+        print(f"# {name}: recall@10={results[name]['recall_at_10']}",
+              file=sys.stderr)
+    return results
+
+
+def clustered_fixture(spark, n_clusters: int = 200, per_cluster: int = 10):
+    """Deterministic clustered vectors — the PQ/IVFPQ quality tests'
+    fixture shape at bench scale (2000 vectors, like sf0.1)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(n_clusters, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            v = c + rng.normal(scale=0.01, size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint(eager=False)
+
+
+def lsh_frontier(lsh_topk, emb, queries, exact, n_corpus: int) -> dict:
+    """(planes, tables, probe_bits) grid: one lsh_topk call per point with
+    k=corpus returns EVERY candidate ranked, so recall (rank<=K) and the
+    scanned fraction (candidates / corpus) come from the same job."""
+    points = [
+        (8, 1, 0), (8, 1, 1), (8, 2, 1), (8, 4, 1), (8, 8, 1),
+        (6, 4, 0), (6, 4, 1), (6, 8, 1), (10, 8, 1),
+    ]
+    out = {}
+    for planes, tables, pb in points:
+        t0 = time.time()
+        rows = (
+            lsh_topk(emb, queries, k=n_corpus, dim=64, n_planes=planes,
+                     probe_bits=pb, n_tables=tables)
+            .select("query_id", "neighbor_id", "rank")
+            .collect()
+        )
+        sec = round(time.time() - t0, 1)
+        approx: dict[int, set[int]] = {}
+        n_cand = 0
+        for r in rows:
+            n_cand += 1
+            if r["rank"] <= K:
+                approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        stats = recall_stats(
+            {q: frozenset(s) for q, s in approx.items()}, exact
+        )
+        name = f"planes{planes}_tables{tables}_probe{pb}"
+        out[name] = {
+            **stats,
+            "frac_scanned": round(n_cand / (len(exact) * (n_corpus - 1)), 4),
+            "sec": sec,
+        }
+        print(f"# lsh {name}: recall@10={stats['recall_at_10']} "
+              f"frac={out[name]['frac_scanned']}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_q = int(os.environ.get("SPARK_GRAFT_ANN_QUERIES", "100"))
@@ -48,78 +143,100 @@ def main() -> None:
         brute_force_topk,
         ivf_topk,
         ivfpq_topk,
+        kmeans_codebook,
         lsh_topk,
         pq_topk,
     )
-    from wiki_mysql_spark.operators.similarity import kmeans_codebook
     from wiki_mysql_spark.session import get_session
     from wiki_mysql_spark.sources.tables import load_table
 
     spark = get_session("wiki_mysql_spark-ann-recall")
+
+    def methods_for(emb, queries, book):
+        """The registry's shipped parameterizations + the recorded trades."""
+        return {
+            # the SHIPPED r7 point: 2 OR-amplification tables + multi-probe
+            "ann_topk_lsh": lambda: lsh_topk(
+                emb, queries, k=K, dim=64, n_planes=8, probe_bits=1,
+                n_tables=2,
+            ),
+            "ann_topk_lsh_1table_r6pt": lambda: lsh_topk(
+                emb, queries, k=K, dim=64, n_planes=8, probe_bits=1
+            ),
+            "ann_topk_lsh_single_probe": lambda: lsh_topk(
+                emb, queries, k=K, dim=64, n_planes=8
+            ),
+            "ann_topk_ivf": lambda: ivf_topk(
+                emb, queries, k=K, n_centroids=8, n_probe=3
+            ),
+            "ann_topk_ivf_trained": lambda: ivf_topk(
+                emb, queries, k=K, n_centroids=8, n_probe=3, codebook=book
+            ),
+            "ann_topk_pq": lambda: pq_topk(emb, queries, k=K, m=4, n_centroids=8),
+            # the SHIPPED r7 point: trained coarse, m=8/k'=16 residual codes
+            "ann_topk_ivfpq": lambda: ivfpq_topk(
+                emb, queries, k=K, n_coarse=8, n_probe=3, m=8, n_centroids=16,
+                coarse_iters=2,
+            ),
+            # the r6 point, kept for the recall-history record
+            "ann_topk_ivfpq_untrained_m4k8_r6pt": lambda: ivfpq_topk(
+                emb, queries, k=K, n_coarse=8, n_probe=3, m=4, n_centroids=8,
+                coarse_iters=0,
+            ),
+        }
+
+    sections: dict[str, dict] = {}
+
+    # --- isotropic: the sf fixture --------------------------------------
     emb = load_table(spark, sf_dir, "embeddings")
     n_corpus = emb.count()
     queries = emb.where(F.col("vec_id") < n_q).localCheckpoint(eager=False)
-
     t0 = time.time()
     exact = topk_sets(brute_force_topk(emb, queries, k=K))
-    bruteforce_sec = round(time.time() - t0, 1)
-
-    # the entries' own parameterizations, so the recall describes exactly
-    # what the registry ships; plus one trained-codebook IVF variant
+    iso_bf_sec = round(time.time() - t0, 1)
     book = kmeans_codebook(emb, n_centroids=8, n_iters=2)
-    methods = {
-        "ann_topk_lsh": lambda: lsh_topk(
-            emb, queries, k=K, dim=64, n_planes=8, probe_bits=1
-        ),
-        "ann_topk_lsh_single_probe": lambda: lsh_topk(
-            emb, queries, k=K, dim=64, n_planes=8
-        ),
-        "ann_topk_ivf": lambda: ivf_topk(emb, queries, k=K, n_centroids=8, n_probe=3),
-        "ann_topk_ivf_nprobe2": lambda: ivf_topk(
-            emb, queries, k=K, n_centroids=8, n_probe=2
-        ),
-        "ann_topk_ivf_trained": lambda: ivf_topk(
-            emb, queries, k=K, n_centroids=8, n_probe=3, codebook=book
-        ),
-        "ann_topk_pq": lambda: pq_topk(emb, queries, k=K, m=4, n_centroids=8),
-        "ann_topk_pq_m8k16_variant": lambda: pq_topk(
-            emb, queries, k=K, m=8, n_centroids=16
-        ),
-        "ann_topk_ivfpq": lambda: ivfpq_topk(
-            emb, queries, k=K, n_coarse=8, n_probe=3, m=4, n_centroids=8
-        ),
-        "ann_topk_ivfpq_m8k16_variant": lambda: ivfpq_topk(
-            emb, queries, k=K, n_coarse=8, n_probe=3, m=8, n_centroids=16
-        ),
-    }
-    results: dict[str, dict] = {}
-    for name, run in methods.items():
-        t0 = time.time()
-        approx = topk_sets(run())
-        sec = round(time.time() - t0, 1)
-        per_q = [
-            len(approx.get(q, frozenset()) & exact_set) / K
-            for q, exact_set in exact.items()
-        ]
-        per_q.sort()
-        results[name] = {
-            "recall_at_10": round(sum(per_q) / len(per_q), 4),
-            "recall_p10": round(per_q[len(per_q) // 10], 3),
-            "recall_min": round(per_q[0], 3),
-            "sec": sec,
-        }
-        print(f"# {name}: recall@10={results[name]['recall_at_10']}", file=sys.stderr)
+    sections["isotropic"] = measure(methods_for(emb, queries, book), exact)
+    iso_frontier = lsh_frontier(lsh_topk, emb, queries, exact, n_corpus)
+
+    # --- clustered: the quality-bar fixture ------------------------------
+    cemb = clustered_fixture(spark)
+    cn = cemb.count()
+    cqueries = (
+        cemb.where(F.col("vec_id") % 20 == 0)  # one query per 2nd cluster
+        .limit(n_q)
+        .localCheckpoint(eager=False)
+    )
+    cexact = topk_sets(brute_force_topk(cemb, cqueries, k=K))
+    # coarse k=16 on clustered data so cells hold a few clusters each —
+    # the same shape the ivfpq clustered-recall test pins
+    cbook = kmeans_codebook(cemb, n_centroids=16, n_iters=2)
+
+    cmethods = methods_for(cemb, cqueries, cbook)
+    cmethods["ann_topk_ivf_trained"] = lambda: ivf_topk(
+        cemb, cqueries, k=K, n_probe=3, codebook=cbook
+    )
+    cmethods["ann_topk_ivfpq"] = lambda: ivfpq_topk(
+        cemb, cqueries, k=K, n_coarse=16, n_probe=3, m=8, n_centroids=16,
+        coarse_iters=2,
+    )
+    sections["clustered"] = measure(cmethods, cexact)
+    clu_frontier = lsh_frontier(lsh_topk, cemb, cqueries, cexact, cn)
 
     out = {
         "metric": "ann_recall_at_10",
-        "value": {n: r["recall_at_10"] for n, r in results.items()},
+        "value": {n: r["recall_at_10"] for n, r in sections["isotropic"].items()},
         "unit": "recall",
         "k": K,
         "n_queries": len(exact),
         "n_corpus": n_corpus,
         "sf_dir": sf_dir,
-        "bruteforce_sec": bruteforce_sec,
-        "entries": results,
+        "bruteforce_sec": iso_bf_sec,
+        "entries": sections["isotropic"],
+        "clustered": sections["clustered"],
+        "clustered_fixture": {"n_clusters": 200, "per_cluster": 10,
+                              "scale": 0.01, "seed": 11,
+                              "n_queries": len(cexact)},
+        "lsh_frontier": {"isotropic": iso_frontier, "clustered": clu_frontier},
     }
     print(json.dumps(out))
     if len(sys.argv) > 1:

@@ -352,3 +352,94 @@ def test_ivfpq_candidate_join_is_equi_on_cell(spark):
     plan = _plan("ann_topk_ivfpq", spark)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# Entries whose BroadcastNestedLoopJoin is a DOCUMENTED contract (audited
+# r6, re-measured r7): every one broadcasts a 1-row aggregate (counts,
+# corpus stats), a k-row centroid/ratio/band dim, or — for ann_topk_pq —
+# declares exhaustive ADC over the code table as its contract (the scale
+# shape is ann_topk_ivfpq's cell-bounded equi-join). A NEW name appearing
+# here must come with the same justification in its docstring.
+BNLJ_CONTRACT = {
+    "agg_hll_merge_partitions",
+    "ann_topk_bruteforce",
+    "ann_topk_pq",
+    "corpus_dsir_weights",
+    "corpus_mix_weights",
+    "dedup_sorted_neighborhood",
+    "drift_psi",
+    "graph_triangle_count",
+    "join_cross_dims",
+    "join_range_bands",
+    "profile_histogram",
+    "q11_important_parts",
+    "rag_retrieve_context",
+    "text_bm25_topk",
+    "text_tfidf_keywords",
+    "text_unigram_lm_score",
+}
+
+# Entries with a known-pushable scan predicate: (min scans with non-empty
+# PushedFilters) pinned from the r7 audit — a refactor that silently stops
+# a filter reaching the parquet scan fails here, not in the next round's
+# hand audit. Values are MINIMA so an added pushdown never fails.
+PUSHDOWN_PINNED = {
+    "q1_pricing_summary": 1,
+    "q5_revenue_by_nation": 2,
+    "q3_top_orders_by_segment": 3,
+    "q6_revenue_forecast": 1,
+    "q19_disjunctive_predicates": 2,
+    "q10_returned_items": 4,
+    "q21_waiting_suppliers": 3,
+    "q2_min_cost_supplier": 5,
+    "q20_excess_red_suppliers": 4,
+    "join_theta_residual": 2,
+    "ann_topk_ivf_trained": 2,
+}
+
+
+def test_registry_wide_no_cartesian_and_bnlj_only_by_contract(spark):
+    """r6 verdict next-round item 7: the hand audit of PLANS_r{N}.md
+    ('zero CartesianProduct nodes in all 58 plans; every BNLJ is a
+    broadcast-tiny or documented contract') promoted to CI. Builds EVERY
+    registry entry at the correctness SF and walks its physical plan:
+    a CartesianProduct anywhere, or a BroadcastNestedLoopJoin outside
+    BNLJ_CONTRACT, fails the build that introduced it."""
+    cart, bnlj = {}, {}
+    for name, fn in sorted(QUERIES.items()):
+        try:
+            plan = (
+                fn(spark, SF_CORRECTNESS)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception:
+            # entries needing special fixtures surface their own failures
+            # in their own suites; this guard is about plan shapes
+            continue
+        if "CartesianProduct" in plan:
+            cart[name] = plan.count("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_CONTRACT:
+            bnlj[name] = plan.count("BroadcastNestedLoopJoin")
+    assert not cart, f"CartesianProduct in: {cart}"
+    assert not bnlj, (
+        f"undocumented BroadcastNestedLoopJoin in: {bnlj} — broadcast-tiny "
+        "by design? add to BNLJ_CONTRACT with the justification"
+    )
+
+
+def test_pinned_scan_pushdowns_still_reach_parquet(spark):
+    """Companion to the registry-wide shape guard: for entries with a
+    known-pushable predicate, the number of parquet scans carrying
+    non-empty PushedFilters must not drop below the audited r7 value —
+    the 'filter silently stopped reaching the scan' regression class."""
+    import re
+
+    lost = {}
+    for name, want in PUSHDOWN_PINNED.items():
+        plan = _plan(name, spark)
+        got = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+        if got < want:
+            lost[name] = (got, want)
+    assert not lost, f"pushed-filter scans below pinned minimum: {lost}"

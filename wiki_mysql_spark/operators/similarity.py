@@ -397,16 +397,29 @@ def lsh_topk(
     # every dot product, collapse all signatures to bucket 0, and silently
     # degrade the bucket join into the full corpus-x-queries product this
     # operator exists to avoid — fail loudly instead (one 1-row job)
-    # BOTH inputs get the width probe (one 1-row job each): a mismatched
-    # frame on either side would null-pad zip_with, NULL every dot
-    # product, collapse signatures to bucket 0, and silently degrade the
-    # bucket join toward the full product this operator exists to avoid
-    for side, frame in (("corpus", corpus), ("queries", queries)):
-        probe = frame.select(F.size(F.col(vec_col)).alias("d")).first()
-        if probe is not None and probe["d"] != dim:
+    # BOTH inputs get the width probe (one union job, limit 1 per side):
+    # a mismatched frame on EITHER side would null-pad zip_with, NULL
+    # every dot product, collapse signatures to bucket 0, and silently
+    # degrade the bucket join toward the full product this operator
+    # exists to avoid
+    probe_rows = (
+        corpus.select(
+            F.lit("corpus").alias("side"), F.size(F.col(vec_col)).alias("d")
+        )
+        .limit(1)
+        .unionAll(
+            queries.select(
+                F.lit("queries").alias("side"),
+                F.size(F.col(vec_col)).alias("d"),
+            ).limit(1)
+        )
+        .collect()
+    )
+    for r in probe_rows:
+        if r["d"] != dim:
             raise ValueError(
-                f"lsh_topk: dim={dim} but {side} '{vec_col}' vectors are "
-                f"{probe['d']}-wide"
+                f"lsh_topk: dim={dim} but {r['side']} '{vec_col}' vectors "
+                f"are {r['d']}-wide"
             )
     if probe_bits not in (0, 1):
         raise ValueError("probe_bits: only radius 0 or 1 is implemented")
