@@ -156,6 +156,23 @@ def main() -> None:
                     f"SPARK_GRAFT_DUMP holds {meta.get('n_pages')} pages "
                     f"(per {meta_p}) but the CLI asked for {n_pages}"
                 )
+            # r6 ADVICE: n_pages alone let a dump built with a different
+            # seed (different content → different clean/dedup work) or a
+            # different shard count (different parse parallelism) pass
+            # silently — the reuse must measure what the CLI implies
+            if int(meta.get("seed", 42)) != 42:
+                raise SystemExit(
+                    f"SPARK_GRAFT_DUMP was generated with seed "
+                    f"{meta.get('seed')} (per {meta_p}); reuse requires the "
+                    "default seed 42 so runs measure identical content"
+                )
+            if int(meta.get("shards", 1)) != shards:
+                raise SystemExit(
+                    f"SPARK_GRAFT_DUMP was generated with "
+                    f"{meta.get('shards')} shard(s) (per {meta_p}) but "
+                    f"SPARK_GRAFT_SHARDS={shards} — parse parallelism "
+                    "would not match what this invocation reports"
+                )
         else:
             print(
                 f"# WARNING: no sidecar at {meta_p} — trusting that the "

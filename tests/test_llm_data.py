@@ -366,6 +366,34 @@ def test_embedding_cosine_gate_refuses_large_input(spark):
     ]
 
 
+def test_salt_hash_skips_unhashable_columns(spark):
+    """r6 ADVICE: the deterministic default salt (xxhash64 over the row's
+    columns) must keep working on schemas containing map columns — hash
+    expressions reject MapType, and the all-columns spelling regressed
+    vs the old F.rand default there. Also: a frame with NO hashable
+    column raises the explicit ask-for-salt_source error, not an
+    AnalysisException from inside codegen."""
+    import pytest as _pytest
+
+    from wiki_mysql_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(1, 10, {"a": 1}), (1, 20, {"b": 2}), (2, 30, {"c": 3})],
+        "k int, v int, m map<string,int>",
+    )
+    got = {
+        r["k"]: r["total"]
+        for r in salted_agg(
+            df, "k", {"total": ("v", "sum")}, n_salt=4
+        ).collect()
+    }
+    assert got == {1: 30, 2: 30}
+
+    only_map = df.select("m")
+    with _pytest.raises(ValueError, match="salt_source"):
+        salted_agg(only_map, "m", {"n": ("m", "count")})
+
+
 def test_skew_safe_self_pairs_hot_block_exact(spark):
     """A deliberately hot block (Zipfian first-token key) must route through
     the triangle decomposition and still produce EXACTLY the naive pair set

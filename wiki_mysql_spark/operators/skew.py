@@ -22,10 +22,41 @@ def _salt_hash(df: DataFrame, salt_source: Column | None) -> Column:
     class). Hashing the row's own columns is stable under any recompute;
     the caveat (exact-duplicate rows share a salt, so a hot key made of
     IDENTICAL rows won't spread) is the documented reason to pass an
-    explicit ``salt_source`` with a distinguishing column."""
+    explicit ``salt_source`` with a distinguishing column.
+
+    The hash basis is restricted to xxhash64-HASHABLE column types —
+    MapType (and variant) columns raise AnalysisException inside hash
+    expressions, and the old all-columns spelling made the default salt
+    fail on any schema carrying one, where ``F.rand`` had worked. If NO
+    column is hashable the row content cannot seed a deterministic salt
+    at all: fail loudly and ask for an explicit ``salt_source``."""
     if salt_source is not None:
         return F.xxhash64(salt_source)
-    return F.xxhash64(*[F.col(c) for c in df.columns])
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    try:  # Spark 4's semi-structured type is unhashable too
+        from pyspark.sql.types import VariantType
+        unhashable: tuple = (MapType, VariantType)
+    except ImportError:  # pragma: no cover - older Spark
+        unhashable = (MapType,)
+
+    def hashable(dt) -> bool:
+        # recursive: a map NESTED in a struct/array poisons the hash too
+        if isinstance(dt, unhashable):
+            return False
+        if isinstance(dt, ArrayType):
+            return hashable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(hashable(f.dataType) for f in dt.fields)
+        return True
+
+    cols = [f.name for f in df.schema.fields if hashable(f.dataType)]
+    if not cols:
+        raise ValueError(
+            "salted_agg/salted_join: no xxhash64-hashable columns to derive "
+            "a deterministic salt from — pass salt_source explicitly"
+        )
+    return F.xxhash64(*[F.col(c) for c in cols])
 
 
 def salted_agg(
@@ -43,6 +74,12 @@ def salted_agg(
     key over ``n_salt`` reducers — phase 2 merges per key. count re-merges
     with sum; min/max/sum merge with themselves (all are commutative
     monoids; avg must be decomposed by the caller into sum+count).
+
+    Salt caveat: the default salt hashes the row's own (hashable) columns,
+    so EXACT-duplicate rows collapse onto one salt — a hot key whose rows
+    are identical won't spread. Pass ``salt_source`` (any distinguishing
+    column, e.g. a file/offset or monotonically_increasing_id drawn
+    upstream) for that shape.
     """
     mergers = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
     salt = F.pmod(_salt_hash(df, salt_source), F.lit(n_salt))
@@ -77,6 +114,11 @@ def salted_join(
     of one straggler; the right side pays a x``n_salt`` replication, so use
     this when right is much smaller (but too big / too skew-prone to
     broadcast outright). Result set is identical to a plain inner join.
+
+    Salt caveat: the default salt hashes the left row's own (hashable)
+    columns, so EXACT-duplicate left rows collapse onto one salt and
+    won't spread — pass ``salt_source`` with a distinguishing column for
+    identical-row hot keys.
     """
     salt = F.pmod(_salt_hash(left, salt_source), F.lit(n_salt))
     l = left.withColumn("_salt", salt)

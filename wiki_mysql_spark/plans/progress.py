@@ -47,27 +47,36 @@ def job_progress(
     stop = threading.Event()
     t0 = time.time()
     done_stages: set[int] = set()
+    # stages currently (or recently) seen active -> their task count; a
+    # stage counts as DONE only on the active->inactive transition with
+    # its completed-task count at the task count we saw — counting "in an
+    # active job's stageIds but not active" (the old spelling) marked
+    # never-submitted pending/skipped stages as done and missed stages of
+    # jobs that finished between polls entirely
+    watching: dict[int, int] = {}
 
     def poll() -> None:
         while not stop.wait(interval_sec):
             try:
-                active = tracker.getActiveStageIds()
+                active = set(tracker.getActiveStageIds())
                 lines = []
                 for sid in sorted(active):
                     info = tracker.getStageInfo(sid)
                     if info is None or info.numTasks == 0:
                         continue
+                    watching[sid] = info.numTasks
                     done = info.numCompletedTasks
                     pct = int(100 * done / info.numTasks)
                     lines.append(f"stage {sid}: {done}/{info.numTasks} tasks ({pct}%)")
-                # completed stages accumulate across jobs for the summary
-                for jid in tracker.getActiveJobsIds():
-                    j = tracker.getJobInfo(jid)
-                    if j is not None:
-                        done_stages.update(
-                            s for s in j.stageIds
-                            if s not in set(tracker.getActiveStageIds())
-                        )
+                for sid in [s for s in watching if s not in active]:
+                    info = tracker.getStageInfo(sid)
+                    # info evicted after completion also means the stage
+                    # ran to its end (failed stages re-appear as retries
+                    # under a NEW stage attempt with the same id — still
+                    # one logical stage done when it finally leaves)
+                    if info is None or info.numCompletedTasks >= watching[sid]:
+                        done_stages.add(sid)
+                    watching.pop(sid)
                 if lines:
                     el = time.time() - t0
                     print(
