@@ -31,14 +31,30 @@ from wiki_mysql_spark.sources.tables import load_table
 
 
 def stage_events_as_files(
-    spark: SparkSession, sf_dir: str, *, n_files: int = 4
+    spark: SparkSession, sf_dir: str, *, n_files: int = 4, scale: int = 1
 ) -> tuple[str, DataFrame]:
     """Stage the events fixture as several parquet files so the file stream
     source (maxFilesPerTrigger=1) actually produces several micro-batches —
     one static file would collapse the whole run into a single batch and
     prove nothing about incrementality. Split by hash(event_id) so every
-    batch holds an arbitrary time-slice (out-of-order arrival included)."""
+    batch holds an arbitrary time-slice (out-of-order arrival included).
+
+    ``scale`` unions that many id-shifted copies of the fixture before
+    staging (event_id offset by copy x (max+1); user/type/ts domains
+    UNCHANGED): micro-batches grow by x scale while every state bound
+    stays put — the knob the rate bench uses to size trigger time past
+    the fixed per-batch cost without also inflating the state domain."""
     ev = load_table(spark, sf_dir, "events")
+    if scale > 1:
+        mx = ev.agg(F.max("event_id")).first()[0] or 0
+        copies = [
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * (mx + 1)))
+            for i in range(scale)
+        ]
+        scaled = copies[0]
+        for c in copies[1:]:
+            scaled = scaled.unionAll(c)
+        ev = scaled
     staging = tempfile.mkdtemp(prefix="stream_upsert_src_")
     ev.repartition(n_files, F.col("event_id")).write.mode("overwrite").parquet(staging)
     return staging, ev
