@@ -115,7 +115,14 @@ def _ui_metrics(spark) -> dict:
             (e.get("peakMemoryMetrics", {}).get("JVMHeapMemory", 0) for e in execs),
             default=0,
         )
+        # GC share of task time: the first suspect for a pages/sec dip at
+        # larger dumps (r6 verdict item 4 — 5M→10M dropped 25.5k→23.9k p/s)
+        gc_ms = sum(e.get("totalGCTime", 0) for e in execs)
+        task_ms = sum(e.get("totalDuration", 0) for e in execs)
         return {
+            "gc_time_sec": round(gc_ms / 1000, 1),
+            "task_time_sec": round(task_ms / 1000, 1),
+            "gc_pct_of_task_time": round(100 * gc_ms / task_ms, 2) if task_ms else None,
             "shuffle_write_mb": round(
                 sum(s.get("shuffleWriteBytes", 0) for s in stages) / 1e6, 1
             ),

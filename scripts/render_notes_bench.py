@@ -73,15 +73,45 @@ def main() -> None:
                 )
                 + "."
             )
+            # bandwidth attribution (r6 verdict item 2): entry times on
+            # unchanged code scale with the host's memory bandwidth, which
+            # the CPU calibration probe can't see. When both rounds carry
+            # the membw column, a slower entry is attributed to the
+            # machine if its ratio is within the bandwidth ratio (x1.15
+            # margin); anything beyond that needs a code-level look.
+            bw_now = b.get("membw_gbps_start")
+            bw_prev = p.get("membw_gbps_start")
+            bw_ratio = (bw_prev / bw_now) if bw_now and bw_prev else None
+            if bw_ratio:
+                lines.append(
+                    f"Memory bandwidth: {bw_now:.1f} GB/s now vs "
+                    f"{bw_prev:.1f} GB/s then -> expected same-code "
+                    f"slowdown up to {bw_ratio:.2f}x."
+                )
             regressed = [
                 k for k in shared
-                if q[k] > p["queries"][k] * 1.5 and q[k] - p["queries"][k] > 0.5
+                if q[k] > p["queries"][k] * 1.3 and q[k] - p["queries"][k] > 0.5
             ]
+            def attrib(k: str) -> str:
+                r = q[k] / p["queries"][k]
+                if bw_ratio is None:
+                    return f"{k} {p['queries'][k]:.2f}->{q[k]:.2f}s ({r:.2f}x)"
+                verdict = (
+                    "within bandwidth drift"
+                    if r <= bw_ratio * 1.15
+                    else "EXCEEDS bandwidth drift - inspect code"
+                )
+                return (
+                    f"{k} {p['queries'][k]:.2f}->{q[k]:.2f}s ({r:.2f}x, "
+                    f"{verdict})"
+                )
             lines.append(
-                "Entries >1.5x slower than last round: "
-                + (", ".join(
-                    f"{k} {p['queries'][k]:.2f}->{q[k]:.2f}s" for k in regressed
-                ) if regressed else "none")
+                "Entries >1.3x slower than last round: "
+                + (", ".join(attrib(k) for k in regressed)
+                   if regressed else "none")
+                + ("" if bw_ratio else
+                   " [no membw column in prev round - attribution by "
+                   "same-session re-run]")
                 + "."
             )
     for path in args.correctness:

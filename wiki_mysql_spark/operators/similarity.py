@@ -72,6 +72,27 @@ def _lit_vec(vals: list[float]) -> F.Column:
     return F.array(*[F.lit(float(x)) for x in vals])
 
 
+def _lit_centers(centers: list[tuple[int, list[float]]]) -> F.Column:
+    """Literal ``array<struct<cid:long, v:array<double>>>`` of centroids.
+
+    Scoring k centers via ONE ``transform`` lambda over this array keeps
+    the Catalyst tree O(dim + k) instead of the O(k x dim) forest the
+    per-centroid unrolled spelling built — at m=8 subspaces x k'=16 codes
+    the unrolled PQ training plan spent ~9 s in analysis/codegen on a
+    2k-row fixture (r7 measurement) for math that runs in under a second.
+    The per-element FP op sequence is IDENTICAL (same fold, same rounding),
+    so every oracle replay is unaffected."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                _lit_vec(cv).alias("v"),
+            )
+            for cid, cv in centers
+        ]
+    )
+
+
 def nearest_cells(
     vec: F.Column, centers: list[tuple[int, list[float]]], n_probe: int
 ) -> F.Column:
@@ -79,14 +100,12 @@ def nearest_cells(
     id), against driver-collected literal centers — a per-row expression
     with NO shuffle and no join, the same broadcast-centers pattern Spark
     MLlib's KMeans uses. Returns ``array<long>`` of cell ids."""
-    scored = F.array(
-        *[
-            F.struct(
-                cosine(vec, _lit_vec(cv)).alias("s"),
-                F.lit(-int(cid)).cast("long").alias("negid"),
-            )
-            for cid, cv in centers
-        ]
+    scored = F.transform(
+        _lit_centers(centers),
+        lambda c: F.struct(
+            cosine(vec, c["v"]).alias("s"),
+            (-c["cid"]).alias("negid"),
+        ),
     )
     # struct sort compares (s, negid): ascending by sim then by -id, so the
     # reversed order is sim DESC with ties broken by the LOWER id.
@@ -508,17 +527,17 @@ def _nearest_code_l2(
 ) -> F.Column:
     """Argmin centroid id by ROUNDED squared-L2 (ties -> lower id) against
     literal centers — per-row expression, no join. The rounding is what
-    pins the argmin across engines/summation orders."""
+    pins the argmin across engines/summation orders. One transform lambda
+    over the literal centers array (see :func:`_lit_centers`), not a
+    per-centroid expression forest."""
     from wiki_mysql_spark.functions.vectors import l2_sq
 
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(l2_sq(vec_slice, _lit_vec(cv)), 6).alias("d"),
-                F.lit(int(cid)).cast("long").alias("cid"),
-            )
-            for cid, cv in centers
-        ]
+    scored = F.transform(
+        _lit_centers(centers),
+        lambda c: F.struct(
+            F.round(l2_sq(vec_slice, c["v"]), 6).alias("d"),
+            c["cid"].alias("cid"),
+        ),
     )
     # struct sort ascending by (d, cid): nearest first, ties -> lower id
     return F.array_sort(scored)[0]["cid"]
