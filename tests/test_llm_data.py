@@ -1522,6 +1522,41 @@ def test_lsh_multi_probe_dominates_single_probe(spark):
         lsh_topk(emb, q, k=5, probe_bits=2)
 
 
+def test_lsh_multi_table_dominates_single_table(spark):
+    """OR-amplification (r7): n_tables=2 candidates are a superset of
+    n_tables=1's (table 0 uses the same seed either way), so per query the
+    2-table result has at least as many rows and a rank-1 similarity at
+    least as good; pairs meeting in both tables are deduped (no duplicate
+    (query, neighbor) rows); n_tables=0 is an explicit error."""
+    from collections import Counter
+
+    from wiki_mysql_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    one = lsh_topk(emb, q, k=5, probe_bits=1).collect()
+    two = lsh_topk(emb, q, k=5, probe_bits=1, n_tables=2).collect()
+
+    assert len({(r["query_id"], r["neighbor_id"]) for r in two}) == len(two)
+
+    def best(rows):
+        out = {}
+        for r in rows:
+            cur = out.get(r["query_id"])
+            if cur is None or r["cos_sim"] > cur:
+                out[r["query_id"]] = r["cos_sim"]
+        return out
+
+    b1, b2 = best(one), best(two)
+    n1 = Counter(r["query_id"] for r in one)
+    n2 = Counter(r["query_id"] for r in two)
+    for qid in b1:
+        assert b2[qid] >= b1[qid]
+        assert n2[qid] >= n1[qid]
+    with pytest.raises(ValueError):
+        lsh_topk(emb, q, k=5, n_tables=0)
+
+
 def test_pq_recall_high_on_clustered_data(spark):
     """The ANN recall artifact shows low PQ recall on the near-isotropic
     synthetic fixture — this pins that the limit is the DATA, not the ADC
