@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import os
 import textwrap
 
 import pytest
@@ -117,6 +118,43 @@ def test_bz2_dump_reads_identically(spark, tmp_path):
     a = read_wiki_dump(spark, str(plain)).orderBy("aid").collect()
     b = read_wiki_dump(spark, str(compressed)).orderBy("aid").collect()
     assert a == b and len(a) == 7
+
+
+def test_etl_disk_materialization_identical(spark, tmp_path):
+    """The byte-gated disk materialization (r7 — the 24M-page OOM fix):
+    materialize='disk' stages the raw parse and the cleaned+numbered
+    frame as temp parquet instead of block-manager checkpoints. Results
+    must be byte-identical to the memory path, the scratch dirs must be
+    gone afterwards, and a bogus mode must fail loudly."""
+    import bz2
+
+    import pytest as _pytest
+
+    from wiki_mysql_spark.plans.wiki_pipeline import run_wiki_etl
+
+    dump = tmp_path / "d.xml.bz2"
+    dump.write_bytes(bz2.compress(WIKI_XML.encode()))
+
+    outs = {}
+    for mode in ("memory", "disk"):
+        out = tmp_path / f"out_{mode}"
+        counts = run_wiki_etl(spark, str(dump), str(out), materialize=mode)
+        arts = sorted(
+            map(tuple, spark.read.parquet(f"{out}/articles").collect())
+        )
+        bods = sorted(
+            map(tuple, spark.read.parquet(f"{out}/bodies").collect())
+        )
+        outs[mode] = (counts, arts, bods)
+        assert not [
+            d for d in os.listdir(out) if d.startswith("_mat_")
+        ], "scratch materialization dirs must be cleaned up"
+    assert outs["memory"] == outs["disk"]
+
+    with _pytest.raises(ValueError, match="materialize"):
+        run_wiki_etl(
+            spark, str(dump), str(tmp_path / "out_bad"), materialize="bogus"
+        )
 
 
 def test_fetch_stage_roundtrip(tmp_path):

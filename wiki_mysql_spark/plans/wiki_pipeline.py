@@ -22,6 +22,8 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -42,9 +44,15 @@ def build_wiki_tables(
     invalid_unicodes: tuple[tuple[int, int], ...] = (),
     max_redirect_depth: int = 1024,
     exact_templates: bool = False,
+    materializer=None,
 ) -> tuple[DataFrame, DataFrame]:
     """pages ``(aid, title, ns, text[, redirect_title])`` ->
-    ``(articles, bodies)`` exactly shaped like ``sql/init.sql:5-19``."""
+    ``(articles, bodies)`` exactly shaped like ``sql/init.sql:5-19``.
+
+    ``materializer``: optional ``(df, name) -> df`` that pins the
+    compute-once cleaned+numbered frame somewhere durable (run_wiki_etl
+    passes its byte-gated memory-or-parquet strategy); defaults to the
+    block-manager localCheckpoint."""
     # A dump that arrives as a single split (one modest .bz2 file — Spark's
     # XML source reads a compressed file whole) would serialize every
     # downstream stage; spread it across the cluster once up front. Bytes-
@@ -98,7 +106,11 @@ def build_wiki_tables(
     # (memory, spilling to local disk), so the clean+number subtree runs
     # exactly once per ETL regardless of sink count.
     numbered = dense_ids(article_pages, ["title"], id_col="body_id")
-    numbered = numbered.localCheckpoint(eager=False)
+    numbered = (
+        materializer(numbered, "numbered")
+        if materializer is not None
+        else numbered.localCheckpoint(eager=False)
+    )
     bodies = numbered.select(
         F.col("body_id").alias("id"), F.col("body_text").alias("body")
     )
@@ -124,6 +136,36 @@ def parse_unichr_range(txt: str) -> tuple[int, int]:
     return as_int(lo), as_int(hi)
 
 
+def _heap_bytes(spark) -> int:
+    """The driver JVM's max heap (local mode: the only JVM)."""
+    try:
+        return int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    except Exception:
+        return 8 << 30
+
+
+def _dump_bytes(dump_path: str) -> int:
+    if os.path.isdir(dump_path):
+        return sum(
+            os.path.getsize(os.path.join(dump_path, f))
+            for f in os.listdir(dump_path)
+        )
+    try:
+        return os.path.getsize(dump_path)
+    except OSError:
+        return 0
+
+
+# bz2-compressed wiki text expands ~6-8x; the pipeline holds TWO full-text
+# materializations (raw parse + cleaned/numbered). Past this fraction of
+# the heap, block-manager caching stops being a cache and becomes the
+# allocation pattern that OOMs the executors (measured: 24M pages / 1.3 GB
+# bz2 on an 8 GB heap died in the sink stage; 10M / 543 MB survived but
+# with the heap pinned at its ceiling — the r6 5M->10M p/s dip).
+_MAT_EXPANSION = 8
+_MAT_HEAP_FRACTION = 0.35
+
+
 def run_wiki_etl(
     spark,
     dump_path: str,
@@ -135,6 +177,7 @@ def run_wiki_etl(
     limit: int | None = None,
     splittable: bool = True,
     progress: bool = False,
+    materialize: str = "auto",
     **build_kwargs,
 ) -> dict[str, int]:
     """The full CLI workload (``/root/reference/dbfy.py:254-313`` analog):
@@ -153,7 +196,18 @@ def run_wiki_etl(
 
     ``progress=True`` reports live task progress to stderr while the ETL
     runs — the reference's tqdm bars (``dbfy.py:158,191,231``), Spark-native
-    (`plans/progress.py:job_progress` over StatusTracker telemetry)."""
+    (`plans/progress.py:job_progress` over StatusTracker telemetry).
+
+    ``materialize`` picks where the two full-text compute-once frames (raw
+    parse, cleaned+numbered) live: ``"memory"`` = block-manager
+    localCheckpoint (r6 behavior — fastest while both frames fit),
+    ``"disk"`` = temp parquet under ``out_dir`` (bounded memory: writes
+    stream, re-reads are scan-speed columnar — the stage boundary a real
+    100 TB pipeline puts on durable storage; the corpus is never a heap
+    resident), ``"auto"`` (default) = byte-gated on estimated expanded
+    size vs the JVM heap. Measured necessity: 24M pages (1.3 GB bz2) on
+    an 8 GB heap OOMs in the sink stage under "memory"; 10M survives with
+    the heap pinned at its ceiling — the r6 5M→10M p/s dip."""
     from contextlib import nullcontext
 
     from wiki_mysql_spark.plans.progress import job_progress
@@ -171,17 +225,43 @@ def run_wiki_etl(
         read_wiki_dump_raw_splittable,
     )
 
+    mode = materialize
+    if mode == "auto":
+        est = _dump_bytes(dump_path) * _MAT_EXPANSION * 2
+        mode = (
+            "disk"
+            if est > _MAT_HEAP_FRACTION * _heap_bytes(spark)
+            else "memory"
+        )
+    if mode not in ("memory", "disk"):
+        raise ValueError(
+            f"materialize must be auto|memory|disk, got {materialize!r}"
+        )
+    if materialize == "auto":
+        import sys
+
+        print(f"# wiki-etl materialize: {mode} (auto)", file=sys.stderr)
+    mat_paths: list[str] = []
+
+    def mat(df: DataFrame, name: str) -> DataFrame:
+        if mode == "memory":
+            return df.localCheckpoint(eager=False)
+        path = f"{out_dir}/_mat_{name}"
+        df.write.mode("overwrite").parquet(path)
+        mat_paths.append(path)
+        return spark.read.parquet(path)
+
     # ONE XML parse, materialized once: all three sinks (articles, bodies,
-    # quarantine) plus the corrupt audit read the checkpointed rows — each
+    # quarantine) plus the corrupt audit read the materialized rows — each
     # sink's lineage would otherwise re-tokenize the whole dump (3-4 full
     # parses; the 4th, added for the corrupt audit, measured -18% on the
     # 1M-page throughput benchmark before this refactor)
     reader = read_wiki_dump_raw_splittable if splittable else read_wiki_dump_raw
-    raw = reader(spark, dump_path).localCheckpoint(eager=False)
+    raw = mat(reader(spark, dump_path), "raw")
     pages = project_pages(raw)
     if limit is not None:
         pages = pages.limit(limit)
-    articles, bodies = build_wiki_tables(pages, **build_kwargs)
+    articles, bodies = build_wiki_tables(pages, materializer=mat, **build_kwargs)
     articles, bodies, quarantine = split_quarantine(articles, bodies)
     # structurally-corrupt page records join the quarantine audit (the
     # reference silently drops erroring pages, dbfy.py:142-143); folded
@@ -215,6 +295,13 @@ def run_wiki_etl(
                 user=jdbc_user, password=jdbc_password,
                 create_table_ddl=BODIES_DDL,
             )
+
+    # the temp stage-boundary parquet is scratch, not output: drop it once
+    # every sink (each of which re-read it) has committed
+    for p in mat_paths:
+        import shutil
+
+        shutil.rmtree(p, ignore_errors=True)
 
     return {
         "articles": spark.read.parquet(f"{out_dir}/articles").count(),
@@ -257,6 +344,11 @@ if __name__ == "__main__":  # pragma: no cover — thin CLI (dbfy.py analog)
     p.add_argument("--progress", action="store_true",
                    help="print live task progress to stderr (the "
                         "reference's tqdm bars, Spark-native)")
+    p.add_argument("--materialize", choices=("auto", "memory", "disk"),
+                   default="auto",
+                   help="where the compute-once full-text frames live: "
+                        "block manager (memory), temp parquet (disk), or "
+                        "byte-gated on dump size vs heap (auto, default)")
     args = p.parse_args()
     counts = run_wiki_etl(
         get_session("wiki-etl"),
@@ -267,6 +359,7 @@ if __name__ == "__main__":  # pragma: no cover — thin CLI (dbfy.py analog)
         jdbc_password=args.jdbc_password,
         limit=args.limit,
         progress=args.progress,
+        materialize=args.materialize,
         remove_html=bool(args.remove_html),
         valid_unicodes=tuple(args.valid_unichrs or ()),
         invalid_unicodes=tuple(args.invalid_unichrs or ()),
