@@ -29,6 +29,18 @@ from pyspark.sql import functions as F
 
 _LOW33 = (1 << 33) - 1
 
+# Above this fraction of the JVM heap (by leaf-stats estimate), the layout
+# checkpoint inside dense_ids stores DISK_ONLY instead of the default
+# deserialized memory level — see the comment at the checkpoint site.
+_DISK_LEVEL_HEAP_FRACTION = 0.15
+
+
+def _jvm_max_heap(spark) -> int:
+    try:
+        return int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    except Exception:
+        return 8 << 30
+
 
 # Inputs whose optimizer-estimated size is below this skip the range
 # exchange entirely (see fast path in dense_ids). Generous on purpose:
@@ -101,8 +113,22 @@ def dense_ids(
     # Persist so the count pass and the final projection see the exact same
     # partition layout (repartitionByRange samples range boundaries). Lazy:
     # the counts collect below is the materializing action, so the checkpoint
-    # costs no extra job of its own.
-    tagged = tagged.localCheckpoint(eager=False)
+    # costs no extra job of its own. STORAGE LEVEL is byte-gated: a frame
+    # whose leaves are a large fraction of the heap (the 24M-page wiki ETL's
+    # cleaned text — measured OOM in the sink stage with the default
+    # deserialized MEMORY_AND_DISK level) goes DISK_ONLY, so the layout is
+    # still frozen but the block manager never fights the sort/scan
+    # execution memory for it; the partition layout does not depend on the
+    # storage level, only on the already-sampled range boundaries.
+    from pyspark.storagelevel import StorageLevel
+
+    known_bytes, _ = leaf_bytes(df)
+    heap = _jvm_max_heap(spark)
+    big = known_bytes is not None and known_bytes > _DISK_LEVEL_HEAP_FRACTION * heap
+    tagged = tagged.localCheckpoint(
+        eager=False,
+        storageLevel=StorageLevel.DISK_ONLY if big else None,
+    )
 
     counts = (
         tagged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).orderBy("_pid").collect()
