@@ -242,12 +242,19 @@ def run_wiki_etl(
 
         print(f"# wiki-etl materialize: {mode} (auto)", file=sys.stderr)
     mat_paths: list[str] = []
+    # big-dump runs bound the PER-TASK parquet writer buffer (see
+    # sinks.write_parquet): 32 concurrent text writers at the 128 MB
+    # default row group OOMed the 8 GB local[32] heap at 24M pages
+    rg_bytes = (32 << 20) if mode == "disk" else None
 
     def mat(df: DataFrame, name: str) -> DataFrame:
         if mode == "memory":
             return df.localCheckpoint(eager=False)
         path = f"{out_dir}/_mat_{name}"
-        df.write.mode("overwrite").parquet(path)
+        w = df.write.mode("overwrite")
+        if rg_bytes:
+            w = w.option("parquet.block.size", str(rg_bytes))
+        w.parquet(path)
         mat_paths.append(path)
         return spark.read.parquet(path)
 
@@ -280,9 +287,9 @@ def run_wiki_etl(
         job_progress(spark, "wiki-etl") if progress else nullcontext()
     )
     with reporter:
-        write_parquet(articles, f"{out_dir}/articles")
-        write_parquet(bodies, f"{out_dir}/bodies")
-        write_parquet(quarantine, f"{out_dir}/quarantine")
+        write_parquet(articles, f"{out_dir}/articles", row_group_bytes=rg_bytes)
+        write_parquet(bodies, f"{out_dir}/bodies", row_group_bytes=rg_bytes)
+        write_parquet(quarantine, f"{out_dir}/quarantine", row_group_bytes=rg_bytes)
 
         if jdbc_url:
             write_jdbc(

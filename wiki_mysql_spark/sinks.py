@@ -96,6 +96,7 @@ def write_parquet(
     mode: str = "overwrite",
     compression: str = "zstd",
     max_records_per_file: int | None = None,
+    row_group_bytes: int | None = None,
 ) -> None:
     """Columnar write for the analytic tier.
 
@@ -106,11 +107,21 @@ def write_parquet(
       * ``max_records_per_file`` caps file size so downstream scans
         parallelize (target 128 MB-1 GB files);
       * zstd: ~parquet-snappy read speed at notably better ratio — at
-        100 TB the storage/scan-IO delta is the whole game.
+        100 TB the storage/scan-IO delta is the whole game;
+      * ``row_group_bytes`` (parquet.block.size) bounds the PER-TASK writer
+        buffer: every concurrent writer holds ~one row group in memory, so
+        n_writers x block_size must fit the executor heap alongside the
+        scan. The 128 MB default is right for numeric fact tables; for
+        wide-text tables written by many concurrent tasks on small
+        per-task budgets (local[32] on one 8 GB heap = ~250 MB/task — the
+        24M-page ETL's measured writer OOM) 32 MB keeps the same files,
+        scan parallelism, and compression at a quarter of the buffer.
     """
     w = df.write.mode(mode).option("compression", compression)
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if row_group_bytes:
+        w = w.option("parquet.block.size", str(row_group_bytes))
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
