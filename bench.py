@@ -109,19 +109,18 @@ def _cpu_jiffies() -> tuple[int, int]:
 
 
 def _membw_gbps() -> float:
-    """STREAM-triad-style memory-bandwidth probe (r6 verdict What's-wrong
-    #2): the CPU-bound calibration probe stayed flat (within 7%) across
+    """STREAM-COPY memory-bandwidth probe (r6 verdict What's-wrong #2):
+    the CPU-bound calibration probe stayed flat (within 7%) across
     host windows where per-entry times on UNCHANGED code swung up to
     ~1.8x — the shuffle/scan-heavy entries are bandwidth-bound, and
     noisy-neighbor bandwidth contention is invisible to a
-    cache-resident CPU probe. numpy triad ``a = b + 3.0*c`` over 16M
-    float64 (3 x 128 MB per pass — far past any LLC), best of 5 passes:
-    'best observed' is this window's bandwidth ceiling, so a depressed
-    value vs another round's makes a same-code per-entry delta
-    attributable to the machine, mechanically. The kernel is STREAM's
-    COPY (16 bytes/element — one read + one write, no temporaries, so
-    the byte accounting is exact; numpy's triad would hide an unfused
-    temp array)."""
+    cache-resident CPU probe. The kernel is STREAM's COPY over 16M
+    float64 (2 x 128 MB per pass — far past any LLC; 16 bytes/element,
+    one read + one write, no temporaries, so the byte accounting is
+    exact — numpy's triad would hide an unfused temp array), best of 5
+    passes: 'best observed' is this window's bandwidth ceiling, so a
+    depressed value vs another round's makes a same-code per-entry
+    delta attributable to the machine, mechanically."""
     import numpy as np
 
     n = 16_000_000

@@ -1631,3 +1631,41 @@ def test_ivfpq_recall_high_on_clustered_data(spark):
         len(approx.get(qid, set()) & s) / k for qid, s in exact.items()
     ]
     assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_codebook_driver_and_distributed_paths_agree(spark):
+    """The driver_train_bytes byte gate picks the PHYSICAL training
+    strategy only (the FAISS sample-training posture under the gate, the
+    distributed Lloyd/PQ jobs past it): both paths must produce the SAME
+    codebooks and the same IVFADC output on one fixture — the empirical
+    backing for the numpy-twin bit-equality argument (dimension-ordered
+    folds + HALF_UP round twin, functions/vectors.py)."""
+    from wiki_mysql_spark.operators.similarity import (
+        ivfpq_topk,
+        kmeans_codebook,
+        pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    k_driver = kmeans_codebook(emb, n_centroids=8, n_iters=2)
+    k_dist = kmeans_codebook(emb, n_centroids=8, n_iters=2, driver_train_bytes=0)
+    assert k_driver == k_dist
+
+    b_driver = pq_codebooks(emb, m=8, n_centroids=16)
+    b_dist = pq_codebooks(emb, m=8, n_centroids=16, driver_train_bytes=0)
+    assert b_driver == b_dist
+
+    q = emb.where(F.col("vec_id") < 3)
+    out_driver = sorted(
+        map(tuple, ivfpq_topk(emb, q, k=5, n_coarse=8, n_probe=2).collect())
+    )
+    out_dist = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                emb, q, k=5, n_coarse=8, n_probe=2, driver_train_bytes=0
+            ).collect(),
+        )
+    )
+    assert out_driver == out_dist

@@ -83,6 +83,47 @@ def seq_norm_np(A):
     return np.sqrt(acc)
 
 
+def seq_l2sq_np(A, B):
+    """Dimension-ordered accumulation twin of :func:`l2_sq`: acc +=
+    (a_k - b_k)*(a_k - b_k) one dimension at a time, the same IEEE op
+    sequence per element as the sequential ``aggregate()`` fold."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    for k in range(A.shape[1]):
+        d = np.subtract.outer(A[:, k], B[:, k])
+        acc += d * d
+    return acc
+
+
+def round6_half_up_np(x):
+    """Twin of ``F.round(x, 6)`` / DuckDB ``round(x, 6)`` (HALF_UP — away
+    from zero at the .5 boundary), computed as ``floor(|x|*1e6 + 0.5)/1e6``
+    on doubles. This is the same double-multiply method DuckDB's round
+    uses, so the twin is at least as close to the oracle as Spark's
+    BigDecimal-string spelling is (those two already differ in method and
+    agree empirically); a disagreement needs ``|x|*1e6`` within an ulp of
+    an exact .5 boundary AND a near-tie between the candidates being
+    compared — the 4-SF hash-parity sweeps are the empirical check."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
+def pack_any_np(values, element_type: str):
+    """Row-pack vectors honoring the STORAGE type: float32 storage takes
+    the :func:`pack_rows_np` widening trip (matching ``_as_double``);
+    double storage loads as float64 directly — a float32 round-trip there
+    would TRUNCATE values the JVM folds see at full width."""
+    import numpy as np
+
+    if element_type == "float":
+        return pack_rows_np(values)
+    return np.array(
+        [np.asarray(v, dtype=np.float64) for v in values], dtype=np.float64
+    )
+
+
 def pack_rows_np(values):
     """Row-pack a sequence of vectors as float32 then cast to float64 —
     exactly the storage->compute widening ``_as_double`` applies before

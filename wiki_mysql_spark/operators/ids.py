@@ -49,6 +49,24 @@ def _jvm_max_heap(spark) -> int:
 _SMALL_SORT_BYTES = 64 << 20
 
 
+def _probed_bytes_estimate(df: DataFrame, sample_rows: int = 100_000) -> int:
+    """Total-bytes estimate for an unknown-stats frame: exact summed row
+    widths when the frame fits in the sample cap, else mean sampled width
+    x an exact count. Two bounded jobs; call only on frames that are
+    already materialized (checkpoint blocks), so neither re-runs the
+    upstream DAG."""
+    from wiki_mysql_spark.sources.tables import _row_bytes_estimate
+
+    probe = df.limit(sample_rows + 1).select(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(F.sum(_row_bytes_estimate(df)), F.lit(0)).alias("_bytes"),
+    ).collect()[0]
+    n, b = int(probe["_n"]), int(probe["_bytes"])
+    if n <= sample_rows:
+        return b
+    return int(b / n * df.count())
+
+
 def dense_ids(
     df: DataFrame,
     order_by: list[str | Column],
@@ -122,7 +140,15 @@ def dense_ids(
     # storage level, only on the already-sampled range boundaries.
     from pyspark.storagelevel import StorageLevel
 
-    known_bytes, _ = leaf_bytes(df)
+    known_bytes, unknown = leaf_bytes(df)
+    if unknown:
+        # Checkpoint/RDD-backed frames report no leaf stats — exactly the
+        # wiki-pipeline frames this gate exists for (a `--materialize
+        # memory` run on a big dump must still get DISK_ONLY here, or the
+        # sink-stage OOM returns). The frame was eagerly localCheckpointed
+        # above (or arrived checkpoint-backed), so a sampled-width x count
+        # estimate reads materialized blocks, not the upstream DAG.
+        known_bytes = _probed_bytes_estimate(df)
     heap = _jvm_max_heap(spark)
     big = known_bytes is not None and known_bytes > _DISK_LEVEL_HEAP_FRACTION * heap
     tagged = tagged.localCheckpoint(

@@ -134,6 +134,134 @@ def derived_n_centroids(
     return max(k_min, min(k_max, math.ceil(n_rows / float(target_cell_rows))))
 
 
+# ---------------------------------------------------------------------------
+# Driver-side codebook training (byte-gated).
+#
+# Real billion-vector systems do NOT train their quantizers distributed over
+# the full corpus: FAISS trains coarse and PQ codebooks on a bounded training
+# sample on one node, then encodes the corpus with the frozen codebooks. The
+# gate below mirrors that: when the (id, vector) projection fits
+# _DRIVER_TRAIN_BYTES, ONE collect pulls the training set and the Lloyd /
+# PQ iterations run as numpy twins of the distributed expressions (same
+# dimension-ordered IEEE fold as functions/vectors.py, same ties→lower-id
+# argmax/argmin, same 6-decimal HALF_UP rounding via round6_half_up_np) —
+# replacing a cascade of small Spark jobs whose Catalyst analysis of
+# k × dim literal trees cost more than the math (measured: 8 s for two
+# 8-center Lloyd passes over 2k rows; 3.7 s ANALYSIS for one m=8/k'=16
+# encode projection). Past the gate, the distributed trainers below run —
+# identical semantics (the data picks the physical strategy), pinned by
+# tests comparing both paths on one fixture.
+# ---------------------------------------------------------------------------
+
+_DRIVER_TRAIN_BYTES = 64 << 20
+
+
+def _elem_type(df: DataFrame, vec_col: str) -> str:
+    return df.schema[vec_col].dataType.elementType.simpleString()
+
+
+def _fits_driver(df: DataFrame, id_col: str, vec_col: str, max_bytes: int) -> bool:
+    from wiki_mysql_spark.sources.tables import is_small_input
+
+    return is_small_input(
+        df.select(id_col, vec_col), max_bytes=max_bytes
+    )
+
+
+def _collect_vectors(df: DataFrame, id_col: str, vec_col: str):
+    """ONE bounded collect of (id, vector), id-ascending; float32 storage
+    takes the same widening trip as ``_as_double`` (pack_any_np)."""
+    import numpy as np
+
+    from wiki_mysql_spark.functions.vectors import pack_any_np
+
+    elem = _elem_type(df, vec_col)
+    rows = df.select(
+        F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v")
+    ).collect()
+    rows.sort(key=lambda r: r.i)
+    ids = np.array([r.i for r in rows], dtype=np.int64)
+    V = pack_any_np([r.v for r in rows], elem) if rows else np.empty((0, 0))
+    return ids, V
+
+
+def _assign_cells_np(V, centers):
+    """Row-wise argmax-cosine CENTER INDEX against cid-sorted centers —
+    numpy first-max == the ties→lower-cid rule of :func:`nearest_cells`;
+    cosine via the dimension-ordered folds of functions/vectors.py."""
+    import numpy as np
+
+    from wiki_mysql_spark.functions.vectors import seq_dot_np, seq_norm_np
+
+    C = np.array([cv for _, cv in centers], dtype=np.float64)
+    cos = seq_dot_np(V, C) / np.multiply.outer(seq_norm_np(V), seq_norm_np(C))
+    return np.argmax(cos, axis=1)
+
+
+def _kmeans_np(ids, V, n_centroids: int, n_iters: int):
+    """Driver twin of the distributed Lloyd loop in :func:`kmeans_codebook`:
+    seeds = first n vectors by id, assignment = cosine argmax (ties→lower
+    id), update = per-position mean rounded HALF_UP to 6; empty cells drop
+    (GROUP BY semantics). Mean summation is numpy's — a different
+    association order than Spark's partial-Average merge, itself already
+    partition-order-dependent; both land on the same value after the
+    6-decimal round except at ulp-of-a-.5-boundary cases (the class the
+    4-SF hash sweeps check empirically)."""
+    from wiki_mysql_spark.functions.vectors import round6_half_up_np
+
+    n = min(n_centroids, len(ids))
+    centers = [(int(ids[i]), [float(x) for x in V[i]]) for i in range(n)]
+    for _ in range(n_iters):
+        best = _assign_cells_np(V, centers)
+        new = []
+        for j, (cid, _) in enumerate(centers):
+            mask = best == j
+            if not mask.any():
+                continue
+            mean = V[mask].sum(axis=0) / int(mask.sum())
+            new.append((cid, [float(x) for x in round6_half_up_np(mean)]))
+        centers = new
+    return centers
+
+
+def _pq_assign_np(S, book):
+    """Row-wise argmin CODE INDEX by 6-rounded squared-L2 against a
+    cid-sorted book — the numpy twin of :func:`_nearest_code_l2`."""
+    import numpy as np
+
+    from wiki_mysql_spark.functions.vectors import (
+        round6_half_up_np,
+        seq_l2sq_np,
+    )
+
+    C = np.array([cv for _, cv in book], dtype=np.float64)
+    return np.argmin(round6_half_up_np(seq_l2sq_np(S, C)), axis=1)
+
+
+def _pq_train_np(ids, R, m: int, n_centroids: int, dim: int):
+    """Driver twin of :func:`pq_codebooks`: per subspace, seeds = first-n
+    slices by id, ONE Lloyd iteration under rounded squared-L2, means
+    rounded HALF_UP to 6, empty cells drop."""
+    from wiki_mysql_spark.functions.vectors import round6_half_up_np
+
+    subdim = dim // m
+    nseed = min(n_centroids, len(ids))
+    books = []
+    for s in range(m):
+        S = R[:, s * subdim : (s + 1) * subdim]
+        seeds = [(int(ids[i]), [float(x) for x in S[i]]) for i in range(nseed)]
+        best = _pq_assign_np(S, seeds)
+        book = []
+        for j, (cid, _) in enumerate(seeds):
+            mask = best == j
+            if not mask.any():
+                continue
+            mean = S[mask].sum(axis=0) / int(mask.sum())
+            book.append((cid, [float(x) for x in round6_half_up_np(mean)]))
+        books.append(book)
+    return books
+
+
 # Above this center count, the literal-expression argmax (k structs x a
 # 64-literal cosine each, all inlined into one projection) stops being the
 # fast path: Catalyst analysis + interpreted eval cost grows with the
@@ -223,6 +351,7 @@ def kmeans_codebook(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    driver_train_bytes: int = _DRIVER_TRAIN_BYTES,
 ) -> list[tuple[int, list[float]]]:
     """Train a coarse-quantizer codebook with Lloyd k-means, distributed the
     way MLlib does it: centers live on the driver (tiny — k × dim doubles)
@@ -235,7 +364,26 @@ def kmeans_codebook(
     deterministic across engines and summation orders (the DuckDB oracle
     replays the identical iterations in SQL). A cell that captures no
     vectors drops out, matching the SQL semantics.
+
+    Byte-gated physical strategy: under ``driver_train_bytes`` the corpus
+    is collected ONCE and the iterations run as numpy twins on the driver
+    (the FAISS posture — quantizers train on a bounded sample; see the
+    driver-training comment block above); past the gate the distributed
+    Lloyd below runs. Semantics identical either way (test-pinned).
     """
+    # round6_half_up_np is the scale-6 twin; other digits take the
+    # distributed spelling (no current caller asks for one)
+    if (
+        round_digits == 6
+        and driver_train_bytes
+        and _fits_driver(corpus, id_col, vec_col, driver_train_bytes)
+    ):
+        ids, V = _collect_vectors(corpus, id_col, vec_col)
+        if len(ids) == 0:
+            raise ValueError(
+                "kmeans_codebook: corpus is empty — cannot seed any centroid"
+            )
+        return _kmeans_np(ids, V, n_centroids, n_iters)
     # first n_centroids rows BY ID ORDER (not `id < n`, which silently
     # under-seeds a corpus with sparse/offset ids); cent_id keeps the seed
     # row's id value — on dense 0-based ids this is byte-identical to the
@@ -412,10 +560,6 @@ def lsh_topk(
     meet in several tables, so candidates are deduped on
     (query_id, neighbor_id) AFTER scoring — the dedup shuffle carries
     only (long, long, double) rows, never the vectors."""
-    # one-row width probe: a dim mismatch would null-pad zip_with, NULL
-    # every dot product, collapse all signatures to bucket 0, and silently
-    # degrade the bucket join into the full corpus-x-queries product this
-    # operator exists to avoid — fail loudly instead (one 1-row job)
     # BOTH inputs get the width probe (one union job, limit 1 per side):
     # a mismatched frame on EITHER side would null-pad zip_with, NULL
     # every dot product, collapse signatures to bucket 0, and silently
@@ -551,6 +695,7 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    driver_train_bytes: int = _DRIVER_TRAIN_BYTES,
 ) -> list[list[tuple[int, list[float]]]]:
     """Train one sub-codebook per subspace: seeds are the first
     ``n_centroids`` corpus vectors' slices, refined by ONE Lloyd
@@ -562,7 +707,17 @@ def pq_codebooks(
     train in ONE fused job (each row emits m (subspace, cell, slice)
     structs; the update groups on (subspace, cell, pos)) — the per-
     subspace spelling cost m sequential job barriers for identical
-    math."""
+    math. Byte-gated like :func:`kmeans_codebook`: under
+    ``driver_train_bytes`` the slices train as numpy twins on the
+    driver (FAISS trains PQ books on a bounded sample); past it, the
+    fused distributed job below runs."""
+    if driver_train_bytes and _fits_driver(corpus, id_col, vec_col, driver_train_bytes):
+        ids, V = _collect_vectors(corpus, id_col, vec_col)
+        if len(ids) == 0:
+            raise ValueError(
+                "pq_codebooks: corpus is empty — cannot seed any codebook centroid"
+            )
+        return _pq_train_np(ids, V, m, n_centroids, dim)
     subdim = dim // m
     # seed from the first n_centroids rows BY ID ORDER, not `id < n`: a
     # corpus whose ids don't cover 0..n-1 (post-filter slices, sparse ids)
@@ -616,6 +771,123 @@ def pq_codebooks(
     return [sorted(b) for b in books]
 
 
+def with_pq_codes(
+    df: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    *,
+    vec_col: str,
+    dim: int,
+    prefix: str = "c",
+) -> DataFrame:
+    """Attach the ``m`` per-subspace PQ code columns (6-rounded squared-L2
+    argmin, ties → lower cid) in ONE Arrow-blocked pass — the vectorized
+    twin of the ``_nearest_code_l2`` literal projection (same
+    dimension-ordered fold via seq_l2sq_np, same HALF_UP rounding twin).
+    The literal spelling pays Catalyst analysis + codegen proportional to
+    the m × k' × subdim inlined literals — measured 3.7 s ANALYSIS plus
+    2.5 s single-partition interpreted eval for m=8/k'=16 over 2k rows,
+    for math numpy does in milliseconds; at 100 TB the per-row interpreted
+    HOF eval is the wrong shape anyway. Self-spreads (map_in_pandas_spread)."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from wiki_mysql_spark.functions.vectors import pack_any_np
+    from wiki_mysql_spark.sources.tables import map_in_pandas_spread
+
+    m = len(books)
+    subdim = dim // m
+    elem = _elem_type(df, vec_col)
+    books = [sorted((int(c), [float(x) for x in v]) for c, v in b) for b in books]
+    bids = [np.array([c for c, _ in b], dtype=np.int64) for b in books]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(f"{prefix}{s}", LongType()) for s in range(m)]
+    )
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf) == 0:
+                for s in range(m):
+                    out[f"{prefix}{s}"] = pd.Series([], dtype="int64")
+                yield out
+                continue
+            A = pack_any_np(pdf[vec_col], elem)
+            for s in range(m):
+                S = A[:, s * subdim : (s + 1) * subdim]
+                out[f"{prefix}{s}"] = bids[s][_pq_assign_np(S, books[s])]
+            yield out
+
+    return map_in_pandas_spread(df, _enc, out_schema)
+
+
+def _ivfpq_encode(
+    corpus: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """The IVFADC corpus encode as ONE Arrow pass: coarse-cell assignment
+    (cosine argmax twin of :func:`nearest_cells`), residual vs the
+    assigned centroid (elementwise ``cv - centv``, the zip_with twin), and
+    the m residual-PQ codes (:func:`_pq_assign_np`). Returns
+    ``(nid, cv, cell, c0..c{m-1})`` — raw vectors ride through untouched
+    for the exact-cosine verifier column. Replaces a literal-expression
+    cascade whose Catalyst analysis alone outweighed the math; the Arrow
+    pass is scan-speed and is the per-row shape a 100 TB encode wants."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from wiki_mysql_spark.functions.vectors import pack_any_np
+    from wiki_mysql_spark.sources.tables import map_in_pandas_spread
+
+    m = len(books)
+    subdim = dim // m
+    coarse = sorted((int(c), [float(x) for x in v]) for c, v in coarse)
+    coarse_ids = np.array([c for c, _ in coarse], dtype=np.int64)
+    Cc = np.array([cv for _, cv in coarse], dtype=np.float64)
+    books = [sorted((int(c), [float(x) for x in v]) for c, v in b) for b in books]
+    bids = [np.array([c for c, _ in b], dtype=np.int64) for b in books]
+    elem = _elem_type(corpus, vec_col)
+    src = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv"))
+    out_schema = StructType(
+        list(src.schema.fields)
+        + [StructField("cell", LongType())]
+        + [StructField(f"c{s}", LongType()) for s in range(m)]
+    )
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf) == 0:
+                out["cell"] = pd.Series([], dtype="int64")
+                for s in range(m):
+                    out[f"c{s}"] = pd.Series([], dtype="int64")
+                yield out
+                continue
+            A = pack_any_np(pdf["cv"], elem)
+            idx = _assign_cells_np(A, coarse)
+            out["cell"] = coarse_ids[idx]
+            R = A - Cc[idx]
+            for s in range(m):
+                S = R[:, s * subdim : (s + 1) * subdim]
+                out[f"c{s}"] = bids[s][_pq_assign_np(S, books[s])]
+            yield out
+
+    return map_in_pandas_spread(src, _enc, out_schema)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -643,13 +915,13 @@ def pq_topk(
     books = pq_codebooks(
         corpus, m=m, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, dim=dim
     )
-    codes = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        *[
-            _nearest_code_l2(_slice_col(vec_col, s, subdim), books[s]).alias(f"c{s}")
-            for s in range(m)
-        ],
+    codes = with_pq_codes(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        books,
+        vec_col="cv",
+        dim=dim,
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     pairs = F.broadcast(q).join(codes, F.col("query_id") != F.col("neighbor_id"))
@@ -798,6 +1070,7 @@ def ivfpq_topk(
     dim: int = 64,
     coarse_codebook: list[tuple[int, list[float]]] | None = None,
     coarse_iters: int = 2,
+    driver_train_bytes: int = _DRIVER_TRAIN_BYTES,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011, §IV — the billion-vector index shape):
     coarse cells bound the candidate set, PQ codes of the RESIDUAL compress
@@ -843,20 +1116,80 @@ def ivfpq_topk(
     not vectors. Exact cosine is attached to every returned pair (the ANN
     family's verifier invariant)."""
     subdim = dim // m
-    if coarse_codebook is None:
-        # kmeans_codebook with n_iters=0 returns exactly the first-k-by-id
-        # seeds, so coarse_iters=0 IS the r6 untrained operating point —
-        # one code path, two operating points
-        coarse_codebook = kmeans_codebook(
-            corpus,
-            n_centroids=n_coarse,
-            n_iters=coarse_iters,
-            id_col=id_col,
-            vec_col=vec_col,
+    if driver_train_bytes and _fits_driver(corpus, id_col, vec_col, driver_train_bytes):
+        # driver training path (see the byte-gate comment block above):
+        # ONE collect feeds coarse Lloyd, residuals, AND residual-PQ
+        # training as numpy twins — the distributed spelling below ran
+        # the same math as a cascade of six tiny jobs whose Catalyst
+        # analysis dominated (12.4 s at sf0.1, the r7 registry's
+        # slowest entry; this path + the fused Arrow encode is ~4x).
+        import numpy as np
+
+        ids, V = _collect_vectors(corpus, id_col, vec_col)
+        if len(ids) == 0:
+            raise ValueError("ivfpq_topk: corpus is empty — cannot seed cells")
+        if coarse_codebook is None:
+            # _kmeans_np with n_iters=0 returns exactly the first-k-by-id
+            # seeds, so coarse_iters=0 IS the r6 untrained operating
+            # point — one code path, two operating points
+            coarse_codebook = _kmeans_np(ids, V, n_coarse, coarse_iters)
+        coarse = sorted(coarse_codebook)
+        if not coarse:
+            raise ValueError("ivfpq_topk: coarse codebook is empty")
+        Cc = np.array([cv for _, cv in coarse], dtype=np.float64)
+        books = _pq_train_np(
+            ids, V - Cc[_assign_cells_np(V, coarse)], m, n_centroids, dim
         )
-    coarse = sorted(coarse_codebook)
-    if not coarse:
-        raise ValueError("ivfpq_topk: coarse codebook is empty")
+    else:
+        if coarse_codebook is None:
+            coarse_codebook = kmeans_codebook(
+                corpus,
+                n_centroids=n_coarse,
+                n_iters=coarse_iters,
+                id_col=id_col,
+                vec_col=vec_col,
+                driver_train_bytes=driver_train_bytes,
+            )
+        coarse = sorted(coarse_codebook)
+        if not coarse:
+            raise ValueError("ivfpq_topk: coarse codebook is empty")
+        rescmap = F.create_map(
+            *[
+                x
+                for cid, cv in coarse
+                for x in (F.lit(int(cid)).cast("long"), _lit_vec(cv))
+            ]
+        )
+        rescorp = (
+            corpus.select(
+                F.col(id_col).alias("nid"),
+                F.col(vec_col).alias("cv"),
+                F.element_at(
+                    nearest_cells(F.col(vec_col), coarse, 1), 1
+                ).alias("cell"),
+            )
+            .withColumn(
+                "rv",
+                F.zip_with(
+                    F.col("cv").cast("array<double>"),
+                    F.element_at(rescmap, F.col("cell")),
+                    lambda x, y: x - y,
+                ),
+            )
+            # one materialization: PQ training reads the residuals once
+            # (the encode below recomputes cell+residual inside its own
+            # Arrow pass, so nothing else consumes this frame)
+            .localCheckpoint(eager=False)
+        )
+        books = pq_codebooks(
+            rescorp,
+            m=m,
+            n_centroids=n_centroids,
+            id_col="nid",
+            vec_col="rv",
+            dim=dim,
+            driver_train_bytes=driver_train_bytes,
+        )
     cmap = F.create_map(
         *[
             x
@@ -864,34 +1197,8 @@ def ivfpq_topk(
             for x in (F.lit(int(cid)).cast("long"), _lit_vec(cv))
         ]
     )
-
-    residual = F.zip_with(
-        F.col("cv").cast("array<double>"),
-        F.element_at(cmap, F.col("cell")),
-        lambda x, y: x - y,
-    )
-    rescorp = (
-        corpus.select(
-            F.col(id_col).alias("nid"),
-            F.col(vec_col).alias("cv"),
-            F.element_at(nearest_cells(F.col(vec_col), coarse, 1), 1).alias("cell"),
-        )
-        .withColumn("rv", residual)
-        # one materialization: reused by PQ training (m x k x subdim partial
-        # sums), encoding, and the candidate join's build side
-        .localCheckpoint(eager=False)
-    )
-    books = pq_codebooks(
-        rescorp, m=m, n_centroids=n_centroids, id_col="nid", vec_col="rv", dim=dim
-    )
-    codes = rescorp.select(
-        "nid",
-        "cv",
-        "cell",
-        *[
-            _nearest_code_l2(_slice_col("rv", s, subdim), books[s]).alias(f"c{s}")
-            for s in range(m)
-        ],
+    codes = _ivfpq_encode(
+        corpus, coarse, books, id_col=id_col, vec_col=vec_col, dim=dim
     )
 
     probes = queries.select(

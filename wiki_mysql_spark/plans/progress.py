@@ -51,8 +51,11 @@ def job_progress(
     # stage counts as DONE only on the active->inactive transition with
     # its completed-task count at the task count we saw — counting "in an
     # active job's stageIds but not active" (the old spelling) marked
-    # never-submitted pending/skipped stages as done and missed stages of
-    # jobs that finished between polls entirely
+    # never-submitted pending/skipped stages as done. Counted = stages
+    # OBSERVED active in at least one poll: a stage that submits and
+    # completes entirely inside one poll interval never enters `watching`
+    # and is absent from the "N stages done" total (a progress-display
+    # undercount only, acceptable at the 1 s default interval).
     watching: dict[int, int] = {}
 
     def poll() -> None:
