@@ -66,6 +66,7 @@ HEADLINE = [
     # round-6: the IVF+PQ composition (cell-bounded ADC), and the fuzzy
     # family's distinct-name contraction (the r5 scale-killer fix)
     "ann_topk_ivfpq",
+    "ann_index_query",
     "dedup_fuzzy_clusters",
 ]
 

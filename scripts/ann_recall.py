@@ -17,9 +17,15 @@ artifact with three sections:
     fixture (200 tight clusters x 10 members — the regime real embedding
     corpora live in, and the one the quality bar is set against);
   * ``lsh_frontier`` — the (n_planes x n_tables x probe_bits) trade
-    measured on BOTH fixtures, with the fraction of the corpus each
-    point actually scanned per query (candidates / corpus), so the
-    chosen default is a recorded trade, not a guess.
+    measured on BOTH fixtures, with TWO scan fractions per point:
+    ``frac_distinct_pairs`` (deduped candidate pairs — the output-side
+    cost) and ``frac_scored_rows`` (pre-dedup — what the executors
+    actually score; for multi-table points a pair meeting in several
+    tables is scored once per table), so the chosen default is a
+    recorded trade, not a guess;
+  * ``ivfpq_frontier`` — the (n_coarse x n_probe) trade at the shipped
+    m=8/k'=16 code width on BOTH fixtures with per-point scanned
+    fractions (r7 verdict: LSH got a frontier, ivfpq shipped one point).
 
     python scripts/ann_recall.py [out.json]
     # honors SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
@@ -95,15 +101,66 @@ def clustered_fixture(spark, n_clusters: int = 200, per_cluster: int = 10):
     ).localCheckpoint(eager=False)
 
 
+def lsh_scored_rows(emb, queries, planes: int, tables: int, pb: int) -> int:
+    """PRE-dedup candidate count — the rows the executors actually SCORE.
+    For n_tables>1 a (query, neighbor) pair meeting in several tables is
+    scored once per table before lsh_topk's dedup groupBy, so the deduped
+    distinct-pair count understates the real scan/score cost (the r7
+    artifact's frac_scanned had exactly that bias). Reuses lsh_topk's own
+    signature function and table seeds, join-count only."""
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_signature,
+    )
+
+    tabs = [_hyperplanes(64, planes, 42 + 7919 * t) for t in range(tables)]
+
+    def probes(bucket):
+        if not pb:
+            return [bucket]
+        return [bucket] + [
+            bucket.bitwiseXOR(F.lit(1 << i)) for i in range(planes)
+        ]
+
+    c = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_signature(F.col("embedding"), tabs[t]).alias("bucket"),
+            )
+            for t in range(tables)
+        ])).alias("tb"),
+    ).select("nid", "tb.tbl", "tb.bucket")
+    q = queries.select(
+        F.col("vec_id").alias("qid"),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"), b.alias("bucket"))
+            for t in range(tables)
+            for b in probes(lsh_signature(F.col("embedding"), tabs[t]))
+        ])).alias("tb"),
+    ).select("qid", "tb.tbl", "tb.bucket")
+    return (
+        F.broadcast(q).join(c, ["tbl", "bucket"])
+        .where(F.col("qid") != F.col("nid"))
+        .count()
+    )
+
+
 def lsh_frontier(lsh_topk, emb, queries, exact, n_corpus: int) -> dict:
     """(planes, tables, probe_bits) grid: one lsh_topk call per point with
     k=corpus returns EVERY candidate ranked, so recall (rank<=K) and the
-    scanned fraction (candidates / corpus) come from the same job."""
+    distinct-pair fraction come from the same job; a second count job
+    measures the PRE-dedup scored-row fraction (the true per-query scan
+    cost — for multi-table points the two differ)."""
     points = [
         (8, 1, 0), (8, 1, 1), (8, 2, 1), (8, 4, 1), (8, 8, 1),
         (6, 4, 0), (6, 4, 1), (6, 8, 1), (10, 8, 1),
     ]
     out = {}
+    denom = len(exact) * (n_corpus - 1)
     for planes, tables, pb in points:
         t0 = time.time()
         rows = (
@@ -122,14 +179,63 @@ def lsh_frontier(lsh_topk, emb, queries, exact, n_corpus: int) -> dict:
         stats = recall_stats(
             {q: frozenset(s) for q, s in approx.items()}, exact
         )
+        scored = (
+            n_cand if tables == 1
+            else lsh_scored_rows(emb, queries, planes, tables, pb)
+        )
         name = f"planes{planes}_tables{tables}_probe{pb}"
         out[name] = {
             **stats,
-            "frac_scanned": round(n_cand / (len(exact) * (n_corpus - 1)), 4),
+            "frac_distinct_pairs": round(n_cand / denom, 4),
+            "frac_scored_rows": round(scored / denom, 4),
             "sec": sec,
         }
         print(f"# lsh {name}: recall@10={stats['recall_at_10']} "
-              f"frac={out[name]['frac_scanned']}", file=sys.stderr)
+              f"pairs={out[name]['frac_distinct_pairs']} "
+              f"scored={out[name]['frac_scored_rows']}", file=sys.stderr)
+    return out
+
+
+def ivfpq_frontier(ivfpq_topk, emb, queries, exact, n_corpus: int) -> dict:
+    """(n_coarse x n_probe) grid at the shipped m=8/k'=16 code width: one
+    ivfpq_topk call per point with k=corpus ranks EVERY candidate, so
+    recall (rank<=K) and the scanned fraction come from one job. IVFADC
+    has no dedup (each vector lives in exactly one cell), so candidates
+    == scored rows — one honest fraction."""
+    out = {}
+    denom = len(exact) * (n_corpus - 1)
+    for n_coarse in (8, 16, 32):
+        for n_probe in (1, 2, 3, 5):
+            if n_probe > n_coarse:
+                continue
+            t0 = time.time()
+            rows = (
+                ivfpq_topk(emb, queries, k=n_corpus, n_coarse=n_coarse,
+                           n_probe=n_probe, m=8, n_centroids=16,
+                           coarse_iters=2)
+                .select("query_id", "neighbor_id", "rank")
+                .collect()
+            )
+            sec = round(time.time() - t0, 1)
+            approx: dict[int, set[int]] = {}
+            n_cand = 0
+            for r in rows:
+                n_cand += 1
+                if r["rank"] <= K:
+                    approx.setdefault(r["query_id"], set()).add(
+                        r["neighbor_id"]
+                    )
+            stats = recall_stats(
+                {q: frozenset(s) for q, s in approx.items()}, exact
+            )
+            name = f"coarse{n_coarse}_probe{n_probe}"
+            out[name] = {
+                **stats,
+                "frac_scanned": round(n_cand / denom, 4),
+                "sec": sec,
+            }
+            print(f"# ivfpq {name}: recall@10={stats['recall_at_10']} "
+                  f"frac={out[name]['frac_scanned']}", file=sys.stderr)
     return out
 
 
@@ -197,6 +303,7 @@ def main() -> None:
     book = kmeans_codebook(emb, n_centroids=8, n_iters=2)
     sections["isotropic"] = measure(methods_for(emb, queries, book), exact)
     iso_frontier = lsh_frontier(lsh_topk, emb, queries, exact, n_corpus)
+    iso_ivfpq_frontier = ivfpq_frontier(ivfpq_topk, emb, queries, exact, n_corpus)
 
     # --- clustered: the quality-bar fixture ------------------------------
     cemb = clustered_fixture(spark)
@@ -221,6 +328,7 @@ def main() -> None:
     )
     sections["clustered"] = measure(cmethods, cexact)
     clu_frontier = lsh_frontier(lsh_topk, cemb, cqueries, cexact, cn)
+    clu_ivfpq_frontier = ivfpq_frontier(ivfpq_topk, cemb, cqueries, cexact, cn)
 
     out = {
         "metric": "ann_recall_at_10",
@@ -237,6 +345,10 @@ def main() -> None:
                               "scale": 0.01, "seed": 11,
                               "n_queries": len(cexact)},
         "lsh_frontier": {"isotropic": iso_frontier, "clustered": clu_frontier},
+        "ivfpq_frontier": {
+            "isotropic": iso_ivfpq_frontier,
+            "clustered": clu_ivfpq_frontier,
+        },
     }
     print(json.dumps(out))
     if len(sys.argv) > 1:

@@ -443,3 +443,59 @@ def test_pinned_scan_pushdowns_still_reach_parquet(spark):
         if got < want:
             lost[name] = (got, want)
     assert not lost, f"pushed-filter scans below pinned minimum: {lost}"
+
+
+def test_ann_index_query_scan_prunes_to_probed_cells(spark, tmp_path):
+    """The persisted IVFADC index's 100 TB claim as behavior: the code-table
+    scan must carry a literal ``cell IN (probed)`` PartitionFilter and the
+    EXECUTED scan must read exactly the probed cells' partitions (the
+    numPartitions metric), not the whole index."""
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_query,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "annidx")
+    ivfpq_index_build(emb, path, n_coarse=8, coarse_iters=2, m=8, n_centroids=16)
+    n_probe = 3
+    res = ivfpq_index_query(
+        spark, path, emb.where(F.col("vec_id") == 0), k=10, n_probe=n_probe
+    )
+    # collect() executes THIS DataFrame's queryExecution (count() would
+    # build and execute a different plan, leaving these metrics empty)
+    assert len(res.collect()) > 0
+    plan = res._jdf.queryExecution().executedPlan()
+    text = plan.toString()
+    assert "PartitionFilters: [cell#" in text and " IN (" in text, (
+        "the probed-cell predicate must reach the parquet scan as a "
+        "partition filter"
+    )
+    # walk the final (post-AQE) physical plan for the parquet scan's
+    # executed metrics: partitions read == probed cells <= n_probe
+    scans = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if name.startswith("Scan parquet"):
+            mets = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                mets[kv._1()] = kv._2().value()
+            scans.append(mets)
+        ch = node.children()
+        for i in range(ch.length()):
+            stack.append(ch.apply(i))
+        if name == "AdaptiveSparkPlan":
+            stack.append(node.executedPlan())
+        elif "QueryStage" in name:
+            stack.append(node.plan())
+    parts = [m["numPartitions"] for m in scans if "numPartitions" in m]
+    assert parts, "no partitioned parquet scan found in the executed plan"
+    assert max(parts) <= n_probe, (
+        f"index scan read {max(parts)} cell partitions for n_probe={n_probe}"
+    )

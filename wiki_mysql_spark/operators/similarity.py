@@ -1190,6 +1190,25 @@ def ivfpq_topk(
             dim=dim,
             driver_train_bytes=driver_train_bytes,
         )
+    codes = _ivfpq_encode(
+        corpus, coarse, books, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    probes = _ivfpq_probes(
+        queries, coarse, n_probe, id_col=id_col, vec_col=vec_col
+    )
+    return _ivfpq_rank(probes, codes, books, subdim=subdim, k=k)
+
+
+def _ivfpq_probes(
+    queries: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    n_probe: int,
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, qv, cell, qr) — one row per (query, probed cell), with
+    the PER-CELL query residual ``q - centroid(cell)``."""
     cmap = F.create_map(
         *[
             x
@@ -1197,11 +1216,7 @@ def ivfpq_topk(
             for x in (F.lit(int(cid)).cast("long"), _lit_vec(cv))
         ]
     )
-    codes = _ivfpq_encode(
-        corpus, coarse, books, id_col=id_col, vec_col=vec_col, dim=dim
-    )
-
-    probes = queries.select(
+    return queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.explode(nearest_cells(F.col(vec_col), coarse, n_probe)).alias("cell"),
@@ -1213,6 +1228,21 @@ def ivfpq_topk(
             lambda x, y: x - y,
         ),
     )
+
+
+def _ivfpq_rank(
+    probes: DataFrame,
+    codes: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    *,
+    subdim: int,
+    k: int,
+) -> DataFrame:
+    """The IVFADC search tail shared by :func:`ivfpq_topk` and the
+    persisted-index query path: broadcast-hash equi-join on cell,
+    fixed-subspace-order ADC against literal cid→centroid maps, exact
+    cosine attached, per-query top-k window."""
+    m = len(books)
     # each corpus vector lives in exactly ONE cell, so a (query, neighbor)
     # candidate arises from at most one probed cell — no dedup needed
     cand = F.broadcast(probes).join(codes, "cell").where(
@@ -1258,3 +1288,147 @@ def ivfpq_topk(
         )
         .where(F.col("rank") <= k)
     )
+
+
+def ivfpq_index_build(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_coarse: int = 8,
+    coarse_iters: int = 2,
+    m: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    driver_train_bytes: int = _DRIVER_TRAIN_BYTES,
+) -> DataFrame:
+    """PERSIST an IVFADC index: the code table is written
+    ``partitionBy("cell")`` (parquet) so a query's scan prunes to its
+    ``n_probe`` probed cells' partitions, and the trained codebooks land
+    in ``<path>/meta.json`` (the FAISS-header analog — k x dim doubles,
+    driver-small at any corpus size). This turns the 100 TB posture the
+    ivfpq docstrings state into behavior: rebuilding the index per query
+    run is the thing IVFADC exists to avoid. The per-partition layout at
+    scale: one directory per cell, each scanned ONLY when probed
+    (PartitionFilters — plan-pinned in tests/test_plans.py).
+
+    Raw vectors ride along in the code table for the family's
+    exact-cosine verifier column; a deployment that wants codes-only
+    partitions would store vectors in a separate cell-partitioned table
+    and join them back for the returned top-k only.
+
+    Returns the persisted code table read back from ``path`` (nid, cv,
+    cell, c0..c{m-1})."""
+    import json
+    import os
+
+    spark = corpus.sparkSession
+    if driver_train_bytes and _fits_driver(corpus, id_col, vec_col, driver_train_bytes):
+        import numpy as np
+
+        ids, V = _collect_vectors(corpus, id_col, vec_col)
+        if len(ids) == 0:
+            raise ValueError("ivfpq_index_build: corpus is empty")
+        coarse = sorted(_kmeans_np(ids, V, n_coarse, coarse_iters))
+        Cc = np.array([cv for _, cv in coarse], dtype=np.float64)
+        books = _pq_train_np(
+            ids, V - Cc[_assign_cells_np(V, coarse)], m, n_centroids, dim
+        )
+    else:
+        coarse = sorted(
+            kmeans_codebook(
+                corpus,
+                n_centroids=n_coarse,
+                n_iters=coarse_iters,
+                id_col=id_col,
+                vec_col=vec_col,
+                driver_train_bytes=driver_train_bytes,
+            )
+        )
+        rescmap = F.create_map(
+            *[
+                x
+                for cid, cv in coarse
+                for x in (F.lit(int(cid)).cast("long"), _lit_vec(cv))
+            ]
+        )
+        rescorp = (
+            corpus.select(
+                F.col(id_col).alias("nid"),
+                F.col(vec_col).alias("cv"),
+                F.element_at(
+                    nearest_cells(F.col(vec_col), coarse, 1), 1
+                ).alias("cell"),
+            )
+            .withColumn(
+                "rv",
+                F.zip_with(
+                    F.col("cv").cast("array<double>"),
+                    F.element_at(rescmap, F.col("cell")),
+                    lambda x, y: x - y,
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        books = pq_codebooks(
+            rescorp, m=m, n_centroids=n_centroids, id_col="nid",
+            vec_col="rv", dim=dim, driver_train_bytes=driver_train_bytes,
+        )
+    codes = _ivfpq_encode(
+        corpus, coarse, books, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    # co-locate each cell before the partitioned write: without it every
+    # write task emits one file per cell it happens to hold (32 tasks x 8
+    # cells = hundreds of row-group-sized files — the classic small-files
+    # failure mode). Hash-partitioning on cell gives ~one file per cell;
+    # a deployment whose cells outgrow one task would add a within-cell
+    # split key (e.g. pmod(hash(nid), files_per_cell)) to the repartition.
+    codes.repartition(F.col("cell")).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).partitionBy("cell").parquet(os.path.join(path, "codes"))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {"dim": dim, "m": m, "coarse": coarse, "books": books}, f
+        )
+    return spark.read.parquet(os.path.join(path, "codes"))
+
+
+def ivfpq_index_query(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a PERSISTED IVFADC index (:func:`ivfpq_index_build`) without
+    touching the corpus: codebooks load from the index header, the query
+    set's probed cells collect to the driver (one tiny job over the
+    broadcast-small query side — its size is the family contract), and the
+    code scan carries a LITERAL ``cell IN (probed)`` predicate, so parquet
+    partition pruning reads exactly the probed cells' directories — at
+    100 TB, n_probe partitions of codes instead of the corpus. Output is
+    identical to :func:`ivfpq_topk` at the same operating point."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    coarse = sorted((int(c), [float(x) for x in v]) for c, v in meta["coarse"])
+    books = [
+        [(int(c), [float(x) for x in v]) for c, v in b] for b in meta["books"]
+    ]
+    dim, m = int(meta["dim"]), int(meta["m"])
+    probes = _ivfpq_probes(
+        queries, coarse, n_probe, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=False)  # reused: cells collect + candidate join
+    probed = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    codes = spark.read.parquet(os.path.join(path, "codes")).where(
+        F.col("cell").isin([int(c) for c in probed])
+    )
+    return _ivfpq_rank(probes, codes, books, subdim=dim // m, k=k)
