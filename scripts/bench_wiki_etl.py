@@ -29,11 +29,30 @@ WORDS = (
 ).split()
 
 
-def _gen_range(path: str, lo: int, hi: int, n_pages: int, seed: int) -> None:
+def corrupt_count(n_pages: int, corrupt_every: int) -> int:
+    """Exact number of pages the generator structurally corrupts — the
+    quarantine assertion's expected value (deterministic modular rule, no
+    sampling)."""
+    if not corrupt_every:
+        return 0
+    return len(range(corrupt_every // 2, n_pages, corrupt_every))
+
+
+def _gen_range(
+    path: str, lo: int, hi: int, n_pages: int, seed: int,
+    corrupt_every: int = 0,
+) -> None:
     """One dump file covering global page indices [lo, hi). Redirect targets
     stay GLOBAL (any page < i) so redirect chains cross shard boundaries —
     the fixpoint join must shuffle across input files, as it would on a real
-    multi-part dump."""
+    multi-part dump.
+
+    ``corrupt_every=k``: every k-th page (global rule ``i % k == k // 2``,
+    so the exact count is computable) has its OPENING tag destroyed — the
+    splittable reader's tightest corrupt case: the fragment still ends at
+    its own ``</page>`` terminator, carries non-framing residue, but no
+    ``<page`` token, so it must land in quarantine as a corrupt capture
+    losing only itself."""
     rng = random.Random(f"{seed}:{lo}:{n_pages}")
     with bz2.open(path, "wt", encoding="utf-8") as f:
         f.write("<mediawiki>\n")
@@ -58,14 +77,22 @@ def _gen_range(path: str, lo: int, hi: int, n_pages: int, seed: int) -> None:
                     else:
                         parts.append(w)
                 text = " ".join(parts)
+            open_tag = (
+                "<paXe>"
+                if corrupt_every and i % corrupt_every == corrupt_every // 2
+                else "<page>"
+            )
             f.write(
-                f"<page><title>{title}</title><ns>0</ns><id>{i + 1}</id>"
+                f"{open_tag}<title>{title}</title><ns>0</ns><id>{i + 1}</id>"
                 f"<revision><text>{text}</text></revision></page>\n"
             )
         f.write("</mediawiki>\n")
 
 
-def gen_dump(path: str, n_pages: int, seed: int = 42, shards: int = 1) -> None:
+def gen_dump(
+    path: str, n_pages: int, seed: int = 42, shards: int = 1,
+    corrupt_every: int = 0,
+) -> None:
     """shards=1: one .xml.bz2 file at ``path`` (the degenerate case — a
     single bz2 stream is NOT split by the XML source, so the whole parse is
     one task regardless of cluster size). shards>1: ``path`` becomes a
@@ -73,7 +100,7 @@ def gen_dump(path: str, n_pages: int, seed: int = 42, shards: int = 1) -> None:
     shape real mediawiki dumps ship in (multistream parts) and the one the
     100 TB posture assumes: parse parallelism = number of input files."""
     if shards <= 1:
-        _gen_range(path, 0, n_pages, n_pages, seed)
+        _gen_range(path, 0, n_pages, n_pages, seed, corrupt_every)
     else:
         import multiprocessing
 
@@ -81,7 +108,7 @@ def gen_dump(path: str, n_pages: int, seed: int = 42, shards: int = 1) -> None:
         bounds = [round(s * n_pages / shards) for s in range(shards + 1)]
         jobs = [
             (os.path.join(path, f"part-{s:04d}.xml.bz2"),
-             bounds[s], bounds[s + 1], n_pages, seed)
+             bounds[s], bounds[s + 1], n_pages, seed, corrupt_every)
             for s in range(shards)
         ]
         with multiprocessing.Pool(min(shards, os.cpu_count() or 8)) as pool:
@@ -90,7 +117,11 @@ def gen_dump(path: str, n_pages: int, seed: int = 42, shards: int = 1) -> None:
     # later SPARK_GRAFT_DUMP reuse verify it measures the page count it
     # divides by instead of silently reporting a wrong pages/sec
     with open(_meta_path(path), "w") as f:
-        json.dump({"n_pages": n_pages, "seed": seed, "shards": shards}, f)
+        json.dump(
+            {"n_pages": n_pages, "seed": seed, "shards": shards,
+             "corrupt_every": corrupt_every},
+            f,
+        )
 
 
 def _meta_path(dump: str) -> str:
@@ -147,6 +178,12 @@ def main() -> None:
     # (5M/10M pages, ~6-12 min of single-threaded bz2 write) allow reusing a
     # dump pre-generated with THIS generator at the default seed.
     shards = int(os.environ.get("SPARK_GRAFT_SHARDS", "1"))
+    # structural-corruption injection: every k-th page ships with a
+    # destroyed opening tag (r7 verdict #5 — the 24M run recorded 0
+    # quarantine rows, so the corrupt branch had never run at width);
+    # e.g. 10000 ≈ a 1e-4 rate. The run asserts the quarantine count
+    # equals the exact injected count.
+    corrupt_every = int(os.environ.get("SPARK_GRAFT_CORRUPT_EVERY", "0"))
     pre = os.environ.get("SPARK_GRAFT_DUMP")
     if pre:
         # loud, not silent: a typo'd path must not fall through to 6-12 min
@@ -180,6 +217,13 @@ def main() -> None:
                     f"SPARK_GRAFT_SHARDS={shards} — parse parallelism "
                     "would not match what this invocation reports"
                 )
+            if int(meta.get("corrupt_every", 0)) != corrupt_every:
+                raise SystemExit(
+                    f"SPARK_GRAFT_DUMP was generated with corrupt_every="
+                    f"{meta.get('corrupt_every', 0)} (per {meta_p}) but "
+                    f"SPARK_GRAFT_CORRUPT_EVERY={corrupt_every} — the "
+                    "quarantine assertion would be wrong"
+                )
         else:
             print(
                 f"# WARNING: no sidecar at {meta_p} — trusting that the "
@@ -189,10 +233,10 @@ def main() -> None:
         dump = pre
     elif shards > 1:
         dump = os.path.join(workdir, "dump_shards")
-        gen_dump(dump, n_pages, shards=shards)
+        gen_dump(dump, n_pages, shards=shards, corrupt_every=corrupt_every)
     else:
         dump = os.path.join(workdir, "dump.xml.bz2")
-        gen_dump(dump, n_pages)
+        gen_dump(dump, n_pages, corrupt_every=corrupt_every)
     if os.path.isdir(dump):
         dump_mb = sum(
             os.path.getsize(os.path.join(dump, f)) for f in os.listdir(dump)
@@ -215,6 +259,15 @@ def main() -> None:
     t0 = time.perf_counter()
     counts = run_wiki_etl(spark, dump, os.path.join(workdir, "out"))
     elapsed = time.perf_counter() - t0
+    expected_corrupt = corrupt_count(n_pages, corrupt_every)
+    if counts["quarantine"] != expected_corrupt:
+        # the generator never produces over-long titles/bodies, so every
+        # quarantine row must be an injected corrupt capture — exactly
+        raise SystemExit(
+            f"quarantine={counts['quarantine']} but the generator injected "
+            f"exactly {expected_corrupt} corrupt pages (corrupt_every="
+            f"{corrupt_every}) — the corrupt branch lost or invented rows"
+        )
     result = {
         "metric": "wiki_etl_pages_per_sec",
         "value": round(n_pages / elapsed, 1),
@@ -226,6 +279,8 @@ def main() -> None:
         "elapsed_sec": round(elapsed, 2),
         "dump_mb_bz2": round(dump_mb, 1),
         "counts": counts,
+        "corrupt_every": corrupt_every,
+        "corrupt_injected": expected_corrupt,
         **_ui_metrics(spark),
     }
     print(json.dumps(result))

@@ -36,6 +36,144 @@ from wiki_mysql_spark.operators.ids import dense_ids
 from wiki_mysql_spark.operators.redirects import resolve_redirects
 
 
+def _build_wiki_frames(
+    pages: DataFrame,
+    *,
+    remove_html: bool = True,
+    valid_unicodes: tuple[tuple[int, int], ...] = (),
+    invalid_unicodes: tuple[tuple[int, int], ...] = (),
+    max_redirect_depth: int = 1024,
+    exact_templates: bool = False,
+    materializer=None,
+) -> dict[str, DataFrame | None]:
+    """The wiki build with its internal frames exposed: returns
+    ``{"articles", "bodies_full" (id, body, body_octets), "corrupt"}``.
+
+    Scratch-IO design (the r8 rework — r7's 24M-page throughput dip was
+    scratch-IO amplification): the ONLY full-text materialization is the
+    ``staged`` frame — parse + redirect split + cleaning fused into one
+    pass, holding CLEANED text once (raw text never lands on scratch; the
+    pre-r8 shape wrote raw parse AND the cleaned+numbered frame, plus a
+    full-text layout checkpoint inside dense_ids). Everything downstream
+    of ``staged`` is narrow except exactly one join that re-attaches the
+    text to its body id:
+
+      * ids: dense_ids over the (aid, title) projection — a columnar read
+        that never touches the text column, a narrow range exchange, a
+        narrow layout checkpoint;
+      * bodies: staged ⋈ ids on aid — the single full-text shuffle (at
+        cluster scale, bucket both sides by aid to make it co-located);
+        its output feeds the bodies sink directly, so the text is read
+        from staged exactly once;
+      * body_octets is computed AT STAGING so the quarantine split and
+        the orphan checks are narrow column reads — pre-r8 they re-read
+        the full text column once per consumer (3-4 extra text scans).
+
+    ``materializer``: optional ``(df, name) -> df`` that pins the staged
+    frame somewhere durable (run_wiki_etl passes its byte-gated
+    memory-or-parquet strategy); defaults to a block-manager
+    localCheckpoint. If ``pages`` carries a ``corrupt_record`` column
+    (project_pages_with_corrupt), corrupt captures ride through the same
+    single materialization and come back as the ``corrupt`` frame."""
+    # A dump that arrives as a single split (one modest .bz2 file — Spark's
+    # XML source reads a compressed file whole) would serialize every
+    # downstream stage; spread it across the cluster once up front. Bytes-
+    # gated (plan statistics, no job) so tiny fixtures skip the exchange;
+    # no-op when the source is already parallel (many part files at scale).
+    from wiki_mysql_spark.sources.tables import spread_small_scan
+
+    pages = spread_small_scan(pages)
+
+    has_attr = "redirect_title" in pages.columns
+    has_corrupt = "corrupt_record" in pages.columns
+    attr = F.col("redirect_title") if has_attr else F.lit(None).cast("string")
+    text = F.coalesce(F.col("text"), F.lit(""))  # null revision text -> ""
+    # eqNullSafe: corrupt rows carry null ns and must not look like pages
+    is_page = F.col("ns").eqNullSafe(0)
+    # Redirect iff the dump attribute says so OR the body matches the
+    # anchored pattern — including an empty [[]] target, which stays a
+    # redirect (and then never resolves), matching dbfy.py:129-134.
+    is_red = attr.isNotNull() | is_redirect_body(text)
+    keep = is_page
+    if has_corrupt:
+        keep = keep | F.col("corrupt_record").isNotNull()
+    cols = [
+        F.col("aid"),
+        F.col("title"),
+        (is_page & is_red).alias("is_redirect"),
+        F.when(
+            is_page & is_red, F.coalesce(attr, extract_redirect_target(text))
+        ).alias("redirect_target"),
+        # cleaning runs HERE, fused into the staging pass — the staged
+        # write is the parse's single consumer, and the cleaned body (the
+        # only full-text column kept) is what materializes
+        F.when(
+            is_page & ~is_red,
+            clean_wiki_body(
+                text,
+                remove_html=remove_html,
+                valid_unicodes=valid_unicodes,
+                invalid_unicodes=invalid_unicodes,
+                exact_templates=exact_templates,
+            ),
+        ).alias("body_text"),
+    ]
+    if has_corrupt:
+        cols.append(F.col("corrupt_record"))
+    staged = (
+        pages.where(keep)
+        .select(*cols)
+        .withColumn("body_octets", F.octet_length("body_text"))
+    )
+    staged = (
+        materializer(staged, "staged")
+        if materializer is not None
+        else staged.localCheckpoint(eager=False)
+    )
+
+    redirect_pages = staged.where(F.col("is_redirect")).select(
+        "title", F.col("redirect_target").alias("target"), "aid"
+    )
+    # non-redirect ns-0 pages are exactly the rows with a cleaned body
+    articles_staged = staged.where(F.col("body_text").isNotNull())
+    # bodies: one row per non-redirect page (the reference does NOT content-
+    # dedup bodies — two identical texts get two rows, README.md:49-54).
+    # Ids are assigned over the NARROW (aid, title) projection — the text
+    # column never enters the range exchange or the layout checkpoint —
+    # then joined back by aid (unique per page), the one full-text shuffle.
+    ids = dense_ids(
+        articles_staged.select("aid", "title"), ["title"], id_col="body_id"
+    )
+    bodies_full = (
+        articles_staged.select("aid", "body_text", "body_octets")
+        .join(ids.select("aid", "body_id"), "aid")
+        .select(
+            F.col("body_id").alias("id"),
+            F.col("body_text").alias("body"),
+            "body_octets",
+        )
+    )
+    article_rows = ids.select("title", "body_id")
+    direct_articles = ids.select("aid", "title", "body_id")
+
+    resolved_redirects = resolve_redirects(
+        redirect_pages, article_rows, max_depth=max_redirect_depth
+    ).select("aid", "title", "body_id")
+
+    all_articles = direct_articles.unionByName(resolved_redirects)
+    articles = dense_ids(all_articles, ["title", "aid"], id_col="id").select(
+        "id", "aid", "title", F.col("body_id").alias("body")
+    )
+    corrupt = (
+        staged.where(F.col("corrupt_record").isNotNull()).select(
+            "corrupt_record"
+        )
+        if has_corrupt
+        else None
+    )
+    return {"articles": articles, "bodies_full": bodies_full, "corrupt": corrupt}
+
+
 def build_wiki_tables(
     pages: DataFrame,
     *,
@@ -48,84 +186,19 @@ def build_wiki_tables(
 ) -> tuple[DataFrame, DataFrame]:
     """pages ``(aid, title, ns, text[, redirect_title])`` ->
     ``(articles, bodies)`` exactly shaped like ``sql/init.sql:5-19``.
-
-    ``materializer``: optional ``(df, name) -> df`` that pins the
-    compute-once cleaned+numbered frame somewhere durable (run_wiki_etl
-    passes its byte-gated memory-or-parquet strategy); defaults to the
-    block-manager localCheckpoint."""
-    # A dump that arrives as a single split (one modest .bz2 file — Spark's
-    # XML source reads a compressed file whole) would serialize every
-    # downstream stage; spread it across the cluster once up front. Bytes-
-    # gated (plan statistics, no job) so tiny fixtures skip the exchange;
-    # no-op when the source is already parallel (many part files at scale).
-    from wiki_mysql_spark.sources.tables import spread_small_scan
-
-    pages = spread_small_scan(pages)
-
-    has_attr = "redirect_title" in pages.columns
-    attr = F.col("redirect_title") if has_attr else F.lit(None).cast("string")
-    text = F.coalesce(F.col("text"), F.lit(""))  # null revision text -> ""
-    pages = pages.where(F.col("ns") == 0).select(
-        "aid",
-        "title",
-        text.alias("text"),
-        # Redirect iff the dump attribute says so OR the body matches the
-        # anchored pattern — including an empty [[]] target, which stays a
-        # redirect (and then never resolves), matching dbfy.py:129-134.
-        (attr.isNotNull() | is_redirect_body(text)).alias("is_redirect"),
-        F.coalesce(attr, extract_redirect_target(text)).alias("redirect_target"),
+    Thin wrapper over :func:`_build_wiki_frames` (which run_wiki_etl uses
+    directly for the precomputed-octets quarantine split and the fused
+    corrupt audit)."""
+    frames = _build_wiki_frames(
+        pages,
+        remove_html=remove_html,
+        valid_unicodes=valid_unicodes,
+        invalid_unicodes=invalid_unicodes,
+        max_redirect_depth=max_redirect_depth,
+        exact_templates=exact_templates,
+        materializer=materializer,
     )
-
-    is_redirect = F.col("is_redirect")
-    redirect_pages = pages.where(is_redirect).select(
-        "title", F.col("redirect_target").alias("target"), "aid"
-    )
-    article_pages = pages.where(~is_redirect).select(
-        "aid",
-        "title",
-        clean_wiki_body(
-            F.col("text"),
-            remove_html=remove_html,
-            valid_unicodes=valid_unicodes,
-            invalid_unicodes=invalid_unicodes,
-            exact_templates=exact_templates,
-        ).alias("body_text"),
-    )
-
-    # bodies: one row per non-redirect page (the reference does NOT content-
-    # dedup bodies — two identical texts get two rows, README.md:49-54).
-    # Number the article pages ONCE, carrying aid through — deriving both
-    # bodies and the direct article rows from the same numbered frame avoids
-    # a second shuffle of the full text for a join-back by title.
-    # Checkpointed (lazily): this frame sits below EVERY consumer — bodies,
-    # direct articles, the redirect fixpoint's target lookup, and the
-    # quarantine split — and each sink is its own job, so without a
-    # materialization the markup cleaning (the ETL's dominant CPU cost)
-    # re-runs once per sink: measured 3× the cleaning time at every dump
-    # size. localCheckpoint persists the numbered rows in the block manager
-    # (memory, spilling to local disk), so the clean+number subtree runs
-    # exactly once per ETL regardless of sink count.
-    numbered = dense_ids(article_pages, ["title"], id_col="body_id")
-    numbered = (
-        materializer(numbered, "numbered")
-        if materializer is not None
-        else numbered.localCheckpoint(eager=False)
-    )
-    bodies = numbered.select(
-        F.col("body_id").alias("id"), F.col("body_text").alias("body")
-    )
-    article_rows = numbered.select("title", "body_id")
-    direct_articles = numbered.select("aid", "title", "body_id")
-
-    resolved_redirects = resolve_redirects(
-        redirect_pages, article_rows, max_depth=max_redirect_depth
-    ).select("aid", "title", "body_id")
-
-    all_articles = direct_articles.unionByName(resolved_redirects)
-    articles = dense_ids(all_articles, ["title", "aid"], id_col="id").select(
-        "id", "aid", "title", F.col("body_id").alias("body")
-    )
-    return articles, bodies
+    return frames["articles"], frames["bodies_full"].select("id", "body")
 
 
 def parse_unichr_range(txt: str) -> tuple[int, int]:
@@ -156,12 +229,14 @@ def _dump_bytes(dump_path: str) -> int:
         return 0
 
 
-# bz2-compressed wiki text expands ~6-8x; the pipeline holds TWO full-text
-# materializations (raw parse + cleaned/numbered). Past this fraction of
-# the heap, block-manager caching stops being a cache and becomes the
-# allocation pattern that OOMs the executors (measured: 24M pages / 1.3 GB
-# bz2 on an 8 GB heap died in the sink stage; 10M / 543 MB survived but
-# with the heap pinned at its ceiling — the r6 5M->10M p/s dip).
+# bz2-compressed wiki text expands ~6-8x; the pipeline holds ONE full-text
+# materialization (the staged parse+clean frame — r8: raw text no longer
+# lands on scratch, so the old x2 two-frame factor is gone). Past this
+# fraction of the heap, block-manager caching stops being a cache and
+# becomes the allocation pattern that OOMs the executors (measured: 24M
+# pages / 1.3 GB bz2 on an 8 GB heap died in the sink stage; 10M / 543 MB
+# survived but with the heap pinned at its ceiling — the r6 5M->10M p/s
+# dip).
 _MAT_EXPANSION = 8
 _MAT_HEAP_FRACTION = 0.35
 
@@ -198,16 +273,18 @@ def run_wiki_etl(
     runs — the reference's tqdm bars (``dbfy.py:158,191,231``), Spark-native
     (`plans/progress.py:job_progress` over StatusTracker telemetry).
 
-    ``materialize`` picks where the two full-text compute-once frames (raw
-    parse, cleaned+numbered) live: ``"memory"`` = block-manager
-    localCheckpoint (r6 behavior — fastest while both frames fit),
-    ``"disk"`` = temp parquet under ``out_dir`` (bounded memory: writes
-    stream, re-reads are scan-speed columnar — the stage boundary a real
-    100 TB pipeline puts on durable storage; the corpus is never a heap
-    resident), ``"auto"`` (default) = byte-gated on estimated expanded
+    ``materialize`` picks where the compute-once STAGED frame (the fused
+    parse+clean+split pass — the pipeline's only full-text
+    materialization since r8) lives: ``"memory"`` = block-manager
+    localCheckpoint (fastest while the frame fits), ``"disk"`` = zstd
+    temp parquet under ``out_dir`` (bounded memory: writes stream,
+    re-reads are scan-speed columnar with COLUMN PRUNING — every
+    downstream consumer except the bodies join reads only narrow
+    columns; the stage boundary a real 100 TB pipeline puts on durable
+    storage), ``"auto"`` (default) = byte-gated on estimated expanded
     size vs the JVM heap. Measured necessity: 24M pages (1.3 GB bz2) on
-    an 8 GB heap OOMs in the sink stage under "memory"; 10M survives with
-    the heap pinned at its ceiling — the r6 5M→10M p/s dip."""
+    an 8 GB heap OOMs in the sink stage under "memory"; 10M survives
+    with the heap pinned at its ceiling — the r6 5M→10M p/s dip."""
     from contextlib import nullcontext
 
     from wiki_mysql_spark.plans.progress import job_progress
@@ -221,13 +298,14 @@ def run_wiki_etl(
     from wiki_mysql_spark.sources.wikixml import (
         project_corrupt,
         project_pages,
+        project_pages_with_corrupt,
         read_wiki_dump_raw,
         read_wiki_dump_raw_splittable,
     )
 
     mode = materialize
     if mode == "auto":
-        est = _dump_bytes(dump_path) * _MAT_EXPANSION * 2
+        est = _dump_bytes(dump_path) * _MAT_EXPANSION
         mode = (
             "disk"
             if est > _MAT_HEAP_FRACTION * _heap_bytes(spark)
@@ -251,29 +329,46 @@ def run_wiki_etl(
         if mode == "memory":
             return df.localCheckpoint(eager=False)
         path = f"{out_dir}/_mat_{name}"
-        w = df.write.mode("overwrite")
+        # zstd on the scratch parquet (parquet's default is snappy): the
+        # staged frame is pure text, where zstd's ratio advantage directly
+        # shrinks the round-trip IO that drove the r7 24M-page p/s dip
+        w = df.write.mode("overwrite").option("compression", "zstd")
         if rg_bytes:
             w = w.option("parquet.block.size", str(rg_bytes))
         w.parquet(path)
         mat_paths.append(path)
         return spark.read.parquet(path)
 
-    # ONE XML parse, materialized once: all three sinks (articles, bodies,
-    # quarantine) plus the corrupt audit read the materialized rows — each
-    # sink's lineage would otherwise re-tokenize the whole dump (3-4 full
-    # parses; the 4th, added for the corrupt audit, measured -18% on the
-    # 1M-page throughput benchmark before this refactor)
     reader = read_wiki_dump_raw_splittable if splittable else read_wiki_dump_raw
-    raw = mat(reader(spark, dump_path), "raw")
-    pages = project_pages(raw)
+    raw = reader(spark, dump_path)
     if limit is not None:
-        pages = pages.limit(limit)
-    articles, bodies = build_wiki_tables(pages, materializer=mat, **build_kwargs)
-    articles, bodies, quarantine = split_quarantine(articles, bodies)
+        # exact-n limit must count ns-0 PAGES only, which needs the page
+        # and corrupt branches separated before staging — so a sampling
+        # run materializes the raw parse first (the pre-r8 shape: one
+        # tokenize shared by both branches). Production runs (no limit)
+        # take the fused single-write path below.
+        raw = mat(raw, "raw")
+        src = project_pages(raw).limit(limit)
+        corrupt_src = project_corrupt(raw)
+    else:
+        # production path: ONE conditional projection carries ns-0 pages
+        # AND corrupt captures into the staged materialization inside
+        # _build_wiki_frames — the parse has a single consumer and RAW
+        # text never hits scratch (only the cleaned body materializes;
+        # the pre-r8 raw+numbered double write was the measured IO
+        # amplification behind the 24M-page throughput dip)
+        src = project_pages_with_corrupt(raw)
+        corrupt_src = None
+    frames = _build_wiki_frames(src, materializer=mat, **build_kwargs)
+    articles, bodies, quarantine = split_quarantine(
+        frames["articles"], frames["bodies_full"]
+    )
     # structurally-corrupt page records join the quarantine audit (the
     # reference silently drops erroring pages, dbfy.py:142-143); folded
     # into the quarantine WRITE's lineage, so no extra job materializes
-    corrupt = project_corrupt(raw).select(
+    if corrupt_src is None:
+        corrupt_src = frames["corrupt"]
+    corrupt = corrupt_src.select(
         F.lit("pages").alias("table_name"),
         F.lit(None).cast("long").alias("id"),
         F.concat(
@@ -286,29 +381,31 @@ def run_wiki_etl(
     reporter = (
         job_progress(spark, "wiki-etl") if progress else nullcontext()
     )
-    with reporter:
-        write_parquet(articles, f"{out_dir}/articles", row_group_bytes=rg_bytes)
-        write_parquet(bodies, f"{out_dir}/bodies", row_group_bytes=rg_bytes)
-        write_parquet(quarantine, f"{out_dir}/quarantine", row_group_bytes=rg_bytes)
+    try:
+        with reporter:
+            write_parquet(articles, f"{out_dir}/articles", row_group_bytes=rg_bytes)
+            write_parquet(bodies, f"{out_dir}/bodies", row_group_bytes=rg_bytes)
+            write_parquet(quarantine, f"{out_dir}/quarantine", row_group_bytes=rg_bytes)
 
-        if jdbc_url:
-            write_jdbc(
-                spark.read.parquet(f"{out_dir}/articles"), jdbc_url, "articles",
-                user=jdbc_user, password=jdbc_password,
-                create_table_ddl=ARTICLES_DDL,
-            )
-            write_jdbc(
-                spark.read.parquet(f"{out_dir}/bodies"), jdbc_url, "bodies",
-                user=jdbc_user, password=jdbc_password,
-                create_table_ddl=BODIES_DDL,
-            )
-
-    # the temp stage-boundary parquet is scratch, not output: drop it once
-    # every sink (each of which re-read it) has committed
-    for p in mat_paths:
+            if jdbc_url:
+                write_jdbc(
+                    spark.read.parquet(f"{out_dir}/articles"), jdbc_url, "articles",
+                    user=jdbc_user, password=jdbc_password,
+                    create_table_ddl=ARTICLES_DDL,
+                )
+                write_jdbc(
+                    spark.read.parquet(f"{out_dir}/bodies"), jdbc_url, "bodies",
+                    user=jdbc_user, password=jdbc_password,
+                    create_table_ddl=BODIES_DDL,
+                )
+    finally:
+        # the temp stage-boundary parquet is scratch, not output: drop it
+        # even when a sink write raises (a failed run must not leak
+        # several-times-the-dump of full-text temp parquet under out_dir)
         import shutil
 
-        shutil.rmtree(p, ignore_errors=True)
+        for p in mat_paths:
+            shutil.rmtree(p, ignore_errors=True)
 
     return {
         "articles": spark.read.parquet(f"{out_dir}/articles").count(),

@@ -49,9 +49,21 @@ def split_quarantine(
     (``dbfy.py:142-143``, ``database.py:87-104``); quarantining instead
     keeps the pipeline auditable. Returns (articles_ok, bodies_ok,
     quarantine) where quarantine rows carry a reject reason.
+
+    ``bodies`` may carry a precomputed ``body_octets`` column (the wiki
+    pipeline computes it at staging): the size checks then never touch the
+    text column, so the quarantine/orphan consumers are narrow scans —
+    without it each of the three derived frames re-reads the full body
+    column. ``bodies_ok`` is projected back to the (id, body) sink shape
+    either way.
     """
     bad_title = F.length("title") > TITLE_MAX_CHARS
-    bad_body = F.octet_length("body") > BODY_MAX_BYTES
+    blen = (
+        F.col("body_octets")
+        if "body_octets" in bodies.columns
+        else F.octet_length("body")
+    )
+    bad_body = blen > BODY_MAX_BYTES
 
     articles_bad = articles.where(bad_title).select(
         F.lit("articles").alias("table_name"),
@@ -81,7 +93,7 @@ def split_quarantine(
         articles_orphaned
     )
 
-    bodies_ok = bodies.where(~bad_body)
+    bodies_ok = bodies.where(~bad_body).select("id", "body")
     articles_ok = articles.where(~bad_title).join(
         bad_body_ids, articles.body == F.col("_bad"), "left_anti"
     )

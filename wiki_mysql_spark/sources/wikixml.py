@@ -145,6 +145,28 @@ def project_pages(
     )
 
 
+def project_pages_with_corrupt(
+    raw: DataFrame, *, namespaces: tuple[int, ...] = (0,)
+) -> DataFrame:
+    """raw full-schema pages -> the pipeline shape PLUS structurally-corrupt
+    captures riding along as rows with only ``corrupt_record`` set (their
+    data fields are null). ONE conditional projection over ONE scan — a
+    union of a pages branch and a corrupt branch over the same source
+    tokenizes the dump twice (measured -18% ETL throughput when the r5
+    corrupt audit briefly did exactly that). This is the shape
+    ``run_wiki_etl``'s fused staging materializes: the raw parse gets a
+    single consumer, so raw text never needs a scratch round trip."""
+    keep = F.col("ns").isin(list(namespaces)) | F.col("_corrupt_record").isNotNull()
+    return raw.where(keep).select(
+        F.col("id").alias("aid"),
+        F.col("title"),
+        F.col("ns").cast("int").alias("ns"),
+        F.col("revision.text").alias("text"),
+        F.col("redirect._title").alias("redirect_title"),
+        F.col("_corrupt_record").alias("corrupt_record"),
+    )
+
+
 def project_corrupt(raw: DataFrame) -> DataFrame:
     """raw full-schema pages -> one row per structurally-corrupt record.
     The id predicate is vacuously true for corrupt rows (their data fields
