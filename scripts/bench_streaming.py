@@ -17,7 +17,11 @@ reports, per entry, from the engine's own StreamingQueryProgress records:
 Usage:
     python scripts/bench_streaming.py [out.json]
     # honors SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-    #        SPARK_GRAFT_CPUS, SPARK_GRAFT_STREAM_FILES (default 16)
+    #        SPARK_GRAFT_CPUS, SPARK_GRAFT_STREAM_FILES (default 16),
+    #        SPARK_GRAFT_STREAM_SCALE (default 1 — row-volume multiplier,
+    #        key domains unchanged), SPARK_GRAFT_STREAM_USER_SCALE
+    #        (default 0=off — big-state section: key domain x N exactly,
+    #        run under both the HDFS-backed and RocksDB state stores)
 """
 
 from __future__ import annotations
@@ -166,6 +170,52 @@ def main() -> None:
         }
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+    # 4. BIG-STATE stateful run (r7 verdict #6): the flat-state proof at
+    # 15k users bounds the state, it doesn't exercise it. user_scale
+    # id-shifts the USER domain too, so the key count is exactly
+    # user_scale x |fixture users| (1.5M at sf1 x100) — run once per
+    # state-store provider: the default HDFSBackedStateStore keeps every
+    # key heap-resident per partition (the thing that stops scaling), the
+    # RocksDB provider keeps state off-heap/on-disk with block-cache reads
+    # — the documented 100 TB posture for stateful streaming.
+    user_scale = int(os.environ.get("SPARK_GRAFT_STREAM_USER_SCALE", "0"))
+    if user_scale:
+        ROCKSDB = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+        staging, ev = stage_events_as_files(
+            spark, sf_dir, n_files=n_files, scale=user_scale,
+            shift_users=True,
+        )
+        n_keys = ev.select("user_id").distinct().count()
+        try:
+            for label, provider in (
+                ("hdfs_backed", None),
+                ("rocksdb", ROCKSDB),
+            ):
+                if provider:
+                    spark.conf.set(
+                        "spark.sql.streaming.stateStore.providerClass",
+                        provider,
+                    )
+                try:
+                    s = _staged_stream(spark, staging, schema)
+                    r = _drain(
+                        user_profiles_stateful(s), output_mode="update",
+                        timeout_sec=1800,
+                    )
+                    r["n_state_keys_expected"] = n_keys
+                    r["state_store"] = label
+                    results[f"stream_stateful_profiles_{user_scale}x_{label}"] = r
+                finally:
+                    if provider:
+                        spark.conf.unset(
+                            "spark.sql.streaming.stateStore.providerClass"
+                        )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     out = {
         "metric": "streaming_rows_per_sec",

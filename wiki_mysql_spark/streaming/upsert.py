@@ -31,7 +31,8 @@ from wiki_mysql_spark.sources.tables import load_table
 
 
 def stage_events_as_files(
-    spark: SparkSession, sf_dir: str, *, n_files: int = 4, scale: int = 1
+    spark: SparkSession, sf_dir: str, *, n_files: int = 4, scale: int = 1,
+    shift_users: bool = False,
 ) -> tuple[str, DataFrame]:
     """Stage the events fixture as several parquet files so the file stream
     source (maxFilesPerTrigger=1) actually produces several micro-batches —
@@ -43,14 +44,31 @@ def stage_events_as_files(
     staging (event_id offset by copy x (max+1); user/type/ts domains
     UNCHANGED): micro-batches grow by x scale while every state bound
     stays put — the knob the rate bench uses to size trigger time past
-    the fixed per-batch cost without also inflating the state domain."""
+    the fixed per-batch cost without also inflating the state domain.
+
+    ``shift_users=True`` additionally offsets user_id per copy, so the
+    state KEY DOMAIN grows by exactly x scale (each copy carries the full
+    original user set, disjoint from every other copy's) — the knob for
+    benching stateful operators under big state (e.g. 100x the fixture's
+    users = 1.5M state rows at sf1) with an exactly-known expected key
+    count rather than a sampled approximation."""
     ev = load_table(spark, sf_dir, "events")
     if scale > 1:
         mx = ev.agg(F.max("event_id")).first()[0] or 0
+        umx = (
+            (ev.agg(F.max("user_id")).first()[0] or 0) if shift_users else 0
+        )
         copies = [
             ev.withColumn("event_id", F.col("event_id") + F.lit(i * (mx + 1)))
             for i in range(scale)
         ]
+        if shift_users:
+            copies = [
+                c.withColumn(
+                    "user_id", F.col("user_id") + F.lit(i * (umx + 1))
+                )
+                for i, c in enumerate(copies)
+            ]
         scaled = copies[0]
         for c in copies[1:]:
             scaled = scaled.unionAll(c)
