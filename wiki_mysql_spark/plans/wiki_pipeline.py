@@ -324,6 +324,18 @@ def run_wiki_etl(
     # sinks.write_parquet): 32 concurrent text writers at the 128 MB
     # default row group OOMed the 8 GB local[32] heap at 24M pages
     rg_bytes = (32 << 20) if mode == "disk" else None
+    # ...and the READER buffer symmetrically: the vectorized reader sizes
+    # its column vectors as batch-rows x value width, so the default 4096
+    # rows over the staged frame's text column is a ~10-25 MB humongous
+    # allocation PER TASK PER COLUMN — 32 concurrent read tasks OOMed the
+    # 8 GB heap at 24M pages (G1 GCLocker retry stacks in the parquet
+    # reader) even with the single-materialization layout. 512 rows keeps
+    # each text batch ~1-3 MB; narrow columns lose nothing measurable at
+    # these widths (the batch is still thousands of values).
+    reader_batch_conf = "spark.sql.parquet.columnarReaderBatchSize"
+    saved_batch = spark.conf.get(reader_batch_conf, None) if mode == "disk" else None
+    if mode == "disk":
+        spark.conf.set(reader_batch_conf, "512")
 
     def mat(df: DataFrame, name: str) -> DataFrame:
         if mode == "memory":
@@ -406,6 +418,11 @@ def run_wiki_etl(
 
         for p in mat_paths:
             shutil.rmtree(p, ignore_errors=True)
+        if mode == "disk":
+            if saved_batch is None:
+                spark.conf.unset(reader_batch_conf)
+            else:
+                spark.conf.set(reader_batch_conf, saved_batch)
 
     return {
         "articles": spark.read.parquet(f"{out_dir}/articles").count(),
