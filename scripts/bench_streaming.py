@@ -204,7 +204,11 @@ def main() -> None:
                     s = _staged_stream(spark, staging, schema)
                     r = _drain(
                         user_profiles_stateful(s), output_mode="update",
-                        timeout_sec=1800,
+                        timeout_sec=int(
+                            os.environ.get(
+                                "SPARK_GRAFT_STREAM_TIMEOUT", "3600"
+                            )
+                        ),
                     )
                     r["n_state_keys_expected"] = n_keys
                     r["state_store"] = label
