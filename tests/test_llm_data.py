@@ -1621,8 +1621,10 @@ def test_ivfpq_recall_high_on_clustered_data(spark):
     exact, approx = {}, {}
     for r in brute_force_topk(emb, q, k=k).collect():
         exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # the SHIPPED operating point (r8: the measured frontier's knee —
+    # n_coarse=16, n_probe=2; ANN_RECALL_r8.json ivfpq_frontier)
     out = ivfpq_topk(
-        emb, q, k=k, n_coarse=16, n_probe=3, m=8, n_centroids=16,
+        emb, q, k=k, n_coarse=16, n_probe=2, m=8, n_centroids=16,
         coarse_iters=2,
     )
     for r in out.collect():

@@ -1061,7 +1061,7 @@ def ivfpq_topk(
     queries: DataFrame,
     *,
     k: int = 10,
-    n_coarse: int = 8,
+    n_coarse: int = 16,
     n_probe: int = 2,
     m: int = 8,
     n_centroids: int = 16,
@@ -1096,7 +1096,12 @@ def ivfpq_topk(
         slices + one Lloyd iteration under rounded squared-L2 — exactly
         ``pq_codebooks``), and each vector stores only ``(cell, m codes)``
         — the m*log2(k')-bits-per-vector memory posture. Defaults are
-        m=8/k'=16 (32-bit codes; r6 shipped m=4/k'=8 = 12-bit): unlike
+        m=8/k'=16 (32-bit codes; r6 shipped m=4/k'=8 = 12-bit) at
+        (n_coarse=16, n_probe=2) — the knee of the measured
+        (n_coarse x n_probe) frontier (ANN_RECALL_r8.json): on BOTH
+        fixtures it dominates the r7 point (8, 3), recall@10 0.900 on
+        the clustered fixture at 0.127 of the corpus scanned vs 0.901
+        at 0.376 — equal recall, one third the ADC work. Unlike
         exhaustive-ADC ``pq_topk`` where code width multiplies the full
         corpus scan, IVFADC's ADC cost is bounded by the probed cells'
         populations, so the wider code is nearly free here and is what
@@ -1294,7 +1299,7 @@ def ivfpq_index_build(
     corpus: DataFrame,
     path: str,
     *,
-    n_coarse: int = 8,
+    n_coarse: int = 16,
     coarse_iters: int = 2,
     m: int = 8,
     n_centroids: int = 16,

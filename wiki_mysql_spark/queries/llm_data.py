@@ -1952,13 +1952,13 @@ def _sql_ivfpq(
 
 @query(
     "ann_topk_ivfpq",
-    _sql_ivfpq(n_coarse=8, n_probe=3, m=8, n_centroids=16, dim=64,
+    _sql_ivfpq(n_coarse=16, n_probe=2, m=8, n_centroids=16, dim=64,
                n_queries=5, k=10, coarse_iters=2),
 )
 def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC — the IVF + PQ composition (Jégou et al. 2011 §IV) the r5
     verdict ordered: coarse cells bound the candidate set (a query's ADC
-    scan touches only its n_probe=3 probed cells' CODES — no
+    scan touches only its n_probe probed cells' CODES — no
     BroadcastNestedLoopJoin over the full code table, which is what
     `ann_topk_pq`'s exhaustive-ADC mode does), and PQ codes of the
     RESIDUAL vector compress each cell entry to (cell, m codes). This is
@@ -1969,19 +1969,22 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset-of-bruteforce containment is pinned in
     tests/test_llm_data.py).
 
-    r7 operating point (r6 verdict #1): the coarse quantizer is TRAINED
-    (2 Lloyd iterations — ann_topk_ivf_trained's recipe, replayed by the
-    oracle's _sql_kmeans_cents CTEs) and codes are m=8/k'=16 (32-bit).
-    The r6 point (untrained first-8 coarse, 12-bit codes) measured
-    recall@10 = 0.009 on the bench fixture — parity-proven but useless
-    as an index; wider codes are nearly free under cell-bounded ADC,
-    and the clustered-fixture recall test pins the quality claim."""
+    Operating point (r8): TRAINED coarse quantizer (2 Lloyd iterations —
+    ann_topk_ivf_trained's recipe, replayed by the oracle's
+    _sql_kmeans_cents CTEs), m=8/k'=16 (32-bit) codes, at
+    (n_coarse=16, n_probe=2) — the knee of the measured frontier
+    (ANN_RECALL_r8.json ivfpq_frontier): on BOTH fixtures it dominates
+    r7's (8, 3), recall@10 0.900 clustered at 0.127 of the corpus
+    scanned vs 0.901 at 0.376. The r6 point (untrained first-8 coarse,
+    12-bit codes) measured recall@10 = 0.009 — parity-proven but useless
+    as an index; the clustered-fixture recall test pins the quality
+    claim at the shipped point."""
     from wiki_mysql_spark.operators.similarity import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivfpq_topk(
         emb, emb.where(F.col("vec_id") < 5),
-        k=10, n_coarse=8, n_probe=3, m=8, n_centroids=16, coarse_iters=2,
+        k=10, n_coarse=16, n_probe=2, m=8, n_centroids=16, coarse_iters=2,
     )
 
 
@@ -2013,7 +2016,7 @@ def _index_tmpdir() -> str:
 
 @query(
     "ann_index_build",
-    _sql_ivfpq_index(n_coarse=8, m=8, n_centroids=16, dim=64, coarse_iters=2),
+    _sql_ivfpq_index(n_coarse=16, m=8, n_centroids=16, dim=64, coarse_iters=2),
 )
 def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build AND PERSIST the IVFADC index (`operators/similarity.py:
@@ -2031,7 +2034,7 @@ def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     codes = ivfpq_index_build(
-        emb, _index_tmpdir(), n_coarse=8, coarse_iters=2, m=8, n_centroids=16,
+        emb, _index_tmpdir(), n_coarse=16, coarse_iters=2, m=8, n_centroids=16,
     )
     # cell is the partition DIRECTORY column on the read-back side, which
     # parquet partition discovery infers as int32 — cast to the long the
@@ -2044,7 +2047,7 @@ def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_index_query",
-    _sql_ivfpq(n_coarse=8, n_probe=2, m=8, n_centroids=16, dim=64,
+    _sql_ivfpq(n_coarse=16, n_probe=2, m=8, n_centroids=16, dim=64,
                n_queries=5, k=8, coarse_iters=2),
 )
 def ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2067,7 +2070,7 @@ def ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     path = _index_tmpdir()
     ivfpq_index_build(
-        emb, path, n_coarse=8, coarse_iters=2, m=8, n_centroids=16,
+        emb, path, n_coarse=16, coarse_iters=2, m=8, n_centroids=16,
     )
     return ivfpq_index_query(
         spark, path, emb.where(F.col("vec_id") < 5), k=8, n_probe=2
