@@ -57,31 +57,51 @@ def _asof_one_direction(
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     u = l.unionByName(r.select(*l.columns))
 
+    # Ties: several right rows can share (key, t). (_t, _ord) alone leaves
+    # their relative order physical — whichever row the shuffle happened to
+    # place last won (hypothesis found the nondeterminism: two right rows at
+    # the same instant returned either value run-to-run). Extend the order
+    # with the right-value columns themselves so the winner is total-order
+    # deterministic: the GREATEST value tuple among same-instant rows wins
+    # in both directions (backward's last() takes the ascending tail,
+    # forward's first() takes the descending head). Left rows carry null
+    # value columns but are already separated from right rows by _ord.
     if forward:
         w = (
             Window.partitionBy(on)
-            .orderBy("_t", "_ord")
+            .orderBy("_t", "_ord", *[F.col(c).desc() for c in right_values])
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     else:
         w = (
             Window.partitionBy(on)
-            .orderBy("_t", "_ord")
+            .orderBy("_t", "_ord", *[F.col(c).asc() for c in right_values])
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
 
     is_right = F.col("_ord") == r_ord
+    # ONE struct pick, not one pick per column: the struct is non-null for
+    # every right row even when its FIELDS are null, so ignorenulls skips
+    # only left rows and the whole winning ROW is taken atomically — the
+    # per-column spelling back-filled a null value column from an OLDER
+    # right row (last-non-null-per-column, not as-of-row semantics).
+    row = F.struct(
+        F.col("_t").alias("_rt"),
+        *[F.col(c) for c in right_values],
+    )
     filled = u.select(
         *lcols,
         "_ord",
         "_t",
-        pick(F.when(is_right, F.col("_t"))).over(w).alias("_rt"),
-        *[
-            pick(F.when(is_right, F.col(c))).over(w).alias(f"_f_{c}")
-            for c in right_values
-        ],
+        pick(F.when(is_right, row)).over(w).alias("_m"),
+    ).select(
+        *lcols,
+        "_ord",
+        "_t",
+        F.col("_m._rt").alias("_rt"),
+        *[F.col(f"_m.{c}").alias(f"_f_{c}") for c in right_values],
     ).where(F.col("_ord") == l_ord)
 
     gap = (F.col("_rt") - F.col("_t")) if forward else (F.col("_t") - F.col("_rt"))
@@ -113,6 +133,11 @@ def asof_join(
 
     direction: ``backward`` (most recent r.t <= l.t), ``forward`` (earliest
     r.t >= l.t), or ``nearest`` (closer of the two, ties backward).
+
+    Several right rows at the SAME (key, time) instant: the one with the
+    greatest ``right_values`` tuple wins, deterministically (without an
+    explicit tie order the winner was whichever row the shuffle placed
+    last — run-to-run nondeterminism at any scale).
     """
     lcols = left.columns
     if direction in ("backward", "forward"):
