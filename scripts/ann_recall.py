@@ -106,23 +106,22 @@ def lsh_scored_rows(emb, queries, planes: int, tables: int, pb: int) -> int:
     For n_tables>1 a (query, neighbor) pair meeting in several tables is
     scored once per table before lsh_topk's dedup groupBy, so the deduped
     distinct-pair count understates the real scan/score cost (the r7
-    artifact's frac_scanned had exactly that bias). Reuses lsh_topk's own
-    signature function and table seeds, join-count only."""
+    artifact's frac_scanned had exactly that bias). The table seeds and
+    probe expansion come from the operator module itself
+    (lsh_table_planes / lsh_probe_buckets — r8 advice: literal copies
+    here desynchronized silently when lsh_topk's defaults moved)."""
     from pyspark.sql import functions as F
 
     from wiki_mysql_spark.operators.similarity import (
-        _hyperplanes,
+        lsh_probe_buckets,
         lsh_signature,
+        lsh_table_planes,
     )
 
-    tabs = [_hyperplanes(64, planes, 42 + 7919 * t) for t in range(tables)]
+    tabs = lsh_table_planes(64, planes, tables)
 
     def probes(bucket):
-        if not pb:
-            return [bucket]
-        return [bucket] + [
-            bucket.bitwiseXOR(F.lit(1 << i)) for i in range(planes)
-        ]
+        return lsh_probe_buckets(bucket, planes, pb)
 
     c = emb.select(
         F.col("vec_id").alias("nid"),
@@ -182,6 +181,14 @@ def lsh_frontier(lsh_topk, emb, queries, exact, n_corpus: int) -> dict:
         scored = (
             n_cand if tables == 1
             else lsh_scored_rows(emb, queries, planes, tables, pb)
+        )
+        # cross-check: executors score every distinct pair at least once —
+        # a scored count BELOW the deduped pair count means the scored-row
+        # probe desynchronized from lsh_topk's actual probe scheme
+        assert scored >= n_cand, (
+            f"lsh_scored_rows ({scored}) < distinct pairs ({n_cand}) at "
+            f"planes={planes} tables={tables} probe={pb} — probe-scheme "
+            f"desync between scripts/ann_recall.py and lsh_topk"
         )
         name = f"planes{planes}_tables{tables}_probe{pb}"
         out[name] = {

@@ -1671,3 +1671,30 @@ def test_codebook_driver_and_distributed_paths_agree(spark):
         )
     )
     assert out_driver == out_dist
+
+
+def test_fits_driver_byte_gate_rejects_wide_unknown_stats_corpus(spark):
+    """r8 advice (medium): _fits_driver must byte-probe unknown-stats
+    corpora. Vector width is caller-controlled, so a rows-only check would
+    collect e.g. 100k x 1024-dim float64 rows (~800 MB) to the driver far
+    past _DRIVER_TRAIN_BYTES. Pin: a NARROW-count but WIDE-row frame with
+    unknown leaf stats (RDD-backed strips LocalRelation's exact sizing)
+    stays OUT of the driver path; the same frame with thin rows stays in."""
+    from pyspark.sql import Row
+
+    from wiki_mysql_spark.operators.similarity import _fits_driver
+
+    def rdd_backed(dim):
+        # via the RDD so the optimizer sees unknown leaf stats (a python
+        # createDataFrame lands as a size-known LocalRelation)
+        rows = [Row(vec_id=i, embedding=[float(i)] * dim) for i in range(64)]
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows),
+            "vec_id long, embedding array<double>",
+        )
+
+    gate = 64 << 10  # 64 KB for a fast test; the production gate is 64 MB
+    # 64 rows x 4096 doubles ~ 4 MB estimated >> 64 KB: must be rejected
+    assert not _fits_driver(rdd_backed(4096), "vec_id", "embedding", gate)
+    # 64 rows x 8 doubles ~ 9 KB estimated << 64 KB: still admitted
+    assert _fits_driver(rdd_backed(8), "vec_id", "embedding", gate)

@@ -499,3 +499,35 @@ def test_ann_index_query_scan_prunes_to_probed_cells(spark, tmp_path):
     assert max(parts) <= n_probe, (
         f"index scan read {max(parts)} cell partitions for n_probe={n_probe}"
     )
+
+
+def test_ann_index_header_rides_hadoop_filesystem(spark, tmp_path):
+    """r8 advice: the index header (meta.json) must go through the Hadoop
+    FileSystem resolved for the index root's SCHEME, like the code table's
+    parquet does — a plain open() writes to the driver's local cwd-relative
+    path and breaks every non-local root (hdfs://, s3a://). Pin with a
+    scheme'd file: URI, which plain open() cannot even address: build and
+    query must round-trip, and the header must land INSIDE the root."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_query,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    local = tmp_path / "annidx_uri"
+    uri = "file://" + str(local)
+    ivfpq_index_build(emb, uri, n_coarse=8, coarse_iters=2, m=8, n_centroids=16)
+    assert os.path.exists(local / "meta.json"), "header not inside the root"
+    got = sorted(map(tuple, ivfpq_index_query(
+        spark, uri, emb.where(F.col("vec_id") < 3), k=5, n_probe=2
+    ).collect()))
+    want = sorted(map(tuple, ivfpq_topk(
+        emb, emb.where(F.col("vec_id") < 3), k=5, n_coarse=8, n_probe=2,
+        m=8, n_centroids=16, coarse_iters=2,
+    ).collect()))
+    assert got == want

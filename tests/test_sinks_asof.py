@@ -308,3 +308,70 @@ def test_asof_forward_no_later_match_is_null(spark):
         right_values=["v"], direction="forward",
     ).collect()
     assert got[0]["v"] is None
+
+
+def test_asof_same_instant_ties_greatest_tuple_wins(spark):
+    """Regression pin for the r8 determinism fix (asof.py tie order): with
+    several right rows at the SAME (key, t) instant, the documented winner
+    is the GREATEST right_values tuple — in all three directions. Before
+    the fix the winner was whichever row the shuffle placed last
+    (hypothesis caught run-to-run flapping); this test is the missing pin
+    the r8 advice named. Two value columns prove the pick is the whole
+    ROW with the greatest (v1, v2) tuple, not a per-column max."""
+    left = spark.createDataFrame([(1, 10), (1, 30)], ["k", "t"])
+    # at t=20: tuples ("b", 1) < ("c", 0)?  No: "b" < "c", so ("c", 0) is
+    # the greatest tuple even though its SECOND field is the smaller one —
+    # a per-column max would fabricate ("c", 1).
+    right = spark.createDataFrame(
+        [(1, 20, "b", 1), (1, 20, "c", 0), (1, 20, "a", 9)],
+        ["k", "t", "v1", "v2"],
+    )
+
+    def run(direction):
+        rows = asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_values=["v1", "v2"], direction=direction,
+        ).collect()
+        return {r["t"]: (r["v1"], r["v2"]) for r in rows}
+
+    # backward from t=30, forward from t=10, nearest from both: every
+    # direction resolves the t=20 tie to the greatest tuple ("c", 0)
+    assert run("backward") == {10: (None, None), 30: ("c", 0)}
+    assert run("forward") == {10: ("c", 0), 30: (None, None)}
+    assert run("nearest") == {10: ("c", 0), 30: ("c", 0)}
+
+
+def test_asof_same_instant_tie_at_equal_t_with_left(spark):
+    """Tie rows AT the left row's own instant stay inclusive in both
+    directions and still resolve to the greatest tuple."""
+    left = spark.createDataFrame([(1, 20)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 20, 5), (1, 20, 7), (1, 20, 6)], ["k", "t", "v"]
+    )
+    for direction in ("backward", "forward", "nearest"):
+        got = asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_values=["v"], direction=direction,
+        ).collect()
+        assert got[0]["v"] == 7, direction
+
+
+def test_asof_rejects_unorderable_map_value_column(spark):
+    """Map-typed right_values cannot participate in the tie ORDER BY —
+    the operator must refuse loudly at call time (the r8 advice noted the
+    pre-fix code accepted maps and the fix regressed them to an opaque
+    AnalysisException), and name the offending column."""
+    left = spark.createDataFrame([(1, 10)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 5, {"a": 1})], "k long, t long, m map<string,int>"
+    )
+    with pytest.raises(ValueError, match="'m' has unorderable type"):
+        asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_values=["m"],
+        )
+    with pytest.raises(ValueError, match="not in right"):
+        asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_values=["nope"],
+        )

@@ -137,8 +137,25 @@ def asof_join(
     Several right rows at the SAME (key, time) instant: the one with the
     greatest ``right_values`` tuple wins, deterministically (without an
     explicit tie order the winner was whichever row the shuffle placed
-    last — run-to-run nondeterminism at any scale).
+    last — run-to-run nondeterminism at any scale). This is a DELIBERATE
+    divergence from pandas ``merge_asof``, whose tie rule is "last input
+    row": input order is a physical accident after a distributed shuffle,
+    so a value-based total order is the only reproducible rule. Because
+    ties are broken by ORDERING the value columns, every ``right_values``
+    column must be an orderable type — maps (anywhere in the type) are
+    rejected loudly rather than failing downstream at analysis time.
     """
+    rtypes = dict(right.dtypes)
+    for c in right_values:
+        if c not in rtypes:
+            raise ValueError(f"asof_join: right_values column {c!r} not in right")
+        if "map<" in rtypes[c]:
+            raise ValueError(
+                f"asof_join: right_values column {c!r} has unorderable type "
+                f"{rtypes[c]} — same-instant ties are broken by ordering the "
+                f"value tuple, and Spark cannot order maps. Project the map "
+                f"to orderable columns (e.g. map_entries sorted) first."
+            )
     lcols = left.columns
     if direction in ("backward", "forward"):
         out = _asof_one_direction(

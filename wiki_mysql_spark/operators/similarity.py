@@ -161,10 +161,18 @@ def _elem_type(df: DataFrame, vec_col: str) -> str:
 
 
 def _fits_driver(df: DataFrame, id_col: str, vec_col: str, max_bytes: int) -> bool:
+    """Byte gate for the driver-side trainer collects. ``byte_probe=True``
+    is mandatory here (the is_small_input docstring's rule for gates that
+    feed driver collects): vector width is caller-controlled, so for
+    unknown-stats frames (createDataFrame, checkpoint/RDD-backed) a
+    rows<=100k check alone would admit e.g. 100k x 1024-dim float64 rows
+    (~800 MB) far past ``max_bytes``. The probe sums real element counts
+    over the admitted rows; parquet-backed corpora never reach it (their
+    leaf stats decide at tier 1, no job)."""
     from wiki_mysql_spark.sources.tables import is_small_input
 
     return is_small_input(
-        df.select(id_col, vec_col), max_bytes=max_bytes
+        df.select(id_col, vec_col), max_bytes=max_bytes, byte_probe=True
     )
 
 
@@ -503,9 +511,45 @@ def ivf_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+# Frozen LSH determinism contract — the SINGLE definition point for the
+# hyperplane seeds. scripts/ann_recall.py and the registry oracles import
+# these (r8 advice: literal copies there silently desynchronized the
+# frontier's scanned-fraction accounting from the operator whenever a
+# default changed).
+LSH_DEFAULT_SEED = 42
+LSH_TABLE_SEED_STRIDE = 7919  # per-table seed = seed + stride * table_idx
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = LSH_DEFAULT_SEED) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_table_planes(
+    dim: int, n_planes: int, n_tables: int, seed: int = LSH_DEFAULT_SEED
+) -> list[list[list[float]]]:
+    """The n_tables independent hyperplane sets exactly as :func:`lsh_topk`
+    freezes them (OR-amplification table t uses seed + stride*t)."""
+    return [
+        _hyperplanes(dim, n_planes, seed + LSH_TABLE_SEED_STRIDE * t)
+        for t in range(n_tables)
+    ]
+
+
+def lsh_probe_buckets(
+    bucket: F.Column, n_planes: int, probe_bits: int
+) -> list[F.Column]:
+    """The bucket set a query probes: its own signature plus (probe_bits=1)
+    every single-bit flip — the one multi-probe expansion :func:`lsh_topk`
+    implements. Shared with scripts/ann_recall.py so scanned-row accounting
+    uses the operator's own probe scheme, never a transcription of it."""
+    if probe_bits not in (0, 1):
+        raise ValueError("probe_bits: only radius 0 or 1 is implemented")
+    if not probe_bits:
+        return [bucket]
+    return [bucket] + [
+        bucket.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+    ]
 
 
 def lsh_signature(vec: F.Column, planes: list[list[float]]) -> F.Column:
@@ -532,7 +576,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     n_planes: int = 8,
-    seed: int = 42,
+    seed: int = LSH_DEFAULT_SEED,
     probe_bits: int = 0,
     n_tables: int = 1,
 ) -> DataFrame:
@@ -588,14 +632,10 @@ def lsh_topk(
         raise ValueError("probe_bits: only radius 0 or 1 is implemented")
     if n_tables < 1:
         raise ValueError("n_tables must be >= 1")
-    tables = [_hyperplanes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)]
+    tables = lsh_table_planes(dim, n_planes, n_tables, seed)
 
     def _probes(bucket: F.Column) -> list[F.Column]:
-        if not probe_bits:
-            return [bucket]
-        return [bucket] + [
-            bucket.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
-        ]
+        return lsh_probe_buckets(bucket, n_planes, probe_bits)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -1295,6 +1335,41 @@ def _ivfpq_rank(
     )
 
 
+def _index_child(path: str, name: str) -> str:
+    """Join a child entry onto an index root that may be a plain path or a
+    scheme'd URI (file://, hdfs://, s3a://) — always '/'-separated."""
+    return path.rstrip("/") + "/" + name
+
+
+def _fs_write_text(spark, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem resolved for
+    ``path``'s scheme — the same filesystem layer the parquet writers use,
+    so the index header lands NEXT TO the code table on hdfs:///s3a://
+    paths (a plain ``open()`` would write to the driver's local disk where
+    the query side can never see it — the r8 advice item)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        jvm.org.apache.commons.io.IOUtils.write(text, out, "UTF-8")
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark, path: str) -> str:
+    """Read a small text file through the Hadoop FileSystem (see
+    :func:`_fs_write_text`)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    inp = fs.open(hpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(inp, "UTF-8")
+    finally:
+        inp.close()
+
+
 def ivfpq_index_build(
     corpus: DataFrame,
     path: str,
@@ -1326,7 +1401,6 @@ def ivfpq_index_build(
     Returns the persisted code table read back from ``path`` (nid, cv,
     cell, c0..c{m-1})."""
     import json
-    import os
 
     spark = corpus.sparkSession
     if driver_train_bytes and _fits_driver(corpus, id_col, vec_col, driver_train_bytes):
@@ -1391,12 +1465,13 @@ def ivfpq_index_build(
     # split key (e.g. pmod(hash(nid), files_per_cell)) to the repartition.
     codes.repartition(F.col("cell")).write.mode("overwrite").option(
         "compression", "zstd"
-    ).partitionBy("cell").parquet(os.path.join(path, "codes"))
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(
-            {"dim": dim, "m": m, "coarse": coarse, "books": books}, f
-        )
-    return spark.read.parquet(os.path.join(path, "codes"))
+    ).partitionBy("cell").parquet(_index_child(path, "codes"))
+    _fs_write_text(
+        spark,
+        _index_child(path, "meta.json"),
+        json.dumps({"dim": dim, "m": m, "coarse": coarse, "books": books}),
+    )
+    return spark.read.parquet(_index_child(path, "codes"))
 
 
 def ivfpq_index_query(
@@ -1416,12 +1491,12 @@ def ivfpq_index_query(
     code scan carries a LITERAL ``cell IN (probed)`` predicate, so parquet
     partition pruning reads exactly the probed cells' directories — at
     100 TB, n_probe partitions of codes instead of the corpus. Output is
-    identical to :func:`ivfpq_topk` at the same operating point."""
+    identical to :func:`ivfpq_topk` at the same operating point. Header
+    and codes go through the Hadoop FileSystem for ``path``'s scheme, so
+    build and query compose on non-local index roots too."""
     import json
-    import os
 
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
+    meta = json.loads(_fs_read_text(spark, _index_child(path, "meta.json")))
     coarse = sorted((int(c), [float(x) for x in v]) for c, v in meta["coarse"])
     books = [
         [(int(c), [float(x) for x in v]) for c, v in b] for b in meta["books"]
@@ -1433,7 +1508,7 @@ def ivfpq_index_query(
     probed = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )
-    codes = spark.read.parquet(os.path.join(path, "codes")).where(
+    codes = spark.read.parquet(_index_child(path, "codes")).where(
         F.col("cell").isin([int(c) for c in probed])
     )
     return _ivfpq_rank(probes, codes, books, subdim=dim // m, k=k)

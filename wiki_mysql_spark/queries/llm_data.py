@@ -45,6 +45,7 @@ from wiki_mysql_spark.operators.dedup import (
 from wiki_mysql_spark.operators.similarity import (
     _hyperplanes,
     brute_force_topk,
+    lsh_table_planes,
     lsh_topk,
 )
 from wiki_mysql_spark.queries.registry import query
@@ -467,8 +468,9 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # two OR-amplification tables: independent plane sets at the operator's
-# deterministic per-table seeds (42 + 7919*t)
-_LSH_TABLES = [_hyperplanes(64, 8, seed=42 + 7919 * t) for t in range(2)]
+# deterministic per-table seeds, taken from the operator module's single
+# definition point (seed + stride*t) so the oracle can't desynchronize
+_LSH_TABLES = lsh_table_planes(64, 8, 2)
 
 
 def _sql_lsh_side(alias_id: str, where: str = "") -> str:
