@@ -68,6 +68,14 @@ HEADLINE = [
     "ann_topk_ivfpq",
     "ann_index_query",
     "dedup_fuzzy_clusters",
+    # round-9: the persisted bucket-partitioned LSH index, plus both index
+    # BUILD entries so persist cost is measured where it is paid — the
+    # *_index_query entries reuse a once-per-process index (build-once,
+    # query-many is the persisted index's semantics) and so measure the
+    # partition-pruned query path
+    "ann_index_build",
+    "lsh_index_build",
+    "lsh_index_query",
 ]
 
 

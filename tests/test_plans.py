@@ -531,3 +531,80 @@ def test_ann_index_header_rides_hadoop_filesystem(spark, tmp_path):
         m=8, n_centroids=16, coarse_iters=2,
     ).collect()))
     assert got == want
+
+
+def test_lsh_index_query_scan_prunes_to_probed_buckets(spark, tmp_path):
+    """The persisted LSH index's 100 TB claim as behavior (the lsh_topk
+    docstring's "at scale the corpus is written bucket-partitioned, so a
+    query touches 1 + probe_bits*n_planes partitions per table"): the
+    bucket scan must carry partition filters on BOTH partition columns
+    (tbl, bucket) and the EXECUTED scan must read exactly the probed
+    buckets that exist on disk — never the whole index."""
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.similarity import (
+        lsh_index_build,
+        lsh_index_query,
+        lsh_probe_buckets,
+        lsh_signature,
+        lsh_table_planes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "lshidx")
+    n_planes, n_tables, probe_bits = 8, 2, 1
+    idx = lsh_index_build(emb, path, dim=64, n_planes=n_planes, n_tables=n_tables)
+    existing = {
+        (int(r["tbl"]), int(r["bucket"]))
+        for r in idx.select("tbl", "bucket").distinct().collect()
+    }
+    queries = emb.where(F.col("vec_id") == 0)
+    # expected probed set, from the operator module's own probe scheme
+    tables = lsh_table_planes(64, n_planes, n_tables)
+    probed = set()
+    for t in range(n_tables):
+        row = queries.select(
+            F.array(
+                *lsh_probe_buckets(
+                    lsh_signature(F.col("embedding"), tables[t]),
+                    n_planes, probe_bits,
+                )
+            ).alias("bs")
+        ).collect()[0]
+        probed |= {(t, int(b)) for b in row["bs"]}
+    want_parts = len(probed & existing)
+    assert 0 < want_parts < len(existing), "fixture probes must be selective"
+
+    res = lsh_index_query(spark, path, queries, k=10, probe_bits=probe_bits)
+    assert len(res.collect()) > 0
+    plan = res._jdf.queryExecution().executedPlan()
+    text = plan.toString()
+    assert "PartitionFilters: [" in text and "tbl#" in text and "bucket#" in text, (
+        "the probed-bucket predicate must reach the parquet scan as "
+        "partition filters on both partition columns"
+    )
+    scans = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if name.startswith("Scan parquet"):
+            mets = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                mets[kv._1()] = kv._2().value()
+            scans.append(mets)
+        ch = node.children()
+        for i in range(ch.length()):
+            stack.append(ch.apply(i))
+        if name == "AdaptiveSparkPlan":
+            stack.append(node.executedPlan())
+        elif "QueryStage" in name:
+            stack.append(node.plan())
+    parts = [m["numPartitions"] for m in scans if "numPartitions" in m]
+    assert parts, "no partitioned parquet scan found in the executed plan"
+    assert max(parts) == want_parts, (
+        f"index scan read {max(parts)} bucket partitions; probed-and-"
+        f"existing = {want_parts} (of {len(existing)} total)"
+    )

@@ -554,17 +554,30 @@ def lsh_probe_buckets(
 
 def lsh_signature(vec: F.Column, planes: list[list[float]]) -> F.Column:
     """n-bit random-hyperplane signature as a long (bit i = sign of dot with
-    plane i), computed with zip_with/aggregate — no UDF."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
-        d = F.aggregate(
+    plane i), computed with transform/zip_with/aggregate — no UDF. ONE
+    lambda over a single planes-array literal, not a per-plane expression
+    chain: with n_planes chained sums Catalyst analyzed n_planes separate
+    dim-wide literal trees per signature site (the same analysis-cost class
+    the r8 ivfpq fix removed — measured ~2.8 s of the sf0.01 index build
+    before this form). Bit semantics unchanged: dot > 0 strictly sets the
+    bit; a null/mismatched vector nulls every dot and folds to bucket 0."""
+    P = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    dots = F.transform(
+        P,
+        lambda p: F.aggregate(
             F.zip_with(vec.cast("array<double>"), p, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return sig
+        ),
+    )
+    bits = F.transform(
+        dots, lambda d: F.when(d > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+    # fold MSB-first so position i carries weight 1<<i, matching the
+    # historical per-plane sum bit-for-bit
+    return F.aggregate(
+        F.reverse(bits), F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+    )
 
 
 def lsh_topk(
@@ -633,18 +646,27 @@ def lsh_topk(
     if n_tables < 1:
         raise ValueError("n_tables must be >= 1")
     tables = lsh_table_planes(dim, n_planes, n_tables, seed)
+    c = _lsh_corpus_side(corpus, tables, id_col, vec_col)
+    q = _lsh_query_side(queries, tables, n_planes, probe_bits, id_col, vec_col)
+    return _lsh_score_rank(q, c, k=k, dedup=(n_tables > 1))
 
-    def _probes(bucket: F.Column) -> list[F.Column]:
-        return lsh_probe_buckets(bucket, n_planes, probe_bits)
 
-    c = corpus.select(
+def _lsh_corpus_side(
+    corpus: DataFrame, tables: list[list[list[float]]], id_col: str, vec_col: str
+) -> DataFrame:
+    """(neighbor_id, cv, tbl, bucket): one row per (vector, table) — the LSH
+    index content. Shared by :func:`lsh_topk` (inline) and
+    :func:`lsh_index_build` (persisted), so the two are the same index by
+    construction."""
+    n_tables = len(tables)
+    return corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(t).alias("tbl"),
+                        F.lit(t).cast("int").alias("tbl"),
                         lsh_signature(F.col(vec_col), tables[t]).alias("bucket"),
                     )
                     for t in range(n_tables)
@@ -652,19 +674,41 @@ def lsh_topk(
             )
         ).alias("tb"),
     ).select("neighbor_id", "cv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-    q = queries.select(
+
+
+def _lsh_query_side(
+    queries: DataFrame,
+    tables: list[list[list[float]]],
+    n_planes: int,
+    probe_bits: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, qv, tbl, bucket): one row per (query, table, probed
+    bucket). Shared by the inline and persisted-index query paths."""
+    n_tables = len(tables)
+    return queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(t).alias("tbl"), b.alias("bucket"))
+                    F.struct(F.lit(t).cast("int").alias("tbl"), b.alias("bucket"))
                     for t in range(n_tables)
-                    for b in _probes(lsh_signature(F.col(vec_col), tables[t]))
+                    for b in lsh_probe_buckets(
+                        lsh_signature(F.col(vec_col), tables[t]),
+                        n_planes,
+                        probe_bits,
+                    )
                 ]
             )
         ).alias("tb"),
     ).select("query_id", "qv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+
+def _lsh_score_rank(q: DataFrame, c: DataFrame, *, k: int, dedup: bool) -> DataFrame:
+    """Bucket-join candidates, exact cosine, per-query top-k — the common
+    tail of both LSH query paths."""
     scored = (
         F.broadcast(q)
         .join(c, ["tbl", "bucket"])
@@ -675,7 +719,7 @@ def lsh_topk(
             cosine(F.col("qv"), F.col("cv")).alias("raw_sim"),
         )
     )
-    if n_tables > 1:
+    if dedup:
         # a pair meeting in several tables scores identically each time
         # (same pure expression on the same vectors) — max() dedups;
         # only (long, long, double) rows shuffle
@@ -694,6 +738,121 @@ def lsh_topk(
         )
         .where(F.col("rank") <= k)
     )
+
+
+def lsh_index_build(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = LSH_DEFAULT_SEED,
+    n_tables: int = 1,
+) -> DataFrame:
+    """PERSIST the multi-table LSH index: (neighbor_id, cv) rows written
+    ``partitionBy("tbl", "bucket")`` (parquet) — one directory per
+    (table, bucket), which is the bucket-partitioned layout
+    :func:`lsh_topk`'s 100 TB posture states ("at scale the corpus is
+    written bucket-partitioned, so a query touches 1 + probe_bits·n_planes
+    partitions per table"). The frozen plane parameters land in the index
+    header (meta.json) through the Hadoop FileSystem for ``path``'s
+    scheme, so :func:`lsh_index_query` regenerates EXACTLY the signatures
+    the build hashed with (seed + stride·t — the module's determinism
+    contract). Raw vectors ride in the index for exact rescoring inside
+    probed buckets; they are written once per table — the standard
+    OR-amplification storage trade (store L projections, scan 1/2^planes
+    of one).
+
+    Rows are repartitioned on (tbl, bucket) before the write so each
+    bucket lands as ~one file (the small-files guard — 32 write tasks ×
+    2^n_planes buckets would otherwise emit thousands of row-group-sized
+    files); a deployment whose buckets outgrow one task would add a
+    within-bucket split key to the repartition.
+
+    Returns the persisted index read back from ``path``."""
+    import json
+
+    spark = corpus.sparkSession
+    d = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if d and d[0]["d"] != dim:
+        raise ValueError(
+            f"lsh_index_build: dim={dim} but corpus '{vec_col}' vectors "
+            f"are {d[0]['d']}-wide"
+        )
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
+    tables = lsh_table_planes(dim, n_planes, n_tables, seed)
+    rows = _lsh_corpus_side(corpus, tables, id_col, vec_col)
+    rows.repartition(F.col("tbl"), F.col("bucket")).write.mode(
+        "overwrite"
+    ).option("compression", "zstd").partitionBy("tbl", "bucket").parquet(
+        _index_child(path, "buckets")
+    )
+    _fs_write_text(
+        spark,
+        _index_child(path, "meta.json"),
+        json.dumps(
+            {"dim": dim, "n_planes": n_planes, "seed": seed,
+             "n_tables": n_tables}
+        ),
+    )
+    return spark.read.parquet(_index_child(path, "buckets"))
+
+
+def lsh_index_query(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    probe_bits: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a PERSISTED LSH index (:func:`lsh_index_build`) without
+    touching the corpus: the plane parameters load from the index header,
+    the query set's probed (table, bucket) pairs collect to the driver
+    (one tiny job over the broadcast-small query side — its size is the
+    family contract), and the bucket scan carries a LITERAL per-table
+    ``tbl = t AND bucket IN (...)`` predicate over BOTH partition columns,
+    so parquet partition pruning reads exactly the probed buckets'
+    directories — at 100 TB, ``n_tables · (1 + probe_bits·n_planes)``
+    bucket partitions per query batch instead of the whole corpus
+    (plan-pinned in tests/test_plans.py). Output is identical to
+    :func:`lsh_topk` at the same operating point."""
+    import json
+
+    meta = json.loads(_fs_read_text(spark, _index_child(path, "meta.json")))
+    dim, n_planes = int(meta["dim"]), int(meta["n_planes"])
+    seed, n_tables = int(meta["seed"]), int(meta["n_tables"])
+    tables = lsh_table_planes(dim, n_planes, n_tables, seed)
+    q = _lsh_query_side(
+        queries, tables, n_planes, probe_bits, id_col, vec_col
+    ).localCheckpoint(eager=False)  # reused: probed collect + bucket join
+    by_tbl: dict[int, set[int]] = {}
+    for r in q.select("tbl", "bucket").distinct().collect():
+        by_tbl.setdefault(int(r["tbl"]), set()).add(int(r["bucket"]))
+    pred = None
+    for t, buckets in sorted(by_tbl.items()):
+        clause = (F.col("tbl") == t) & F.col("bucket").isin(sorted(buckets))
+        pred = clause if pred is None else (pred | clause)
+    if pred is None:  # empty query set: no buckets probed, empty result
+        pred = F.lit(False)
+    c = (
+        spark.read.parquet(_index_child(path, "buckets"))
+        .where(pred)
+        # partition-directory columns come back int32/int32; restore the
+        # long bucket the in-memory side carries so the join is cast-free
+        .select(
+            "neighbor_id",
+            "cv",
+            F.col("tbl").cast("int").alias("tbl"),
+            F.col("bucket").cast("long").alias("bucket"),
+        )
+    )
+    return _lsh_score_rank(q, c, k=k, dedup=(n_tables > 1))
 
 
 # ---------------------------------------------------------------------------

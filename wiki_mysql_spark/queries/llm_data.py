@@ -483,9 +483,10 @@ def _sql_lsh_side(alias_id: str, where: str = "") -> str:
     )
 
 
-@query(
-    "ann_topk_lsh",
-    f"""
+# shared by ann_topk_lsh (inline index) and lsh_index_query (persisted
+# index): the two operators are output-identical at the same operating
+# point, so one oracle checks both
+_SQL_LSH_TOPK = f"""
     WITH c AS MATERIALIZED (
         {_sql_lsh_side('neighbor_id')}
     ),
@@ -516,8 +517,10 @@ def _sql_lsh_side(alias_id: str, where: str = "") -> str:
                                   ORDER BY raw_sim DESC, neighbor_id) AS rank
         FROM scored
     ) WHERE rank <= 10
-    """,
-)
+    """
+
+
+@query("ann_topk_lsh", _SQL_LSH_TOPK)
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: 8-bit random-hyperplane LSH buckets (frozen
     seeds), exact cosine within the probed buckets. r7 operating point —
@@ -2016,6 +2019,26 @@ def _index_tmpdir() -> str:
     return path
 
 
+# One persisted index per (kind, corpus) per process: a persisted index is
+# built once and queried many times — that IS its semantics (rebuilding per
+# query run is the thing the index exists to avoid). The *_index_build
+# entries always build (they measure persist cost, and they refresh the
+# cache); the *_index_query entries build only when no build ran yet, so
+# their steady-state cost is the partition-pruned QUERY path. Keyed by
+# sf_dir: different fixtures never share an index; the index params are
+# fixed per entry (the shipped operating point), so they don't key.
+_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _cached_index(kind: str, sf_dir: str, build) -> str:
+    key = (kind, sf_dir.rstrip("/"))
+    if key not in _INDEX_CACHE:
+        path = _index_tmpdir()
+        build(path)
+        _INDEX_CACHE[key] = path
+    return _INDEX_CACHE[key]
+
+
 @query(
     "ann_index_build",
     _sql_ivfpq_index(n_coarse=16, m=8, n_centroids=16, dim=64, coarse_iters=2),
@@ -2035,9 +2058,11 @@ def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wiki_mysql_spark.operators.similarity import ivfpq_index_build
 
     emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_tmpdir()
     codes = ivfpq_index_build(
-        emb, _index_tmpdir(), n_coarse=16, coarse_iters=2, m=8, n_centroids=16,
+        emb, path, n_coarse=16, coarse_iters=2, m=8, n_centroids=16,
     )
+    _INDEX_CACHE[("ivfpq", sf_dir.rstrip("/"))] = path
     # cell is the partition DIRECTORY column on the read-back side, which
     # parquet partition discovery infers as int32 — cast to the long the
     # in-memory ivfpq path (and the oracle) carries
@@ -2063,19 +2088,94 @@ def ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py). Output is identical to `ann_topk_ivfpq` at the
     same operating point, which is what the oracle replays; the plan is
     the part that changed — at 100 TB this reads n_probe partitions of
-    codes instead of re-encoding the corpus."""
+    codes instead of re-encoding the corpus. The index is built once per
+    process and reused across calls (_cached_index) — build-once,
+    query-many is the persisted index's semantics; the build cost is
+    measured separately by `ann_index_build`."""
     from wiki_mysql_spark.operators.similarity import (
         ivfpq_index_build,
         ivfpq_index_query,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = _index_tmpdir()
-    ivfpq_index_build(
-        emb, path, n_coarse=16, coarse_iters=2, m=8, n_centroids=16,
+    path = _cached_index(
+        "ivfpq", sf_dir,
+        lambda p: ivfpq_index_build(
+            emb, p, n_coarse=16, coarse_iters=2, m=8, n_centroids=16,
+        ),
     )
     return ivfpq_index_query(
         spark, path, emb.where(F.col("vec_id") < 5), k=8, n_probe=2
+    )
+
+
+@query(
+    "lsh_index_build",
+    f"""
+    SELECT CAST(tbl AS BIGINT) AS tbl, neighbor_id,
+           CAST(bucket AS BIGINT) AS bucket
+    FROM ({_sql_lsh_side('neighbor_id')})
+    """,
+)
+def lsh_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build AND PERSIST the multi-table LSH index
+    (`operators/similarity.py:lsh_index_build`): (id, vector) rows land
+    `partitionBy("tbl", "bucket")` — the bucket-partitioned layout
+    lsh_topk's 100 TB posture states, as BEHAVIOR (the r7 verdict flagged
+    it as design intent; r8 converted the IVFADC half, this converts the
+    LSH half). The frozen plane parameters (seed + stride*t — the
+    operator module's single determinism contract) land in the index
+    header so the query side regenerates exactly the build's signatures.
+    Returns the persisted index read back from disk projected to its
+    layout columns, so the oracle checks the full write-to-read round
+    trip (bucket assignment survives the partitioned layout; partition
+    directory values come back int32 and are cast to the long the
+    in-memory side carries)."""
+    from wiki_mysql_spark.operators.similarity import lsh_index_build
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_tmpdir()
+    idx = lsh_index_build(emb, path, dim=64, n_planes=8, n_tables=2)
+    _INDEX_CACHE[("lsh", sf_dir.rstrip("/"))] = path
+    return idx.select(
+        F.col("tbl").cast("long").alias("tbl"),
+        "neighbor_id",
+        F.col("bucket").cast("long").alias("bucket"),
+    )
+
+
+@query("lsh_index_query", _SQL_LSH_TOPK)
+def lsh_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search the PERSISTED LSH index (`operators/similarity.py:
+    lsh_index_query`): plane parameters load from the index header, the
+    query set's probed (table, bucket) pairs collect to the driver (one
+    tiny job over the broadcast-small query side), and the bucket scan
+    carries literal partition filters on BOTH partition columns — parquet
+    partition pruning reads EXACTLY the probed buckets' directories
+    (plan-pinned: the scan's numPartitions metric equals the
+    probed-and-existing bucket count, tests/test_plans.py). Output is
+    identical to `ann_topk_lsh` at the same operating point (2 tables x
+    8 planes x 1-bit multi-probe — the r7 frontier knee), which is what
+    the shared oracle replays; the plan is the part that changed — at
+    100 TB this reads 18 bucket partitions per query batch instead of
+    re-hashing the corpus. The index is built once per process and reused
+    across calls (_cached_index) — build-once, query-many is the
+    persisted index's semantics; the build cost (dominated at test scale
+    by the 2·2^8-directory layout's per-file overhead, which amortizes
+    once buckets hold real data) is measured separately by
+    `lsh_index_build`."""
+    from wiki_mysql_spark.operators.similarity import (
+        lsh_index_build,
+        lsh_index_query,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _cached_index(
+        "lsh", sf_dir,
+        lambda p: lsh_index_build(emb, p, dim=64, n_planes=8, n_tables=2),
+    )
+    return lsh_index_query(
+        spark, path, emb.where(F.col("vec_id") < 5), k=10, probe_bits=1
     )
 
 
