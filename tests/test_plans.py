@@ -608,3 +608,83 @@ def test_lsh_index_query_scan_prunes_to_probed_buckets(spark, tmp_path):
         f"index scan read {max(parts)} bucket partitions; probed-and-"
         f"existing = {want_parts} (of {len(existing)} total)"
     )
+
+
+def test_index_append_matches_union_build_and_frozen_books(spark, tmp_path):
+    """Incremental index maintenance — the daily operation of a deployed
+    index. LSH: hyperplanes are frozen at build, so build(half A) +
+    append(half B) must be row-identical to build(A ∪ B), and the
+    persisted-query output must match lsh_topk over the union. IVFADC
+    (the FAISS `add` semantics): append encodes with the header's FROZEN
+    codebooks — appended rows must byte-match _ivfpq_encode of the same
+    rows under those books, and a query over the appended index must rank
+    appended vectors."""
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.similarity import (
+        _ivfpq_encode,
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_query,
+        lsh_index_append,
+        lsh_index_build,
+        lsh_index_query,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+
+    # --- LSH: append == union build, and query parity with lsh_topk
+    inc, full = str(tmp_path / "lsh_inc"), str(tmp_path / "lsh_full")
+    lsh_index_build(even, inc, dim=64, n_planes=8, n_tables=2)
+    appended = lsh_index_append(odd, inc)
+    built = lsh_index_build(emb, full, dim=64, n_planes=8, n_tables=2)
+    cols = ["tbl", "bucket", "neighbor_id"]
+    assert sorted(map(tuple, appended.select(*cols).collect())) == sorted(
+        map(tuple, built.select(*cols).collect())
+    )
+    q = emb.where(F.col("vec_id") < 3)
+    got = sorted(map(tuple, lsh_index_query(
+        spark, inc, q, k=5, probe_bits=1
+    ).collect()))
+    want = sorted(map(tuple, lsh_topk(
+        emb, q, k=5, dim=64, n_planes=8, probe_bits=1, n_tables=2
+    ).collect()))
+    assert got == want
+
+    # --- IVFADC: frozen-book encode parity for the appended half
+    ipath = str(tmp_path / "ivfpq_inc")
+    ivfpq_index_build(even, ipath, n_coarse=8, coarse_iters=2, m=8, n_centroids=16)
+    import json
+
+    from wiki_mysql_spark.operators.similarity import (
+        _fs_read_text,
+        _index_child,
+    )
+    meta = json.loads(_fs_read_text(spark, _index_child(ipath, "meta.json")))
+    coarse = sorted((int(c), [float(x) for x in v]) for c, v in meta["coarse"])
+    books = [
+        [(int(c), [float(x) for x in v]) for c, v in b] for b in meta["books"]
+    ]
+    all_codes = ivfpq_index_append(odd, ipath)
+    ccols = ["nid", "cell"] + [f"c{s}" for s in range(8)]
+    got_odd = sorted(
+        map(tuple, all_codes.where(F.col("nid") % 2 == 1)
+            .select(*[F.col(c).cast("long") for c in ccols]).collect())
+    )
+    want_odd = sorted(
+        map(tuple, _ivfpq_encode(
+            odd, coarse, books, id_col="vec_id", vec_col="embedding", dim=64
+        ).select(*[F.col(c).cast("long") for c in ccols]).collect())
+    )
+    assert got_odd == want_odd
+    # appended vectors are visible to the persisted-query path: an odd
+    # query vector must at least rank itself... it is excluded by the
+    # family contract, so instead assert SOME odd neighbor appears for a
+    # k covering the probed cells
+    res = ivfpq_index_query(
+        spark, ipath, emb.where(F.col("vec_id") < 2), k=50, n_probe=8
+    )
+    assert res.where(F.col("neighbor_id") % 2 == 1).count() > 0

@@ -801,6 +801,45 @@ def lsh_index_build(
     return spark.read.parquet(_index_child(path, "buckets"))
 
 
+def lsh_index_append(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """APPEND new vectors to a persisted LSH index without touching the
+    existing buckets' data: the frozen plane parameters load from the
+    index header, the new rows hash with EXACTLY the build's signatures
+    (seed + stride·t), and land ``mode("append")`` under the same
+    (tbl, bucket) partition layout — each append adds one file per
+    touched bucket directory and rewrites nothing. This is the daily
+    operation of a real deployed index (ingest today's vectors; never
+    re-hash the corpus); random-hyperplane LSH needs no retraining, so
+    an appended index is IDENTICAL to one built from the union — pinned
+    by test. Returns the full index read back from ``path``."""
+    import json
+
+    spark = corpus.sparkSession
+    meta = json.loads(_fs_read_text(spark, _index_child(path, "meta.json")))
+    dim, n_planes = int(meta["dim"]), int(meta["n_planes"])
+    seed, n_tables = int(meta["seed"]), int(meta["n_tables"])
+    d = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if d and d[0]["d"] != dim:
+        raise ValueError(
+            f"lsh_index_append: index dim={dim} but corpus '{vec_col}' "
+            f"vectors are {d[0]['d']}-wide"
+        )
+    tables = lsh_table_planes(dim, n_planes, n_tables, seed)
+    rows = _lsh_corpus_side(corpus, tables, id_col, vec_col)
+    rows.repartition(F.col("tbl"), F.col("bucket")).write.mode(
+        "append"
+    ).option("compression", "zstd").partitionBy("tbl", "bucket").parquet(
+        _index_child(path, "buckets")
+    )
+    return spark.read.parquet(_index_child(path, "buckets"))
+
+
 def lsh_index_query(
     spark,
     path: str,
@@ -1671,3 +1710,37 @@ def ivfpq_index_query(
         F.col("cell").isin([int(c) for c in probed])
     )
     return _ivfpq_rank(probes, codes, books, subdim=dim // m, k=k)
+
+
+def ivfpq_index_append(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """APPEND new vectors to a persisted IVFADC index with the FROZEN
+    codebooks from its header — the FAISS ``add`` semantics: quantizers
+    are trained once at build time on a bounded sample; ingest encodes
+    against them and never retrains (retraining would silently re-assign
+    every existing code). New rows take the same one-Arrow-pass encode as
+    the build (:func:`_ivfpq_encode`) and land ``mode("append")`` under
+    the same cell-partitioned layout — one new file per touched cell
+    directory, nothing rewritten, and the query path's partition pruning
+    is unchanged. Returns the full code table read back from ``path``."""
+    import json
+
+    spark = corpus.sparkSession
+    meta = json.loads(_fs_read_text(spark, _index_child(path, "meta.json")))
+    coarse = sorted((int(c), [float(x) for x in v]) for c, v in meta["coarse"])
+    books = [
+        [(int(c), [float(x) for x in v]) for c, v in b] for b in meta["books"]
+    ]
+    dim = int(meta["dim"])
+    codes = _ivfpq_encode(
+        corpus, coarse, books, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    codes.repartition(F.col("cell")).write.mode("append").option(
+        "compression", "zstd"
+    ).partitionBy("cell").parquet(_index_child(path, "codes"))
+    return spark.read.parquet(_index_child(path, "codes"))

@@ -2144,6 +2144,45 @@ def lsh_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lsh_index_append",
+    f"""
+    SELECT CAST(tbl AS BIGINT) AS tbl, neighbor_id,
+           CAST(bucket AS BIGINT) AS bucket
+    FROM ({_sql_lsh_side('neighbor_id')})
+    """,
+)
+def lsh_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (`operators/similarity.py:
+    lsh_index_append`): build the persisted LSH index on the even-id half
+    of the corpus, then APPEND the odd-id half with the header's frozen
+    plane parameters — mode("append") under the same (tbl, bucket)
+    partition layout, one new file per touched bucket, nothing rewritten.
+    Hyperplane LSH needs no retraining, so the appended index must equal
+    a from-scratch build of the union — which is exactly what the oracle
+    computes (the full-corpus signature table): the hash check proves the
+    ingest path, not just the build path. This is the daily operation of
+    a deployed 100 TB index: hash today's vectors, append their bucket
+    files, never re-hash the corpus."""
+    from wiki_mysql_spark.operators.similarity import (
+        lsh_index_append,
+        lsh_index_build,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_tmpdir()
+    lsh_index_build(
+        emb.where(F.col("vec_id") % 2 == 0), path,
+        dim=64, n_planes=8, n_tables=2,
+    )
+    idx = lsh_index_append(emb.where(F.col("vec_id") % 2 == 1), path)
+    return idx.select(
+        F.col("tbl").cast("long").alias("tbl"),
+        "neighbor_id",
+        F.col("bucket").cast("long").alias("bucket"),
+    )
+
+
 @query("lsh_index_query", _SQL_LSH_TOPK)
 def lsh_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search the PERSISTED LSH index (`operators/similarity.py:
