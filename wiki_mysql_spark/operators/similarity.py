@@ -1339,7 +1339,17 @@ def ivfpq_topk(
         (n_coarse x n_probe) frontier (ANN_RECALL_r8.json): on BOTH
         fixtures it dominates the r7 point (8, 3), recall@10 0.900 on
         the clustered fixture at 0.127 of the corpus scanned vs 0.901
-        at 0.376 — equal recall, one third the ADC work. Unlike
+        at 0.376 — equal recall, one third the ADC work. The completed
+        r9 grid shows (32, 2) scanning half of (16, 2)'s fraction at
+        equal recall on both fixtures — expected: at a FIXED tiny
+        corpus, frac_scanned ≈ n_probe/n_coarse, so raising n_coarse
+        always narrows the scan until cells under-fill. The fixture's
+        2k vectors at n_coarse=32 hold ~62/cell (probe-1 min-recall
+        already drops 0.5→0.3), so the shipped default stays at the
+        variance-safe 16; a DEPLOYMENT sizes n_coarse with the corpus —
+        the standard IVF rule is n_coarse ≈ sqrt(n) (FAISS guidance:
+        4·sqrt(n)..16·sqrt(n) cells for big n), re-measuring recall at
+        the deployment's own fixture, not this one's. Unlike
         exhaustive-ADC ``pq_topk`` where code width multiplies the full
         corpus scan, IVFADC's ADC cost is bounded by the probed cells'
         populations, so the wider code is nearly free here and is what
