@@ -265,3 +265,43 @@ def test_streaming_state_is_bounded_across_batches(spark):
         assert prof_state[-1] == n_users  # every user seen by the end
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def test_stream_ann_ingest_equals_batch_build(spark):
+    """Streaming LSH-index ingest (build on first micro-batch, append on
+    the rest) must produce an index row-identical to a one-shot build of
+    the full corpus, and the persisted-query path over the streamed index
+    must equal lsh_topk over the corpus — batch/stream equivalence for
+    the vector store's write path. Also pins that the drain actually
+    exercised append (>= 2 micro-batches)."""
+    import tempfile
+
+    from wiki_mysql_spark.operators.similarity import (
+        lsh_index_build,
+        lsh_index_query,
+        lsh_topk,
+    )
+    from wiki_mysql_spark.streaming.ann_ingest import run_stream_ann_ingest
+
+    sf_dir = "/root/testdata/sf0.001"
+    path, n_batches = run_stream_ann_ingest(spark, sf_dir, n_files=4)
+    assert n_batches >= 2, "staging must slice into several micro-batches"
+
+    emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    full = lsh_index_build(
+        emb, tempfile.mkdtemp(prefix="ann_ingest_ref_"),
+        dim=64, n_planes=8, n_tables=2,
+    )
+    cols = ["tbl", "bucket", "neighbor_id"]
+    streamed = spark.read.parquet(path + "/buckets")
+    assert sorted(map(tuple, streamed.select(*cols).collect())) == sorted(
+        map(tuple, full.select(*cols).collect())
+    )
+    q = emb.where(F.col("vec_id") < 3)
+    got = sorted(map(tuple, lsh_index_query(
+        spark, path, q, k=5, probe_bits=1
+    ).collect()))
+    want = sorted(map(tuple, lsh_topk(
+        emb, q, k=5, dim=64, n_planes=8, probe_bits=1, n_tables=2
+    ).collect()))
+    assert got == want

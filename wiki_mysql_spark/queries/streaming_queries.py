@@ -332,3 +332,49 @@ def stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_memory(tally, output_mode="complete")
+
+
+# the streamed index must equal a one-shot build of the whole corpus —
+# the same union-build signature table the lsh_index_build/append oracles
+# use (one definition point for the per-table planes, llm_data._LSH_TABLES)
+def _sql_streamed_lsh_index() -> str:
+    from wiki_mysql_spark.queries.llm_data import _sql_lsh_side
+
+    return f"""
+    SELECT CAST(tbl AS BIGINT) AS tbl, neighbor_id,
+           CAST(bucket AS BIGINT) AS bucket
+    FROM ({_sql_lsh_side('neighbor_id')})
+    """
+
+
+@query("stream_ann_ingest", _sql_streamed_lsh_index())
+def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into the persisted LSH index
+    (`streaming/ann_ingest.py`): embeddings drain one file per
+    micro-batch through foreachBatch — the first batch BUILDS the
+    bucket-partitioned index (freezing the plane parameters in the
+    header), every later batch APPENDS under the frozen planes, one new
+    file per touched (tbl, bucket) directory, nothing rewritten. The
+    oracle asserts the drained index equals a one-shot build of the full
+    corpus, row for row, independent of how vectors were sliced into
+    batches — hyperplane LSH needs no retraining, so streaming ingest
+    and batch build are the SAME index by construction. At 100 TB this
+    is the vector store's write path: today's embeddings append their
+    bucket files while the query side keeps partition-pruning the same
+    layout."""
+    from wiki_mysql_spark.streaming.ann_ingest import run_stream_ann_ingest
+
+    path, n_batches = run_stream_ann_ingest(spark, sf_dir)
+    if n_batches < 2:
+        # one batch would degenerate to a plain build — the entry exists
+        # to prove the append path under micro-batch slicing
+        raise RuntimeError(
+            f"ann ingest drained in {n_batches} micro-batch(es); "
+            f"expected the staged multi-file slicing to exercise append"
+        )
+    idx = spark.read.parquet(path + "/buckets")
+    return idx.select(
+        F.col("tbl").cast("long").alias("tbl"),
+        "neighbor_id",
+        F.col("bucket").cast("long").alias("bucket"),
+    )
