@@ -688,3 +688,62 @@ def test_index_append_matches_union_build_and_frozen_books(spark, tmp_path):
         spark, ipath, emb.where(F.col("vec_id") < 2), k=50, n_probe=8
     )
     assert res.where(F.col("neighbor_id") % 2 == 1).count() > 0
+
+
+def test_index_compact_collapses_files_and_preserves_queries(spark, tmp_path):
+    """Layout-preserving index compaction: after build+append every
+    touched bucket holds 2 files; compaction collapses each back to ~one
+    file under the SAME partition layout with the header copied, and the
+    persisted-query output is unchanged. sinks.compact_parquet would
+    flatten the directory layout — the index needs its own compactor."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.similarity import (
+        lsh_index_append,
+        lsh_index_build,
+        lsh_index_compact,
+        lsh_index_query,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = str(tmp_path / "lsh_src")
+    lsh_index_build(
+        emb.where(F.col("vec_id") % 2 == 0), src, dim=64, n_planes=8,
+        n_tables=2,
+    )
+    lsh_index_append(emb.where(F.col("vec_id") % 2 == 1), src)
+
+    def files_per_bucket(root):
+        out = {}
+        for tbl in os.listdir(os.path.join(root, "buckets")):
+            if not tbl.startswith("tbl="):
+                continue
+            for b in os.listdir(os.path.join(root, "buckets", tbl)):
+                if not b.startswith("bucket="):
+                    continue
+                n = len([
+                    f for f in os.listdir(os.path.join(root, "buckets", tbl, b))
+                    if f.endswith(".parquet")
+                ])
+                out[(tbl, b)] = n
+        return out
+
+    before = files_per_bucket(src)
+    assert max(before.values()) >= 2, "append must have split some bucket"
+
+    dst = str(tmp_path / "lsh_dst")
+    lsh_index_compact(spark, src, dst)
+    after = files_per_bucket(dst)
+    assert set(after) == set(before), "compaction must keep every bucket dir"
+    assert max(after.values()) == 1, f"buckets still split: {after}"
+
+    q = emb.where(F.col("vec_id") < 3)
+    got = sorted(map(tuple, lsh_index_query(
+        spark, dst, q, k=5, probe_bits=1
+    ).collect()))
+    want = sorted(map(tuple, lsh_index_query(
+        spark, src, q, k=5, probe_bits=1
+    ).collect()))
+    assert got == want

@@ -840,6 +840,54 @@ def lsh_index_append(
     return spark.read.parquet(_index_child(path, "buckets"))
 
 
+def _index_compact(
+    spark, src_path: str, dst_path: str, *, subdir: str,
+    partition_cols: list[str],
+) -> DataFrame:
+    """Layout-PRESERVING compaction of a persisted index: every append
+    adds one file per touched partition, so a long-lived index
+    accumulates per-partition file counts equal to its append count —
+    per-file open/footer overhead that grows without bound. Rewrite the
+    data repartitioned on the partition columns (each partition collapses
+    back to ~one file) under the SAME partitionBy layout at a new root,
+    and copy the header verbatim — the query path's partition pruning and
+    frozen parameters are untouched. ``sinks.compact_parquet`` is the
+    wrong tool here: it rewrites to a FLAT directory, destroying the
+    pruning layout the index exists for. Compact-to-new-root (never
+    in-place) so readers of the old root stay consistent mid-compaction;
+    the caller swaps roots when done — the copy-on-write pattern the
+    upsert sink uses for its versioned target."""
+    meta = _fs_read_text(spark, _index_child(src_path, "meta.json"))
+    rows = spark.read.parquet(_index_child(src_path, subdir))
+    rows.repartition(*[F.col(c) for c in partition_cols]).write.mode(
+        "overwrite"
+    ).option("compression", "zstd").partitionBy(*partition_cols).parquet(
+        _index_child(dst_path, subdir)
+    )
+    _fs_write_text(spark, _index_child(dst_path, "meta.json"), meta)
+    return spark.read.parquet(_index_child(dst_path, subdir))
+
+
+def lsh_index_compact(spark, src_path: str, dst_path: str) -> DataFrame:
+    """Compact an appended LSH index (see :func:`_index_compact`):
+    (tbl, bucket) layout preserved, each bucket back to ~one file,
+    header copied — :func:`lsh_index_query` against the compacted root
+    is identical to the appended one, test-pinned."""
+    return _index_compact(
+        spark, src_path, dst_path,
+        subdir="buckets", partition_cols=["tbl", "bucket"],
+    )
+
+
+def ivfpq_index_compact(spark, src_path: str, dst_path: str) -> DataFrame:
+    """Compact an appended IVFADC index (see :func:`_index_compact`):
+    cell layout preserved, each cell back to ~one file, header (trained
+    codebooks) copied verbatim."""
+    return _index_compact(
+        spark, src_path, dst_path, subdir="codes", partition_cols=["cell"],
+    )
+
+
 def lsh_index_query(
     spark,
     path: str,

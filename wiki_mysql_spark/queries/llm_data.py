@@ -2183,6 +2183,48 @@ def lsh_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lsh_index_compact",
+    f"""
+    SELECT CAST(tbl AS BIGINT) AS tbl, neighbor_id,
+           CAST(bucket AS BIGINT) AS bucket
+    FROM ({_sql_lsh_side('neighbor_id')})
+    """,
+)
+def lsh_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance (`operators/similarity.py:lsh_index_compact`):
+    build on the even-id half, append the odd-id half (every touched
+    bucket now holds two files), then COMPACT to a new root — the data
+    rewritten repartitioned on the partition columns so each bucket
+    collapses back to ~one file, the (tbl, bucket) layout preserved, the
+    header copied verbatim. Returns the compacted index read back, so the
+    oracle (the full-corpus signature table) proves compaction loses and
+    invents nothing. Compact-to-new-root, never in-place: readers of the
+    old root stay consistent mid-compaction, the caller swaps roots when
+    done. At 100 TB this is the weekly job that keeps per-bucket file
+    counts (== append count since last compaction) from dominating scan
+    open/footer cost."""
+    from wiki_mysql_spark.operators.similarity import (
+        lsh_index_append,
+        lsh_index_build,
+        lsh_index_compact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src, dst = _index_tmpdir(), _index_tmpdir()
+    lsh_index_build(
+        emb.where(F.col("vec_id") % 2 == 0), src,
+        dim=64, n_planes=8, n_tables=2,
+    )
+    lsh_index_append(emb.where(F.col("vec_id") % 2 == 1), src)
+    idx = lsh_index_compact(spark, src, dst)
+    return idx.select(
+        F.col("tbl").cast("long").alias("tbl"),
+        "neighbor_id",
+        F.col("bucket").cast("long").alias("bucket"),
+    )
+
+
 @query("lsh_index_query", _SQL_LSH_TOPK)
 def lsh_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search the PERSISTED LSH index (`operators/similarity.py:
