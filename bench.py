@@ -76,6 +76,8 @@ HEADLINE = [
     "ann_index_build",
     "lsh_index_build",
     "lsh_index_query",
+    # round-9: rank-fused hybrid retrieval (BM25 x embedding-cosine)
+    "hybrid_search_rrf",
 ]
 
 

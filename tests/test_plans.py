@@ -369,6 +369,7 @@ BNLJ_CONTRACT = {
     "dedup_sorted_neighborhood",
     "drift_psi",
     "graph_triangle_count",
+    "hybrid_search_rrf",
     "join_cross_dims",
     "join_range_bands",
     "profile_histogram",

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from wiki_mysql_spark.queries.llm_data import _EMB_DIM_VEC, _sql_cosine
 from wiki_mysql_spark.queries.registry import query
 from wiki_mysql_spark.sources.tables import load_table
 
@@ -73,6 +74,17 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching docs are pre-filtered with arrays_overlap before the explode
     so the token fan-out only touches the candidate slice. Ties after
     rounding break by doc_id on both engines."""
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(TOP_K)
+    )
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document matching QUERY_TERMS — the scoring
+    core shared by text_bm25_topk (orderBy+limit tail) and
+    hybrid_search_rrf (pool + rank + fuse tail)."""
     docs = _tokenized_docs(spark, sf_dir)
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -106,9 +118,141 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(stats))
         .groupBy("doc_id")
         .agg((F.round(F.sum(per_term), 6) + F.lit(0.0)).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(TOP_K)
     )
+
+
+# Hybrid retrieval: reciprocal rank fusion (Cormack et al. 2009 — the
+# standard score-free fusion every hybrid search stack uses) of the BM25
+# lexical ranking and an embedding-cosine ranking for the same query.
+RRF_K = 60
+RRF_POOL = 50
+HYBRID_TOP_K = 10
+_HYB_QUERY_VEC_ID = 0
+
+
+@query(
+    "hybrid_search_rrf",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_SQL_WS} AS ws FROM documents
+    ),
+    dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
+    tok AS (SELECT doc_id, dl, unnest(ws) AS term FROM dd),
+    tf AS (
+        SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+        FROM tok WHERE term IN ('spark', 'join', 'merge')
+        GROUP BY doc_id, dl, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+    bm AS (
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * ({K1} + 1.0)
+                   / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))
+               ), 6) + 0 AS bm25
+        FROM tf JOIN dfreq USING (term), stats
+        GROUP BY doc_id
+    ),
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        FROM bm QUALIFY lex_rank <= {RRF_POOL}
+    ),
+    qv AS (SELECT embedding AS v FROM embeddings
+           WHERE vec_id = {_HYB_QUERY_VEC_ID}),
+    cos AS (
+        SELECT e.vec_id AS doc_id,
+               round({_sql_cosine('e.embedding', 'q.v', _EMB_DIM_VEC)}, 6) + 0 AS cs
+        FROM embeddings e, qv q
+    ),
+    vec AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cs DESC, doc_id) AS vec_rank
+        FROM cos QUALIFY vec_rank <= {RRF_POOL}
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+               round(coalesce(1.0 / ({RRF_K} + l.lex_rank), 0)
+                     + coalesce(1.0 / ({RRF_K} + v.vec_rank), 0), 6) + 0
+                   AS rrf_score
+        FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, rrf_score,
+           row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+    FROM fused QUALIFY rank <= {HYBRID_TOP_K}
+    ORDER BY rank
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion: the BM25 lexical
+    ranking (QUERY_TERMS over documents) and the embedding-cosine ranking
+    (query = vector 0's embedding over the corpus) are each pooled to
+    their top-50 (RRF_POOL), ranked, and fused with
+    score(d) = Σ 1/(60 + rank_m(d)) over the modalities that returned d
+    — rank-based, so the incomparable BM25 and cosine scales
+    never need calibrating (why RRF is the default fusion in hybrid
+    search engines). Both rankings order by (rounded score DESC, doc_id)
+    so ranks are engine-deterministic.
+
+    Scale/plan shape: ranks come from operators.ids.dense_ids (the
+    two-pass range-partitioned rank — no unpartitioned window anywhere,
+    CI-enforced), pools are orderBy+limit (TakeOrderedAndProject);
+    BNLJ contract (see tests/test_plans.py BNLJ_CONTRACT): the corpus
+    stats 1-row aggregate and the 1-row query-vector broadcast — both
+    broadcast-tiny by construction, the exact ann_topk_bruteforce /
+    text_bm25_topk pattern. At 100 TB the vector pool swaps to the
+    persisted ANN index (`lsh_index_query`/`ivfpq_index_query`) feeding
+    the same fusion tail; brute-force cosine here keeps the entry
+    exactly oracle-checkable."""
+    from wiki_mysql_spark.functions.vectors import cosine
+    from wiki_mysql_spark.operators.ids import dense_ids
+
+    lex_pool = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(RRF_POOL)
+    )
+    lex = dense_ids(
+        lex_pool, [F.col("bm25").desc(), F.col("doc_id")], id_col="lex_rank"
+    ).select("doc_id", "lex_rank")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = (
+        emb.where(F.col("vec_id") == _HYB_QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qv"))
+    )
+    vec_pool = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (F.round(cosine(F.col("embedding"), F.col("qv")), 6) + 0.0).alias("cs"),
+        )
+        .orderBy(F.col("cs").desc(), "doc_id")
+        .limit(RRF_POOL)
+    )
+    vec = dense_ids(
+        vec_pool, [F.col("cs").desc(), F.col("doc_id")], id_col="vec_rank"
+    ).select("doc_id", "vec_rank")
+
+    rrf = (
+        F.round(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select("doc_id", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(HYBRID_TOP_K)
+    )
+    return dense_ids(
+        fused, [F.col("rrf_score").desc(), F.col("doc_id")], id_col="rank"
+    ).select("doc_id", "rrf_score", F.col("rank").cast("long").alias("rank"))
 
 
 @query(
