@@ -305,3 +305,56 @@ def test_stream_ann_ingest_equals_batch_build(spark):
         emb, q, k=5, dim=64, n_planes=8, probe_bits=1, n_tables=2
     ).collect()))
     assert got == want
+
+
+def test_stream_ann_ingest_replay_idempotent(spark):
+    """The r9 idempotency gap, closed: a micro-batch that WRITES its delta
+    and then fails before Spark records the commit is re-delivered on
+    restart from the same checkpoint under the SAME batch id — the
+    per-batch-keyed overwrite makes the replay a no-op-equivalent rewrite,
+    so the drained index still equals the one-shot build, row for row
+    (a blind mode("append") sink would hold the poisoned batch's rows
+    twice and fail this equality). Compaction then retires the batch=
+    delta layer and the pruned query path still matches lsh_topk."""
+    import tempfile
+
+    from wiki_mysql_spark.operators.similarity import (
+        lsh_index_build,
+        lsh_index_compact,
+        lsh_index_query,
+        lsh_topk,
+    )
+    from wiki_mysql_spark.streaming.ann_ingest import run_stream_ann_ingest
+
+    sf_dir = "/root/testdata/sf0.001"
+    path, n_batches = run_stream_ann_ingest(
+        spark, sf_dir, n_files=4, poison_once_batch=1
+    )
+    assert n_batches >= 2, "staging must slice into several micro-batches"
+
+    emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    full = lsh_index_build(
+        emb, tempfile.mkdtemp(prefix="ann_replay_ref_"),
+        dim=64, n_planes=8, n_tables=2,
+    )
+    cols = ["tbl", "bucket", "neighbor_id"]
+    streamed = spark.read.parquet(path + "/buckets")
+    assert "batch" in streamed.columns  # the delta layer exists pre-compact
+    assert sorted(map(tuple, streamed.select(*cols).collect())) == sorted(
+        map(tuple, full.select(*cols).collect())
+    )
+
+    compacted_root = tempfile.mkdtemp(prefix="ann_replay_cmp_")
+    compacted = lsh_index_compact(spark, path, compacted_root)
+    assert "batch" not in compacted.columns  # delta layer retired
+    assert sorted(map(tuple, compacted.select(*cols).collect())) == sorted(
+        map(tuple, full.select(*cols).collect())
+    )
+    q = emb.where(F.col("vec_id") < 3)
+    got = sorted(map(tuple, lsh_index_query(
+        spark, compacted_root, q, k=5, probe_bits=1
+    ).collect()))
+    want = sorted(map(tuple, lsh_topk(
+        emb, q, k=5, dim=64, n_planes=8, probe_bits=1, n_tables=2
+    ).collect()))
+    assert got == want

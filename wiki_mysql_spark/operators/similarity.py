@@ -783,6 +783,16 @@ def lsh_index_build(
         )
     if n_tables < 1:
         raise ValueError("n_tables must be >= 1")
+    # partitionBy(tbl, bucket) lays out up to n_tables * 2^n_planes
+    # DIRECTORIES — n_planes=20 would silently attempt ~2M partition dirs
+    # (driver OOM / filesystem blowup). Fail fast like lsh_probe_buckets
+    # does for probe_bits; 16 planes = 65,536 buckets/table is already past
+    # any operating point this module ships.
+    if not 1 <= n_planes <= 16:
+        raise ValueError(
+            f"lsh_index_build: n_planes={n_planes} out of range [1, 16] — "
+            f"the index creates n_tables * 2^n_planes partition directories"
+        )
     tables = lsh_table_planes(dim, n_planes, n_tables, seed)
     rows = _lsh_corpus_side(corpus, tables, id_col, vec_col)
     rows.repartition(F.col("tbl"), F.col("bucket")).write.mode(
@@ -799,6 +809,81 @@ def lsh_index_build(
         ),
     )
     return spark.read.parquet(_index_child(path, "buckets"))
+
+
+def lsh_index_init(
+    spark,
+    path: str,
+    *,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = LSH_DEFAULT_SEED,
+    n_tables: int = 1,
+) -> None:
+    """Write ONLY the index header (frozen plane parameters) at ``path`` —
+    the zero-data starting point of the streaming ingest path, where every
+    micro-batch is a :func:`lsh_index_write_delta` and there is no
+    privileged "first build" batch. Validates the same bounds as
+    :func:`lsh_index_build` (the header is a promise about the partition
+    layout every later write creates)."""
+    import json
+
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
+    if not 1 <= n_planes <= 16:
+        raise ValueError(
+            f"lsh_index_init: n_planes={n_planes} out of range [1, 16] — "
+            f"the index creates n_tables * 2^n_planes partition directories"
+        )
+    _fs_write_text(
+        spark,
+        _index_child(path, "meta.json"),
+        json.dumps(
+            {"dim": dim, "n_planes": n_planes, "seed": seed,
+             "n_tables": n_tables}
+        ),
+    )
+
+
+def lsh_index_write_delta(
+    corpus: DataFrame,
+    path: str,
+    delta: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IDEMPOTENT ingest unit for the persisted LSH index: hash ``corpus``
+    with the header's frozen planes and write it ``mode("overwrite")``
+    under ``<path>/buckets/<delta>/`` (still ``partitionBy(tbl, bucket)``
+    below the delta key, so the query side's partition pruning on
+    (tbl, bucket) is untouched — Spark prunes on any partition column
+    regardless of directory depth). Re-running the SAME delta key
+    overwrites its own directory with identical deterministic content
+    instead of blind-appending — the property a replayed streaming
+    micro-batch needs for exactly-once index ingest (key the delta by
+    ``batch=<batch_id>``; the foreachBatch contract guarantees a replay
+    reuses the batch id). A compaction collapses the accumulated delta
+    dirs back to the flat layout."""
+    import json
+
+    spark = corpus.sparkSession
+    meta = json.loads(_fs_read_text(spark, _index_child(path, "meta.json")))
+    dim, n_planes = int(meta["dim"]), int(meta["n_planes"])
+    seed, n_tables = int(meta["seed"]), int(meta["n_tables"])
+    d = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if d and d[0]["d"] != dim:
+        raise ValueError(
+            f"lsh_index_write_delta: index dim={dim} but corpus "
+            f"'{vec_col}' vectors are {d[0]['d']}-wide"
+        )
+    tables = lsh_table_planes(dim, n_planes, n_tables, seed)
+    rows = _lsh_corpus_side(corpus, tables, id_col, vec_col)
+    rows.repartition(F.col("tbl"), F.col("bucket")).write.mode(
+        "overwrite"
+    ).option("compression", "zstd").partitionBy("tbl", "bucket").parquet(
+        _index_child(path, "buckets/" + delta.strip("/"))
+    )
 
 
 def lsh_index_append(
@@ -859,6 +944,11 @@ def _index_compact(
     upsert sink uses for its versioned target."""
     meta = _fs_read_text(spark, _index_child(src_path, "meta.json"))
     rows = spark.read.parquet(_index_child(src_path, subdir))
+    if "batch" in rows.columns:
+        # a stream-ingested index carries a batch=<id> delta layer above
+        # the layout columns (lsh_index_write_delta); compaction is
+        # exactly the operation that retires it
+        rows = rows.drop("batch")
     rows.repartition(*[F.col(c) for c in partition_cols]).write.mode(
         "overwrite"
     ).option("compression", "zstd").partitionBy(*partition_cols).parquet(
@@ -1602,15 +1692,33 @@ def _fs_write_text(spark, path: str, text: str) -> None:
     ``path``'s scheme — the same filesystem layer the parquet writers use,
     so the index header lands NEXT TO the code table on hdfs:///s3a://
     paths (a plain ``open()`` would write to the driver's local disk where
-    the query side can never see it — the r8 advice item)."""
+    the query side can never see it — the r8 advice item).
+
+    The write is temp-sibling + rename, never create-in-place: an
+    in-place rebuild over an existing root (``lsh_index_build`` /
+    ``ivfpq_index_build`` with overwrite) must not expose a truncated
+    header to a concurrent reader (the r9 advice item). A reader races
+    only the delete→rename window — it sees the OLD header, a
+    missing-file error (retryable), or the NEW header, never a partial
+    byte stream. On HDFS/local the rename is a metadata op; object
+    stores without atomic rename get the same no-partial-content
+    guarantee because the temp object is fully written before the copy."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(hpath, True)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        path + ".tmp-" + __import__("uuid").uuid4().hex[:12]
+    )
+    out = fs.create(tmp, True)
     try:
         jvm.org.apache.commons.io.IOUtils.write(text, out, "UTF-8")
     finally:
         out.close()
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+    if not fs.rename(tmp, hpath):
+        fs.delete(tmp, False)
+        raise IOError(f"_fs_write_text: rename {tmp} -> {path} failed")
 
 
 def _fs_read_text(spark, path: str) -> str:

@@ -351,17 +351,22 @@ def _sql_streamed_lsh_index() -> str:
 def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest into the persisted LSH index
     (`streaming/ann_ingest.py`): embeddings drain one file per
-    micro-batch through foreachBatch — the first batch BUILDS the
-    bucket-partitioned index (freezing the plane parameters in the
-    header), every later batch APPENDS under the frozen planes, one new
-    file per touched (tbl, bucket) directory, nothing rewritten. The
-    oracle asserts the drained index equals a one-shot build of the full
-    corpus, row for row, independent of how vectors were sliced into
-    batches — hyperplane LSH needs no retraining, so streaming ingest
-    and batch build are the SAME index by construction. At 100 TB this
-    is the vector store's write path: today's embeddings append their
-    bucket files while the query side keeps partition-pruning the same
-    layout."""
+    micro-batch through CHECKPOINTED foreachBatch — the header's frozen
+    plane parameters are initialized up front, and every micro-batch is
+    a REPLAY-IDEMPOTENT delta write keyed by its batch_id
+    (``buckets/batch=<id>/``, still partitionBy(tbl, bucket) below the
+    key so partition pruning is untouched): a replayed batch overwrites
+    its own directory with identical deterministic content instead of
+    blind-appending a duplicate — the r9 idempotency gap, closed (a
+    forced written-then-failed replay is pinned in
+    tests/test_streaming_live.py). The oracle asserts the drained index
+    equals a one-shot build of the full corpus, row for row, independent
+    of how vectors were sliced into batches — hyperplane LSH needs no
+    retraining, so streaming ingest and batch build are the SAME index
+    by construction. At 100 TB this is the vector store's write path:
+    today's embeddings land as their micro-batch's delta files while the
+    query side keeps partition-pruning the same layout; compaction
+    collapses accumulated deltas on its own schedule."""
     from wiki_mysql_spark.streaming.ann_ingest import run_stream_ann_ingest
 
     path, n_batches = run_stream_ann_ingest(spark, sf_dir)

@@ -1,21 +1,30 @@
-"""Streaming ingest into the persisted LSH index: foreachBatch + append.
+"""Streaming ingest into the persisted LSH index: foreachBatch writing
+REPLAY-IDEMPOTENT per-batch deltas.
 
 The composition a production vector store actually runs: embeddings arrive
-as a stream, the first micro-batch BUILDS the bucket-partitioned index
-(freezing the plane parameters in the header), and every later micro-batch
-APPENDS under the frozen planes — one new file per touched (tbl, bucket)
-directory, nothing rewritten, the query side's partition pruning untouched
-while ingestion runs. Because random-hyperplane LSH needs no retraining,
-the drained index is row-identical to a one-shot build of the whole corpus
-— which is exactly what the registry oracle asserts, independent of how
-vectors were sliced into batches.
+as a stream and drain into the bucket-partitioned persisted index while the
+query side keeps partition-pruning the same layout. The r9 shape
+(build-on-first-batch, blind ``mode("append")`` on the rest) was correct
+for a single un-checkpointed drain but NOT for replay: a checkpointed
+restart re-delivers the in-flight micro-batch and a blind append would
+double its rows. This version is the fix that r9 documented: the header is
+initialized once up front (``lsh_index_init`` — there is no privileged
+"first build" batch), and EVERY micro-batch is an idempotent
+``lsh_index_write_delta`` keyed by its ``batch_id`` — a replayed batch
+overwrites its own ``buckets/batch=<id>/`` directory with identical
+deterministic content instead of appending a duplicate (the upsert sink's
+per-batch-keyed pattern, per the foreachBatch exactly-once contract: a
+replay reuses the batch id). Below the delta key the layout is still
+``partitionBy(tbl, bucket)``, so ``lsh_index_query``'s partition pruning is
+untouched; a periodic ``lsh_index_compact`` collapses the accumulated
+delta directories back to ~one file per bucket.
 
-Idempotency note (deliberate scope): this drain is a single-shot
-``availableNow`` run without a checkpoint, so a replayed micro-batch would
-append its rows twice. A deployment that checkpoints would make the append
-idempotent the same way the upsert sink does (stage per-batch deltas keyed
-by batch_id and MERGE/overwrite instead of blind-append), or dedup on
-``neighbor_id`` at query time; both change only this sink function.
+Because random-hyperplane LSH needs no retraining, the drained index is
+row-identical to a one-shot build of the whole corpus — which is exactly
+what the registry oracle asserts, independent of how vectors were sliced
+into batches AND of how many times any batch was replayed
+(tests/test_streaming_live.py forces a written-then-failed batch to replay
+and pins the equality).
 
 (SURVEY §2.7 extension x the r8/r9 persisted-index family; no reference
 hook — the reference has no vector or streaming surface.)
@@ -23,18 +32,28 @@ hook — the reference has no vector or streaming surface.)
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import StreamingQueryException
 
 from wiki_mysql_spark.operators.similarity import (
-    lsh_index_append,
-    lsh_index_build,
+    lsh_index_init,
+    lsh_index_write_delta,
 )
 from wiki_mysql_spark.sources.tables import load_table
+
+
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp registered for atexit cleanup — every ingest run used to
+    leak a full persisted index copy in /tmp (r9 advice item)."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 def run_stream_ann_ingest(
@@ -46,55 +65,87 @@ def run_stream_ann_ingest(
     dim: int = 64,
     n_planes: int = 8,
     n_tables: int = 2,
+    poison_once_batch: int | None = None,
 ) -> tuple[str, int]:
     """Stage the embeddings fixture as ``n_files`` parquet files (split by
     hash(vec_id) so batches are arbitrary id-slices), drain them one file
-    per micro-batch into a persisted LSH index (build on the first
-    non-empty batch, append on the rest), and return
-    ``(index_root, n_batches)``. Raises on a timed-out drain — a partial
-    index must never be returned as if complete."""
+    per micro-batch into a persisted LSH index (checkpointed foreachBatch
+    writing idempotent per-batch deltas), and return
+    ``(index_root, n_batches)`` where ``n_batches`` counts DISTINCT batch
+    ids ingested. Raises on a timed-out drain — a partial index must
+    never be returned as if complete.
+
+    ``poison_once_batch=k`` injects the replay scenario the sink exists to
+    survive: micro-batch ``k`` writes its delta and then FAILS before
+    Spark records the commit; this function restarts the query from the
+    same checkpoint, the batch re-delivers with the SAME id, and the
+    rewrite lands on its own directory — no duplicates (test-pinned)."""
     emb = load_table(spark, sf_dir, "embeddings")
     staging = tempfile.mkdtemp(prefix="stream_ann_src_")
     emb.repartition(n_files, F.col("vec_id")).write.mode("overwrite").parquet(
         staging
     )
-    index_root = tempfile.mkdtemp(prefix="stream_ann_idx_")
-    state: dict[str, int | bool] = {"built": False, "batches": 0}
+    index_root = _tmpdir("stream_ann_idx_")
+    checkpoint = tempfile.mkdtemp(prefix="stream_ann_ckpt_")
+    lsh_index_init(
+        spark, index_root, dim=dim, n_planes=n_planes, n_tables=n_tables,
+    )
+    seen: set[int] = set()
+    poisoned: set[int] = set()
 
     def ingest(batch_df, batch_id: int) -> None:
-        # cheap non-empty probe (limit 1): an empty batch must not BUILD —
-        # it would freeze the header off zero rows and skip dim validation
+        # cheap non-empty probe (limit 1): an empty batch writes no delta
+        # (and a replayed empty batch stays a no-op)
         if not batch_df.limit(1).count():
             return
-        if not state["built"]:
-            lsh_index_build(
-                batch_df, index_root,
-                dim=dim, n_planes=n_planes, n_tables=n_tables,
-            )
-            state["built"] = True
-        else:
-            lsh_index_append(batch_df, index_root)
-        state["batches"] = int(state["batches"]) + 1
+        lsh_index_write_delta(batch_df, index_root, f"batch={batch_id}")
+        if poison_once_batch is not None and batch_id == poison_once_batch \
+                and batch_id not in poisoned:
+            # delta written, commit NOT recorded: the exact crash window a
+            # blind append cannot survive
+            poisoned.add(batch_id)
+            raise RuntimeError(f"injected post-write failure @batch {batch_id}")
+        seen.add(int(batch_id))
 
-    stream = (
-        spark.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staging)
-    )
-    q = (
-        stream.writeStream.foreachBatch(ingest)
-        .queryName(f"ann_ingest_{uuid.uuid4().hex[:12]}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        finished = q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
-        shutil.rmtree(staging, ignore_errors=True)
-    if not finished:
-        raise TimeoutError(
-            f"ann ingest did not drain within {timeout_sec}s "
-            f"({state['batches']} micro-batches ingested)"
+    def drain() -> bool:
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
         )
-    return index_root, int(state["batches"])
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .queryName(f"ann_ingest_{uuid.uuid4().hex[:12]}")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            return q.awaitTermination(timeout_sec)
+        finally:
+            q.stop()
+
+    try:
+        try:
+            finished = drain()
+        except StreamingQueryException:
+            if poison_once_batch is None:
+                raise
+            # restart from the SAME checkpoint: Spark re-delivers the
+            # written-but-uncommitted batch under its original id
+            finished = drain()
+        if not finished:
+            raise TimeoutError(
+                f"ann ingest did not drain within {timeout_sec}s "
+                f"({len(seen)} micro-batches ingested)"
+            )
+    except BaseException:
+        # a failed drain must not leave a partial index for a caller to
+        # mistake for a complete one (the atexit hook would only clean it
+        # at interpreter exit)
+        shutil.rmtree(index_root, ignore_errors=True)
+        raise
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    return index_root, len(seen)
