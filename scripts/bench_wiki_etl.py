@@ -38,6 +38,45 @@ def corrupt_count(n_pages: int, corrupt_every: int) -> int:
     return len(range(corrupt_every // 2, n_pages, corrupt_every))
 
 
+def validate_corrupt_every(corrupt_every: int) -> int:
+    """Parse-time gate (r8 advice, closed r10): ``corrupt_every=1``
+    corrupts EVERY page, so adjacent corrupt fragments can merge into one
+    quarantine capture — the exact-count expectation
+    (:func:`corrupt_count`) is then unverifiable by construction. 0 (off)
+    and >= 2 are the meaningful domain; reject the rest loudly instead of
+    failing a multi-minute run at the assertion."""
+    if corrupt_every < 0:
+        raise SystemExit(
+            f"SPARK_GRAFT_CORRUPT_EVERY={corrupt_every}: must be >= 0"
+        )
+    if corrupt_every == 1:
+        raise SystemExit(
+            "SPARK_GRAFT_CORRUPT_EVERY=1 corrupts every page — adjacent "
+            "corrupt fragments can merge into one capture, so the exact "
+            "quarantine count is unverifiable; use 0 (off) or >= 2"
+        )
+    return corrupt_every
+
+
+def quarantine_report(
+    actual: int, n_pages: int, corrupt_every: int, sidecar_verified: bool,
+) -> dict:
+    """Expected-vs-actual quarantine accounting for the result JSON (r8
+    advice, closed r10: REPORT the discrepancy instead of discarding a
+    completed multi-minute run via SystemExit). The exact-count expectation
+    only holds for dumps this generator provably produced — a reused dump
+    without its sidecar (allowed with a warning) may hold anything, so the
+    expected count is honestly ``None`` there, never asserted."""
+    expected = (
+        corrupt_count(n_pages, corrupt_every) if sidecar_verified else None
+    )
+    return {
+        "quarantine_actual": actual,
+        "quarantine_expected": expected,
+        "quarantine_match": (actual == expected) if expected is not None else None,
+    }
+
+
 def _gen_range(
     path: str, lo: int, hi: int, n_pages: int, seed: int,
     corrupt_every: int = 0,
@@ -183,7 +222,13 @@ def main() -> None:
     # quarantine rows, so the corrupt branch had never run at width);
     # e.g. 10000 ≈ a 1e-4 rate. The run asserts the quarantine count
     # equals the exact injected count.
-    corrupt_every = int(os.environ.get("SPARK_GRAFT_CORRUPT_EVERY", "0"))
+    corrupt_every = validate_corrupt_every(
+        int(os.environ.get("SPARK_GRAFT_CORRUPT_EVERY", "0"))
+    )
+    # the exact-count quarantine expectation only applies to dumps this
+    # generator provably produced: self-generated this run, or reused WITH
+    # a sidecar whose parameters matched (enforced below)
+    sidecar_verified = True
     pre = os.environ.get("SPARK_GRAFT_DUMP")
     if pre:
         # loud, not silent: a typo'd path must not fall through to 6-12 min
@@ -227,9 +272,11 @@ def main() -> None:
         else:
             print(
                 f"# WARNING: no sidecar at {meta_p} — trusting that the "
-                f"pre-generated dump holds exactly {n_pages} pages",
+                f"pre-generated dump holds exactly {n_pages} pages "
+                f"(quarantine exact-count check disabled)",
                 file=sys.stderr,
             )
+            sidecar_verified = False
         dump = pre
     elif shards > 1:
         dump = os.path.join(workdir, "dump_shards")
@@ -259,15 +306,14 @@ def main() -> None:
     t0 = time.perf_counter()
     counts = run_wiki_etl(spark, dump, os.path.join(workdir, "out"))
     elapsed = time.perf_counter() - t0
-    expected_corrupt = corrupt_count(n_pages, corrupt_every)
-    if counts["quarantine"] != expected_corrupt:
-        # the generator never produces over-long titles/bodies, so every
-        # quarantine row must be an injected corrupt capture — exactly
-        raise SystemExit(
-            f"quarantine={counts['quarantine']} but the generator injected "
-            f"exactly {expected_corrupt} corrupt pages (corrupt_every="
-            f"{corrupt_every}) — the corrupt branch lost or invented rows"
-        )
+    # the generator never produces over-long titles/bodies, so every
+    # quarantine row must be an injected corrupt capture — exactly. The
+    # check RIDES IN the JSON (the timed result survives a mismatch) and
+    # only applies to sidecar-verified generator dumps; the process exit
+    # code still flags the mismatch after the result is reported.
+    quarantine = quarantine_report(
+        counts["quarantine"], n_pages, corrupt_every, sidecar_verified
+    )
     result = {
         "metric": "wiki_etl_pages_per_sec",
         "value": round(n_pages / elapsed, 1),
@@ -280,7 +326,7 @@ def main() -> None:
         "dump_mb_bz2": round(dump_mb, 1),
         "counts": counts,
         "corrupt_every": corrupt_every,
-        "corrupt_injected": expected_corrupt,
+        **quarantine,
         **_ui_metrics(spark),
     }
     print(json.dumps(result))
@@ -288,6 +334,15 @@ def main() -> None:
         with open(sys.argv[2], "w") as f:
             json.dump(result, f)
     spark.stop()
+    if quarantine["quarantine_match"] is False:
+        print(
+            f"# QUARANTINE MISMATCH: actual={quarantine['quarantine_actual']} "
+            f"expected={quarantine['quarantine_expected']} (corrupt_every="
+            f"{corrupt_every}) — the corrupt branch lost or invented rows; "
+            "result JSON above is still valid timing data",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":
