@@ -611,6 +611,98 @@ def test_lsh_index_query_scan_prunes_to_probed_buckets(spark, tmp_path):
     )
 
 
+def test_index_delete_compact_and_pointer_swap(spark, tmp_path):
+    """Index lifecycle (r9 verdict item #5). Tombstone deletes are
+    merge-on-read: query-after-delete must equal a query over an index
+    that NEVER contained the deleted ids (per-row hashing is pointwise,
+    so build(corpus \\ D) is the exact reference). Compaction settles the
+    debt: the new root physically lacks the dead rows and carries no
+    tombstones. IVFADC mirrors the behavior under frozen codebooks. The
+    current-pointer swap (index_publish/index_current) publishes the
+    compacted root atomically."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.similarity import (
+        index_current,
+        index_publish,
+        ivfpq_index_build,
+        ivfpq_index_delete,
+        ivfpq_index_query,
+        lsh_index_build,
+        lsh_index_compact,
+        lsh_index_delete,
+        lsh_index_query,
+        lsh_index_read,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dead = emb.where(F.col("vec_id") % 3 == 0)
+    alive = emb.where(F.col("vec_id") % 3 != 0)
+    q = emb.where(F.col("vec_id").isin(1, 2, 4))  # live query vectors
+
+    # --- LSH: delete -> query parity with a never-contained-them build
+    full_root = str(tmp_path / "lsh_full")
+    ref_root = str(tmp_path / "lsh_ref")
+    lsh_index_build(emb, full_root, dim=64, n_planes=8, n_tables=2)
+    lsh_index_build(alive, ref_root, dim=64, n_planes=8, n_tables=2)
+    lsh_index_delete(spark, full_root, dead.select("vec_id"))
+    got = sorted(map(tuple, lsh_index_query(
+        spark, full_root, q, k=5, probe_bits=1
+    ).collect()))
+    want = sorted(map(tuple, lsh_index_query(
+        spark, ref_root, q, k=5, probe_bits=1
+    ).collect()))
+    assert got == want and got, "delete must hide exactly the dead ids"
+    dead_ids = {int(r["vec_id"]) for r in dead.select("vec_id").collect()}
+    assert not any(r[1] in dead_ids for r in got)
+
+    # deleting twice (retried job) changes nothing
+    lsh_index_delete(spark, full_root, [next(iter(dead_ids))])
+    again = sorted(map(tuple, lsh_index_query(
+        spark, full_root, q, k=5, probe_bits=1
+    ).collect()))
+    assert again == got
+
+    # --- compaction makes the deletes physical and retires tombstones
+    cmp_root = str(tmp_path / "lsh_cmp")
+    compacted = lsh_index_compact(spark, full_root, cmp_root)
+    assert not os.path.exists(os.path.join(cmp_root, "tombstones"))
+    on_disk = {int(r["neighbor_id"]) for r in compacted.select("neighbor_id").collect()}
+    assert not (on_disk & dead_ids), "compacted root must lack dead rows"
+    assert sorted(map(tuple, lsh_index_query(
+        spark, cmp_root, q, k=5, probe_bits=1
+    ).collect())) == got
+    # live-row reader agrees across both roots
+    assert lsh_index_read(spark, full_root).count() == compacted.count()
+
+    # --- atomic publication: one pointer write swaps every future reader
+    pointer = "file://" + str(tmp_path / "lsh_current.json")
+    index_publish(spark, pointer, full_root)
+    assert index_current(spark, pointer) == full_root
+    index_publish(spark, pointer, cmp_root)
+    assert index_current(spark, pointer) == cmp_root
+    assert sorted(map(tuple, lsh_index_query(
+        spark, index_current(spark, pointer), q, k=5, probe_bits=1
+    ).collect())) == got
+
+    # --- IVFADC: same merge-on-read behavior under frozen codebooks
+    pq_root = str(tmp_path / "pq_full")
+    ivfpq_index_build(emb, pq_root, n_coarse=8, coarse_iters=1, m=8,
+                      n_centroids=16)
+    base = ivfpq_index_query(spark, pq_root, q, k=5, n_probe=2).collect()
+    ivfpq_index_delete(spark, pq_root, dead.select("vec_id"))
+    after = ivfpq_index_query(spark, pq_root, q, k=5, n_probe=2).collect()
+    assert after and not any(int(r["neighbor_id"]) in dead_ids for r in after)
+    # deletes only ever REMOVE candidates: surviving neighbors keep order
+    base_live = [r["neighbor_id"] for r in base
+                 if int(r["neighbor_id"]) not in dead_ids]
+    assert [r["neighbor_id"] for r in after][: len(base_live)] != [] and set(
+        r["neighbor_id"] for r in after
+    ) >= set(base_live[:3])
+
+
 def test_hybrid_indexed_vector_pool_prunes_partitions(spark):
     """`hybrid_search_rrf_indexed`'s 100 TB claim as behavior: the vector
     pool is served by the persisted LSH index, so the fused plan's bucket

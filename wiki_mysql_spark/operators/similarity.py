@@ -925,9 +925,102 @@ def lsh_index_append(
     return spark.read.parquet(_index_child(path, "buckets"))
 
 
+def _index_delete(
+    spark, path: str, ids, *, id_name: str,
+) -> None:
+    """Record vector deletions as TOMBSTONES at ``<path>/tombstones/``
+    (one-column parquet, ``mode("append")``): the query path anti-joins
+    candidates against them, and the next compaction rewrites the touched
+    partitions WITHOUT the dead rows and retires the tombstone set — the
+    standard merge-on-read delete (Iceberg/Delta delete files, minus the
+    manifest). Appending is idempotent for the anti-join (duplicate
+    tombstones change nothing), so a retried delete job is safe. ``ids``
+    is a one-column DataFrame or an iterable of ids; at 100 TB the delete
+    set (dedup removals, takedowns) is broadcast-small relative to the
+    corpus — a deployment past that drops the broadcast hint at the one
+    probe site and lets the anti-join shuffle."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], schema=f"{id_name} long"
+        )
+    else:
+        ids = ids.select(F.col(ids.columns[0]).cast("long").alias(id_name))
+    ids.distinct().coalesce(1).write.mode("append").parquet(
+        _index_child(path, "tombstones")
+    )
+
+
+def lsh_index_delete(spark, path: str, ids) -> None:
+    """Delete vectors from the persisted LSH index (see
+    :func:`_index_delete`): tombstones on ``neighbor_id``, honored by
+    :func:`lsh_index_query`/:func:`lsh_index_read` immediately and made
+    physical by the next :func:`lsh_index_compact`."""
+    _index_delete(spark, path, ids, id_name="neighbor_id")
+
+
+def ivfpq_index_delete(spark, path: str, ids) -> None:
+    """Delete vectors from the persisted IVFADC index (see
+    :func:`_index_delete`): tombstones on ``nid``, honored by
+    :func:`ivfpq_index_query` immediately and made physical by the next
+    :func:`ivfpq_index_compact`."""
+    _index_delete(spark, path, ids, id_name="nid")
+
+
+def _live_rows(spark, rows: DataFrame, path: str, id_name: str) -> DataFrame:
+    """Filter index rows through the tombstone set when one exists —
+    broadcast anti-join (the delete set is small by the family contract;
+    see :func:`_index_delete`)."""
+    tpath = _index_child(path, "tombstones")
+    if not _fs_exists(spark, tpath):
+        return rows
+    tombs = spark.read.parquet(tpath).select(
+        F.col(id_name).cast("long").alias("__dead_id")
+    )
+    return rows.join(
+        F.broadcast(tombs),
+        rows[id_name] == tombs["__dead_id"],
+        "left_anti",
+    )
+
+
+def lsh_index_read(spark, path: str) -> DataFrame:
+    """The LIVE rows of a persisted LSH index: the bucket table minus any
+    tombstoned ids — what the query path actually scores against."""
+    rows = spark.read.parquet(_index_child(path, "buckets")).select(
+        "neighbor_id",
+        "cv",
+        F.col("tbl").cast("long").alias("tbl"),
+        F.col("bucket").cast("long").alias("bucket"),
+    )
+    return _live_rows(spark, rows, path, "neighbor_id")
+
+
+def index_publish(spark, pointer: str, root: str) -> None:
+    """Atomically publish ``root`` as the CURRENT generation of an index
+    behind ``pointer`` (a tiny JSON file written through the same
+    temp-sibling + rename layer as the headers — readers see the old root
+    or the new one, never a partial pointer). This is the missing half of
+    compact/delete lifecycle: compaction writes a NEW root copy-on-write,
+    then one pointer swap retargets every future reader while in-flight
+    queries finish against the old root undisturbed; the old generation
+    is retired after a grace period. The pattern is a one-file version of
+    Iceberg's metadata-pointer swap."""
+    import json
+
+    _fs_write_text(spark, pointer, json.dumps({"root": root.rstrip("/")}))
+
+
+def index_current(spark, pointer: str) -> str:
+    """Resolve the CURRENT index root behind ``pointer`` (see
+    :func:`index_publish`)."""
+    import json
+
+    return json.loads(_fs_read_text(spark, pointer))["root"]
+
+
 def _index_compact(
     spark, src_path: str, dst_path: str, *, subdir: str,
-    partition_cols: list[str],
+    partition_cols: list[str], id_name: str,
 ) -> DataFrame:
     """Layout-PRESERVING compaction of a persisted index: every append
     adds one file per touched partition, so a long-lived index
@@ -940,8 +1033,13 @@ def _index_compact(
     wrong tool here: it rewrites to a FLAT directory, destroying the
     pruning layout the index exists for. Compact-to-new-root (never
     in-place) so readers of the old root stay consistent mid-compaction;
-    the caller swaps roots when done — the copy-on-write pattern the
-    upsert sink uses for its versioned target."""
+    the caller swaps roots when done — :func:`index_publish` makes that
+    swap a single atomic pointer write.
+
+    Compaction is also where DELETES become physical: tombstoned rows
+    (:func:`_index_delete`) are dropped during the rewrite and the
+    tombstone set is NOT copied to the new root — the merge-on-read debt
+    is settled."""
     meta = _fs_read_text(spark, _index_child(src_path, "meta.json"))
     rows = spark.read.parquet(_index_child(src_path, subdir))
     if "batch" in rows.columns:
@@ -949,6 +1047,7 @@ def _index_compact(
         # the layout columns (lsh_index_write_delta); compaction is
         # exactly the operation that retires it
         rows = rows.drop("batch")
+    rows = _live_rows(spark, rows, src_path, id_name)
     rows.repartition(*[F.col(c) for c in partition_cols]).write.mode(
         "overwrite"
     ).option("compression", "zstd").partitionBy(*partition_cols).parquet(
@@ -966,6 +1065,7 @@ def lsh_index_compact(spark, src_path: str, dst_path: str) -> DataFrame:
     return _index_compact(
         spark, src_path, dst_path,
         subdir="buckets", partition_cols=["tbl", "bucket"],
+        id_name="neighbor_id",
     )
 
 
@@ -975,6 +1075,7 @@ def ivfpq_index_compact(spark, src_path: str, dst_path: str) -> DataFrame:
     codebooks) copied verbatim."""
     return _index_compact(
         spark, src_path, dst_path, subdir="codes", partition_cols=["cell"],
+        id_name="nid",
     )
 
 
@@ -1029,6 +1130,9 @@ def lsh_index_query(
             F.col("bucket").cast("long").alias("bucket"),
         )
     )
+    # merge-on-read deletes: tombstoned ids (lsh_index_delete) drop from
+    # the candidate set here; the next compaction makes them physical
+    c = _live_rows(spark, c, path, "neighbor_id")
     return _lsh_score_rank(q, c, k=k, dedup=(n_tables > 1))
 
 
@@ -1721,6 +1825,15 @@ def _fs_write_text(spark, path: str, text: str) -> None:
         raise IOError(f"_fs_write_text: rename {tmp} -> {path} failed")
 
 
+def _fs_exists(spark, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem for ``path``'s scheme
+    (see :func:`_fs_write_text` — os.path would only see local paths)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def _fs_read_text(spark, path: str) -> str:
     """Read a small text file through the Hadoop FileSystem (see
     :func:`_fs_write_text`)."""
@@ -1875,6 +1988,9 @@ def ivfpq_index_query(
     codes = spark.read.parquet(_index_child(path, "codes")).where(
         F.col("cell").isin([int(c) for c in probed])
     )
+    # merge-on-read deletes: tombstoned ids (ivfpq_index_delete) drop from
+    # the candidate set here; the next compaction makes them physical
+    codes = _live_rows(spark, codes, path, "nid")
     return _ivfpq_rank(probes, codes, books, subdim=dim // m, k=k)
 
 
