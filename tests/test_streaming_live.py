@@ -358,3 +358,49 @@ def test_stream_ann_ingest_replay_idempotent(spark):
         emb, q, k=5, dim=64, n_planes=8, probe_bits=1, n_tables=2
     ).collect()))
     assert got == want
+
+
+def test_stream_ivfpq_ingest_replay_equals_batch(spark):
+    """IVFADC streaming ingest (train-once on the even-id half, frozen-book
+    delta encodes per micro-batch) with a forced written-then-failed
+    replay must equal the batch lifecycle build(even)+append(odd), code
+    for code — and the persisted-query path over the streamed root must
+    match the batch-built root exactly."""
+    import tempfile
+
+    from wiki_mysql_spark.operators.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_query,
+    )
+    from wiki_mysql_spark.streaming.ann_ingest import run_stream_ivfpq_ingest
+
+    sf_dir = "/root/testdata/sf0.001"
+    path, n_batches = run_stream_ivfpq_ingest(
+        spark, sf_dir, n_files=4, poison_once_batch=1
+    )
+    assert n_batches >= 2, "staging must slice into several micro-batches"
+
+    emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    ref_root = tempfile.mkdtemp(prefix="pq_stream_ref_")
+    ivfpq_index_build(
+        emb.where(F.col("vec_id") % 2 == 0), ref_root,
+        n_coarse=16, coarse_iters=2, m=8, n_centroids=16,
+    )
+    ivfpq_index_append(emb.where(F.col("vec_id") % 2 == 1), ref_root)
+
+    cols = ["nid", "cell"] + [f"c{s}" for s in range(8)]
+    streamed = spark.read.parquet(path + "/codes")
+    assert "batch" in streamed.columns  # the delta layer exists
+    ref = spark.read.parquet(ref_root + "/codes")
+    assert sorted(map(tuple, streamed.select(*cols).collect())) == sorted(
+        map(tuple, ref.select(*cols).collect())
+    )
+    q = emb.where(F.col("vec_id") < 3)
+    got = sorted(map(tuple, ivfpq_index_query(
+        spark, path, q, k=5, n_probe=2
+    ).collect()))
+    want = sorted(map(tuple, ivfpq_index_query(
+        spark, ref_root, q, k=5, n_probe=2
+    ).collect()))
+    assert got == want and got

@@ -1847,6 +1847,78 @@ def _fs_read_text(spark, path: str) -> str:
         inp.close()
 
 
+def _ivfpq_train(
+    corpus: DataFrame,
+    *,
+    n_coarse: int,
+    coarse_iters: int,
+    m: int,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    driver_train_bytes: int,
+) -> tuple[list, list]:
+    """Train the IVFADC quantizers (coarse Lloyd codebook + residual-PQ
+    sub-books) on ``corpus`` — the shared front half of
+    :func:`ivfpq_index_build` and :func:`ivfpq_index_init`. Byte-gated
+    numpy twin under ``driver_train_bytes`` (FAISS trains on a bounded
+    sample), fused distributed jobs past it; both paths are
+    parity-pinned."""
+    if driver_train_bytes and _fits_driver(corpus, id_col, vec_col, driver_train_bytes):
+        import numpy as np
+
+        ids, V = _collect_vectors(corpus, id_col, vec_col)
+        if len(ids) == 0:
+            raise ValueError("ivfpq training corpus is empty")
+        coarse = sorted(_kmeans_np(ids, V, n_coarse, coarse_iters))
+        Cc = np.array([cv for _, cv in coarse], dtype=np.float64)
+        books = _pq_train_np(
+            ids, V - Cc[_assign_cells_np(V, coarse)], m, n_centroids, dim
+        )
+        return coarse, books
+    coarse = sorted(
+        kmeans_codebook(
+            corpus,
+            n_centroids=n_coarse,
+            n_iters=coarse_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            driver_train_bytes=driver_train_bytes,
+        )
+    )
+    rescmap = F.create_map(
+        *[
+            x
+            for cid, cv in coarse
+            for x in (F.lit(int(cid)).cast("long"), _lit_vec(cv))
+        ]
+    )
+    rescorp = (
+        corpus.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("cv"),
+            F.element_at(
+                nearest_cells(F.col(vec_col), coarse, 1), 1
+            ).alias("cell"),
+        )
+        .withColumn(
+            "rv",
+            F.zip_with(
+                F.col("cv").cast("array<double>"),
+                F.element_at(rescmap, F.col("cell")),
+                lambda x, y: x - y,
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    books = pq_codebooks(
+        rescorp, m=m, n_centroids=n_centroids, id_col="nid",
+        vec_col="rv", dim=dim, driver_train_bytes=driver_train_bytes,
+    )
+    return coarse, books
+
+
 def ivfpq_index_build(
     corpus: DataFrame,
     path: str,
@@ -1880,57 +1952,11 @@ def ivfpq_index_build(
     import json
 
     spark = corpus.sparkSession
-    if driver_train_bytes and _fits_driver(corpus, id_col, vec_col, driver_train_bytes):
-        import numpy as np
-
-        ids, V = _collect_vectors(corpus, id_col, vec_col)
-        if len(ids) == 0:
-            raise ValueError("ivfpq_index_build: corpus is empty")
-        coarse = sorted(_kmeans_np(ids, V, n_coarse, coarse_iters))
-        Cc = np.array([cv for _, cv in coarse], dtype=np.float64)
-        books = _pq_train_np(
-            ids, V - Cc[_assign_cells_np(V, coarse)], m, n_centroids, dim
-        )
-    else:
-        coarse = sorted(
-            kmeans_codebook(
-                corpus,
-                n_centroids=n_coarse,
-                n_iters=coarse_iters,
-                id_col=id_col,
-                vec_col=vec_col,
-                driver_train_bytes=driver_train_bytes,
-            )
-        )
-        rescmap = F.create_map(
-            *[
-                x
-                for cid, cv in coarse
-                for x in (F.lit(int(cid)).cast("long"), _lit_vec(cv))
-            ]
-        )
-        rescorp = (
-            corpus.select(
-                F.col(id_col).alias("nid"),
-                F.col(vec_col).alias("cv"),
-                F.element_at(
-                    nearest_cells(F.col(vec_col), coarse, 1), 1
-                ).alias("cell"),
-            )
-            .withColumn(
-                "rv",
-                F.zip_with(
-                    F.col("cv").cast("array<double>"),
-                    F.element_at(rescmap, F.col("cell")),
-                    lambda x, y: x - y,
-                ),
-            )
-            .localCheckpoint(eager=False)
-        )
-        books = pq_codebooks(
-            rescorp, m=m, n_centroids=n_centroids, id_col="nid",
-            vec_col="rv", dim=dim, driver_train_bytes=driver_train_bytes,
-        )
+    coarse, books = _ivfpq_train(
+        corpus, n_coarse=n_coarse, coarse_iters=coarse_iters, m=m,
+        n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, dim=dim,
+        driver_train_bytes=driver_train_bytes,
+    )
     codes = _ivfpq_encode(
         corpus, coarse, books, id_col=id_col, vec_col=vec_col, dim=dim
     )
@@ -1988,6 +2014,11 @@ def ivfpq_index_query(
     codes = spark.read.parquet(_index_child(path, "codes")).where(
         F.col("cell").isin([int(c) for c in probed])
     )
+    if "batch" in codes.columns:
+        # stream-ingested index: a batch=<id> delta layer rides above the
+        # cell layout (ivfpq_index_write_delta) — pruning on cell is
+        # unaffected, the extra partition column just drops here
+        codes = codes.drop("batch")
     # merge-on-read deletes: tombstoned ids (ivfpq_index_delete) drop from
     # the candidate set here; the next compaction makes them physical
     codes = _live_rows(spark, codes, path, "nid")
@@ -2026,3 +2057,74 @@ def ivfpq_index_append(
         "compression", "zstd"
     ).partitionBy("cell").parquet(_index_child(path, "codes"))
     return spark.read.parquet(_index_child(path, "codes"))
+
+
+def ivfpq_index_init(
+    train_corpus: DataFrame,
+    path: str,
+    *,
+    n_coarse: int = 16,
+    coarse_iters: int = 2,
+    m: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    driver_train_bytes: int = _DRIVER_TRAIN_BYTES,
+) -> None:
+    """Train the IVFADC quantizers on ``train_corpus`` and write ONLY the
+    index header (trained codebooks) at ``path`` — no codes. This is the
+    FAISS lifecycle split made explicit: ``train`` happens once on a
+    bounded sample, ``add`` happens forever after against the frozen
+    books — and it is the zero-data starting point of the streaming
+    ingest path, where every micro-batch is an
+    :func:`ivfpq_index_write_delta` and no batch is privileged."""
+    import json
+
+    spark = train_corpus.sparkSession
+    coarse, books = _ivfpq_train(
+        train_corpus, n_coarse=n_coarse, coarse_iters=coarse_iters, m=m,
+        n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, dim=dim,
+        driver_train_bytes=driver_train_bytes,
+    )
+    _fs_write_text(
+        spark,
+        _index_child(path, "meta.json"),
+        json.dumps({"dim": dim, "m": m, "coarse": coarse, "books": books}),
+    )
+
+
+def ivfpq_index_write_delta(
+    corpus: DataFrame,
+    path: str,
+    delta: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IDEMPOTENT ingest unit for the persisted IVFADC index: encode
+    ``corpus`` with the header's FROZEN codebooks and write
+    ``mode("overwrite")`` under ``<path>/codes/<delta>/`` (still
+    ``partitionBy(cell)`` below the delta key — the query side's cell
+    pruning is untouched). Re-running the SAME delta key overwrites its
+    own directory with identical deterministic content instead of
+    blind-appending — the replayed-micro-batch property (key by
+    ``batch=<batch_id>``); :func:`ivfpq_index_compact` collapses the
+    accumulated delta dirs back to the flat cell layout."""
+    import json
+
+    spark = corpus.sparkSession
+    meta = json.loads(_fs_read_text(spark, _index_child(path, "meta.json")))
+    coarse = sorted((int(c), [float(x) for x in v]) for c, v in meta["coarse"])
+    books = [
+        [(int(c), [float(x) for x in v]) for c, v in b] for b in meta["books"]
+    ]
+    dim = int(meta["dim"])
+    codes = _ivfpq_encode(
+        corpus, coarse, books, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    codes.repartition(F.col("cell")).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).partitionBy("cell").parquet(
+        _index_child(path, "codes/" + delta.strip("/"))
+    )

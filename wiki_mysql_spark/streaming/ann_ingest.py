@@ -42,6 +42,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.utils import StreamingQueryException
 
 from wiki_mysql_spark.operators.similarity import (
+    ivfpq_index_init,
+    ivfpq_index_write_delta,
     lsh_index_init,
     lsh_index_write_delta,
 )
@@ -56,40 +58,36 @@ def _tmpdir(prefix: str) -> str:
     return path
 
 
-def run_stream_ann_ingest(
+def _drain_idempotent(
     spark: SparkSession,
-    sf_dir: str,
+    emb,
+    index_root: str,
+    write_delta,
     *,
-    n_files: int = 4,
-    timeout_sec: int = 240,
-    dim: int = 64,
-    n_planes: int = 8,
-    n_tables: int = 2,
-    poison_once_batch: int | None = None,
-) -> tuple[str, int]:
-    """Stage the embeddings fixture as ``n_files`` parquet files (split by
-    hash(vec_id) so batches are arbitrary id-slices), drain them one file
-    per micro-batch into a persisted LSH index (checkpointed foreachBatch
-    writing idempotent per-batch deltas), and return
-    ``(index_root, n_batches)`` where ``n_batches`` counts DISTINCT batch
-    ids ingested. Raises on a timed-out drain — a partial index must
-    never be returned as if complete.
+    n_files: int,
+    timeout_sec: int,
+    poison_once_batch: int | None,
+) -> int:
+    """Shared drain loop of both streaming index sinks: stage ``emb`` as
+    ``n_files`` parquet files (split by hash(vec_id) so batches are
+    arbitrary id-slices), drain one file per micro-batch through
+    CHECKPOINTED foreachBatch, each batch an idempotent
+    ``write_delta(batch_df, "batch=<id>")``. Returns the count of
+    DISTINCT batch ids ingested; raises on a timed-out drain (a partial
+    index must never be returned as if complete) and removes the partial
+    index on any failure.
 
-    ``poison_once_batch=k`` injects the replay scenario the sink exists to
-    survive: micro-batch ``k`` writes its delta and then FAILS before
-    Spark records the commit; this function restarts the query from the
-    same checkpoint, the batch re-delivers with the SAME id, and the
-    rewrite lands on its own directory — no duplicates (test-pinned)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    ``poison_once_batch=k`` injects the replay scenario the sinks exist
+    to survive: micro-batch ``k`` writes its delta and then FAILS before
+    Spark records the commit; the drain restarts from the same
+    checkpoint, the batch re-delivers with the SAME id, and the rewrite
+    lands on its own directory — no duplicates (test-pinned for both
+    index kinds)."""
     staging = tempfile.mkdtemp(prefix="stream_ann_src_")
     emb.repartition(n_files, F.col("vec_id")).write.mode("overwrite").parquet(
         staging
     )
-    index_root = _tmpdir("stream_ann_idx_")
     checkpoint = tempfile.mkdtemp(prefix="stream_ann_ckpt_")
-    lsh_index_init(
-        spark, index_root, dim=dim, n_planes=n_planes, n_tables=n_tables,
-    )
     seen: set[int] = set()
     poisoned: set[int] = set()
 
@@ -98,7 +96,7 @@ def run_stream_ann_ingest(
         # (and a replayed empty batch stays a no-op)
         if not batch_df.limit(1).count():
             return
-        lsh_index_write_delta(batch_df, index_root, f"batch={batch_id}")
+        write_delta(batch_df, f"batch={batch_id}")
         if poison_once_batch is not None and batch_id == poison_once_batch \
                 and batch_id not in poisoned:
             # delta written, commit NOT recorded: the exact crash window a
@@ -148,4 +146,69 @@ def run_stream_ann_ingest(
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(checkpoint, ignore_errors=True)
-    return index_root, len(seen)
+    return len(seen)
+
+
+def run_stream_ann_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_files: int = 4,
+    timeout_sec: int = 240,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    poison_once_batch: int | None = None,
+) -> tuple[str, int]:
+    """Drain the embeddings fixture into a persisted LSH index
+    (:func:`_drain_idempotent`): header initialized up front (hyperplane
+    LSH needs no training), every micro-batch an idempotent
+    ``lsh_index_write_delta``. Returns ``(index_root, n_batches)``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_root = _tmpdir("stream_ann_idx_")
+    lsh_index_init(
+        spark, index_root, dim=dim, n_planes=n_planes, n_tables=n_tables,
+    )
+    n = _drain_idempotent(
+        spark, emb, index_root,
+        lambda df, delta: lsh_index_write_delta(df, index_root, delta),
+        n_files=n_files, timeout_sec=timeout_sec,
+        poison_once_batch=poison_once_batch,
+    )
+    return index_root, n
+
+
+def run_stream_ivfpq_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_files: int = 4,
+    timeout_sec: int = 240,
+    n_coarse: int = 16,
+    coarse_iters: int = 2,
+    m: int = 8,
+    n_centroids: int = 16,
+    poison_once_batch: int | None = None,
+) -> tuple[str, int]:
+    """Drain the embeddings fixture into a persisted IVFADC index — the
+    r9 verdict's "no streaming ingest path for IVFADC" gap. The FAISS
+    lifecycle split maps onto streaming exactly: ``ivfpq_index_init``
+    TRAINS the quantizers once on the even-id half (the bounded offline
+    sample — the same slice the append oracle trains on, so the drained
+    index is oracle-checkable end to end), then every micro-batch encodes
+    its vectors under the FROZEN books as an idempotent
+    ``ivfpq_index_write_delta``. Returns ``(index_root, n_batches)``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_root = _tmpdir("stream_pq_idx_")
+    ivfpq_index_init(
+        emb.where(F.col("vec_id") % 2 == 0), index_root,
+        n_coarse=n_coarse, coarse_iters=coarse_iters, m=m,
+        n_centroids=n_centroids,
+    )
+    n = _drain_idempotent(
+        spark, emb, index_root,
+        lambda df, delta: ivfpq_index_write_delta(df, index_root, delta),
+        n_files=n_files, timeout_sec=timeout_sec,
+        poison_once_batch=poison_once_batch,
+    )
+    return index_root, n
