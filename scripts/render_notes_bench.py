@@ -22,6 +22,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("bench")
     ap.add_argument("--prev", default=None)
+    ap.add_argument("--sf1", default=None,
+                    help="BENCH_sf1_r{N}.json: renders the 10x-data scale "
+                    "ratio table (r9 verdict item 6 — the worst-ratio "
+                    "claim must be artifact-derived, not hand-written)")
     ap.add_argument("--correctness", nargs="*", default=[])
     args = ap.parse_args()
 
@@ -114,6 +118,36 @@ def main() -> None:
                    "same-session re-run]")
                 + "."
             )
+    if args.sf1:
+        s = load_bench(args.sf1)
+        shared = sorted(set(q) & set(s["queries"]))
+        if shared:
+            now = sum(q[k] for k in shared)
+            at1 = sum(s["queries"][k] for k in shared)
+            ratios = sorted(
+                ((s["queries"][k] / q[k], k) for k in shared if q[k] > 0),
+                reverse=True,
+            )
+            lines.append(
+                f"Scale ({args.sf1}, {len(shared)} shared entries): 10x "
+                f"data -> {at1 / now:.2f}x wall ({at1:.1f}s vs {now:.1f}s); "
+                f"{sum(1 for r, _ in ratios if r > 10)} entries "
+                f"super-linear (>10x)."
+            )
+            lines.append(
+                "Worst sf1/sf0.1 ratios: "
+                + ", ".join(
+                    f"{k} {r:.1f}x ({q[k]:.2f}s->{s['queries'][k]:.2f}s)"
+                    for r, k in ratios[:5]
+                )
+                + "."
+            )
+            faster = [(r, k) for r, k in ratios if r < 1.0]
+            if faster:
+                lines.append(
+                    "Entries FASTER at sf1 (cost is O(layout), not O(rows)): "
+                    + ", ".join(f"{k} {r:.2f}x" for r, k in faster) + "."
+                )
     for path in args.correctness:
         with open(path) as f:
             c = json.load(f)
