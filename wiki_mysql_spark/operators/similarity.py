@@ -995,6 +995,17 @@ def lsh_index_read(spark, path: str) -> DataFrame:
     return _live_rows(spark, rows, path, "neighbor_id")
 
 
+def ivfpq_index_read(spark, path: str) -> DataFrame:
+    """The LIVE rows of a persisted IVFADC index: the code table (any
+    streamed batch= delta layer dropped) minus tombstoned ids — what the
+    query path actually ranks against."""
+    rows = spark.read.parquet(_index_child(path, "codes"))
+    if "batch" in rows.columns:
+        rows = rows.drop("batch")
+    rows = rows.withColumn("cell", F.col("cell").cast("long"))
+    return _live_rows(spark, rows, path, "nid")
+
+
 def index_publish(spark, pointer: str, root: str) -> None:
     """Atomically publish ``root`` as the CURRENT generation of an index
     behind ``pointer`` (a tiny JSON file written through the same

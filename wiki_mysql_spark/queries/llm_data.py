@@ -2099,6 +2099,45 @@ def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivfpq_index_delete",
+    f"""
+    SELECT * FROM (
+    {_sql_ivfpq_index(n_coarse=16, m=8, n_centroids=16, dim=64,
+                      coarse_iters=2)}
+    ) WHERE nid % 3 <> 0
+    """,
+)
+def ivfpq_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index lifecycle — DELETES on the IVFADC index
+    (`operators/similarity.py:ivfpq_index_delete`), the symmetric half of
+    `lsh_index_delete`: build the persisted code table on the full
+    corpus, tombstone every vec_id divisible by 3, return the LIVE codes
+    (`ivfpq_index_read`). The oracle is the full trained-encode table
+    minus the deleted ids, so the hash proves merge-on-read deletes hide
+    exactly the requested vectors while every surviving code is
+    byte-unchanged (tombstones never touch data files — only compaction
+    rewrites). Query-after-delete behavior and physical removal at
+    compaction are pinned in tests/test_plans.py."""
+    from wiki_mysql_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_delete,
+        ivfpq_index_read,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_tmpdir()
+    ivfpq_index_build(
+        emb, path, n_coarse=16, coarse_iters=2, m=8, n_centroids=16,
+    )
+    ivfpq_index_delete(
+        spark, path, emb.where(F.col("vec_id") % 3 == 0).select("vec_id")
+    )
+    return ivfpq_index_read(spark, path).select(
+        "nid", "cell", *[f"c{s}" for s in range(8)],
+    )
+
+
+@query(
     "ivfpq_index_append",
     _sql_ivfpq_index(n_coarse=16, m=8, n_centroids=16, dim=64,
                      coarse_iters=2, train_where="WHERE vec_id % 2 = 0"),
