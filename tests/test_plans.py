@@ -370,6 +370,10 @@ BNLJ_CONTRACT = {
     "drift_psi",
     "graph_triangle_count",
     "hybrid_search_rrf",
+    # same 1-row corpus-stats broadcast as hybrid_search_rrf/text_bm25_topk
+    # (the shared _bm25_scores lexical core); the vector half is the
+    # partition-pruned index scan, BNLJ-free
+    "hybrid_search_rrf_indexed",
     "join_cross_dims",
     "join_range_bands",
     "profile_histogram",
