@@ -2368,6 +2368,59 @@ def lsh_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_index_read(spark, path).select("tbl", "neighbor_id", "bucket")
 
 
+@query(
+    "lsh_index_stats",
+    f"""
+    SELECT CAST(tbl AS BIGINT) AS tbl,
+           count(DISTINCT bucket)::BIGINT AS n_buckets,
+           sum(c)::BIGINT AS n_rows,
+           max(c)::BIGINT AS max_bucket_rows,
+           min(c)::BIGINT AS min_bucket_rows,
+           round(avg(c), 6) + 0 AS avg_bucket_rows
+    FROM (
+        SELECT tbl, bucket, count(*) AS c
+        FROM ({_sql_lsh_side('neighbor_id')})
+        GROUP BY tbl, bucket
+    ) GROUP BY tbl
+    """,
+)
+def lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index HEALTH stats — the ops surface a deployed vector store reads
+    before trusting its index: per-table live-row count, occupied-bucket
+    count, and max/min/avg bucket occupancy. Bucket skew is the LSH
+    failure signal (a hot bucket means the hyperplanes don't separate the
+    data there — query cost concentrates exactly where recall is worst),
+    and occupancy vs 2^n_planes says whether the plane count matches the
+    corpus size. Runs over the LIVE rows of the cached persisted index
+    (tombstones excluded), so the numbers describe what queries actually
+    scan; one groupBy(tbl, bucket) count then a per-table fold — only
+    (int, long, long) rows shuffle, never vectors. At 100 TB this reads
+    the (tbl, bucket) columns only (columnar scan; directory listing
+    alone gives the bucket count for free)."""
+    from wiki_mysql_spark.operators.similarity import (
+        lsh_index_build,
+        lsh_index_read,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _cached_index(
+        "lsh", sf_dir,
+        lambda p: lsh_index_build(emb, p, dim=64, n_planes=8, n_tables=2),
+    )
+    per_bucket = (
+        lsh_index_read(spark, path)
+        .groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_bucket.groupBy("tbl").agg(
+        F.countDistinct("bucket").alias("n_buckets"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_bucket_rows"),
+        F.min("c").alias("min_bucket_rows"),
+        (F.round(F.avg("c"), 6) + F.lit(0.0)).alias("avg_bucket_rows"),
+    )
+
+
 @query("lsh_index_query", _SQL_LSH_TOPK)
 def lsh_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search the PERSISTED LSH index (`operators/similarity.py:
