@@ -93,6 +93,7 @@ HEADLINE = [
 INDEX_QUERY_WARMUP = {
     "ann_index_query",
     "lsh_index_query",
+    "lsh_index_stats",
     "hybrid_search_rrf_indexed",
 }
 

@@ -699,12 +699,149 @@ def test_index_delete_compact_and_pointer_swap(spark, tmp_path):
     ivfpq_index_delete(spark, pq_root, dead.select("vec_id"))
     after = ivfpq_index_query(spark, pq_root, q, k=5, n_probe=2).collect()
     assert after and not any(int(r["neighbor_id"]) in dead_ids for r in after)
-    # deletes only ever REMOVE candidates: surviving neighbors keep order
-    base_live = [r["neighbor_id"] for r in base
-                 if int(r["neighbor_id"]) not in dead_ids]
-    assert [r["neighbor_id"] for r in after][: len(base_live)] != [] and set(
-        r["neighbor_id"] for r in after
-    ) >= set(base_live[:3])
+    # deletes only ever REMOVE candidates: per query, the surviving
+    # neighbors of the pre-delete top-k must be a rank-ordered PREFIX of
+    # the post-delete result (removal promotes lower-ranked candidates but
+    # never reorders survivors — the (adc_dist, neighbor_id) sort key is
+    # untouched by the anti-join)
+    def _ranked(rows):
+        out = {}
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+            out.setdefault(int(r["query_id"]), []).append(int(r["neighbor_id"]))
+        return out
+
+    base_by_q, after_by_q = _ranked(base), _ranked(after)
+    assert set(base_by_q) == set(after_by_q)
+    for qid, base_ids in base_by_q.items():
+        live = [i for i in base_ids if i not in dead_ids]
+        assert after_by_q[qid][: len(live)] == live, (
+            f"query {qid}: surviving neighbors must keep their order — "
+            f"expected prefix {live}, got {after_by_q[qid]}"
+        )
+
+
+def test_index_pointer_overwrite_atomic_and_recovery(spark, tmp_path):
+    """The publish pointer (and every index header) must never be ABSENT:
+    _fs_write_text swaps with an overwriting FileContext rename (r10
+    advice item — the old delete-then-rename pair had a window where a
+    concurrent index_current failed and a crash lost the pointer). Also
+    pins the hygiene contract (no temp siblings survive a successful
+    write) and the reader-side recovery for the delete+rename FALLBACK
+    path (a crashed fallback writer leaves only a complete .tmp sibling;
+    the next read adopts it and completes the interrupted publish)."""
+    import glob
+    import json
+    import os
+
+    from wiki_mysql_spark.operators.similarity import (
+        index_current,
+        index_publish,
+    )
+
+    pointer = str(tmp_path / "current.json")
+    index_publish(spark, pointer, "/roots/gen1")
+    assert index_current(spark, pointer) == "/roots/gen1"
+    # overwrite an EXISTING pointer: new content lands, no temp siblings
+    index_publish(spark, pointer, "/roots/gen2")
+    assert index_current(spark, pointer) == "/roots/gen2"
+    assert glob.glob(pointer + ".tmp-*") == [], (
+        "a successful pointer write must not leave temp siblings"
+    )
+
+    # crashed-fallback recovery: only a complete tmp sibling exists
+    os.remove(pointer)
+    with open(pointer + ".tmp-recovertest", "w") as f:
+        json.dump({"root": "/roots/gen3"}, f)
+    assert index_current(spark, pointer) == "/roots/gen3"
+    # the interrupted publish completed on first read
+    assert os.path.exists(pointer)
+    assert index_current(spark, pointer) == "/roots/gen3"
+
+
+def test_index_append_refuses_uncompacted_delta_layer(spark, tmp_path):
+    """A stream-ingested root stores rows under batch=<id>/ delta dirs; a
+    flat append NEXT TO them would give the dataset two conflicting
+    partition structures and every later read would raise an
+    AnalysisException (r10 advice item). Both append paths must refuse
+    with a 'compact first' error, and compaction (which retires the
+    delta layer) must make the same append legal again."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_compact,
+        ivfpq_index_init,
+        ivfpq_index_write_delta,
+        lsh_index_append,
+        lsh_index_compact,
+        lsh_index_init,
+        lsh_index_write_delta,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    second = emb.where(F.col("vec_id") % 2 == 1)
+
+    root = str(tmp_path / "lsh_streamed")
+    lsh_index_init(spark, root, dim=64, n_planes=6)
+    lsh_index_write_delta(first, root, "batch=0")
+    with _pytest.raises(ValueError, match="compact first|lsh_index_compact"):
+        lsh_index_append(second, root)
+    settled = str(tmp_path / "lsh_settled")
+    lsh_index_compact(spark, root, settled)
+    appended = lsh_index_append(second, settled)
+    assert appended.count() == emb.count()
+
+    pq_root = str(tmp_path / "pq_streamed")
+    ivfpq_index_init(first, pq_root, n_coarse=4, coarse_iters=1, m=8,
+                     n_centroids=8)
+    ivfpq_index_write_delta(first, pq_root, "batch=0")
+    with _pytest.raises(ValueError, match="compact first|ivfpq_index_compact"):
+        ivfpq_index_append(second, pq_root)
+    pq_settled = str(tmp_path / "pq_settled")
+    ivfpq_index_compact(spark, pq_root, pq_settled)
+    assert ivfpq_index_append(second, pq_settled).count() == emb.count()
+
+
+def test_tombstone_antijoin_byte_gated(spark, tmp_path, monkeypatch):
+    """The tombstone anti-join's physical strategy is data-driven (r10
+    verdict item #1): below the byte gate the delete set is
+    broadcast-hinted (plan shows BroadcastHashJoin LeftAnti); at/past the
+    gate the hint is dropped so an oversized delete set degrades to a
+    shuffle anti-join instead of an executor-OOMing broadcast (emulated
+    here by zeroing the gate and disabling the auto-broadcast threshold —
+    exactly the planner state a multi-GB tombstone set produces, whose
+    real file size exceeds any threshold)."""
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "lsh_gate")
+    sim.lsh_index_build(emb, root, dim=64, n_planes=6)
+    sim.lsh_index_delete(spark, root, [0, 3, 6])
+
+    live = sim.lsh_index_read(spark, root)
+    plan = live._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, (
+        "small tombstone sets must broadcast"
+    )
+
+    monkeypatch.setattr(sim, "_TOMBSTONE_BROADCAST_BYTES", 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = sim.lsh_index_read(spark, root)
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan_big and "LeftAnti" in plan_big, (
+            "oversized tombstone sets must shuffle, not broadcast"
+        )
+        # same rows either way — the gate only picks the physical strategy
+        key = lambda r: int(r["neighbor_id"])
+        assert sorted(map(key, big.collect())) == sorted(map(key, live.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_hybrid_indexed_vector_pool_prunes_partitions(spark):
