@@ -246,6 +246,93 @@ def ivfpq_frontier(ivfpq_topk, emb, queries, exact, n_corpus: int) -> dict:
     return out
 
 
+def hybrid_recall(spark, emb, queries, lex_pool) -> dict:
+    """Fusion-level recall of the index-backed hybrid path (r10 verdict
+    item #4): ANN_RECALL's per-operator numbers quantify the LSH
+    approximation where it is produced, this quantifies it where a user
+    CONSUMES it — after reciprocal-rank fusion with a lexical pool. Both
+    variants share the identical lexical half (as the registry entries
+    do); only the vector pool differs: exact brute-force cosine top-50
+    vs `lsh_index_query` over a persisted index at the shipped operating
+    point (2 tables x 8 planes x 1-bit probe). recall@10 = overlap of
+    the fused top-10 sets, averaged over queries — the number that says
+    how much fused retrieval quality the partition-pruned index path
+    actually costs."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_index_build,
+        lsh_index_query,
+    )
+
+    RRF_K, POOL = 60, 50
+    qids = queries.select(F.col("vec_id").alias("query_id")).distinct()
+    lex = qids.crossJoin(F.broadcast(lex_pool)).localCheckpoint(eager=False)
+
+    def fuse_topk(vec) -> dict[int, frozenset[int]]:
+        v = vec.select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("vec_rank"),
+        )
+        rrf = F.coalesce(
+            1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+        ) + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("rrf").desc(), F.col("doc_id")
+        )
+        fused = (
+            lex.join(v, ["query_id", "doc_id"], "full_outer")
+            .select("query_id", "doc_id", rrf.alias("rrf"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= K)
+        )
+        return topk_sets(
+            fused.select("query_id", F.col("doc_id").alias("neighbor_id"))
+        )
+
+    t0 = time.time()
+    exact_sets = fuse_topk(brute_force_topk(emb, queries, k=POOL))
+    bf_sec = round(time.time() - t0, 1)
+    root = tempfile.mkdtemp(prefix="hyb_recall_idx_")
+    lsh_index_build(emb, root, dim=64, n_planes=8, n_tables=2)
+    t0 = time.time()
+    idx_sets = fuse_topk(
+        lsh_index_query(spark, root, queries, k=POOL, probe_bits=1)
+    )
+    sec = round(time.time() - t0, 1)
+    stats = {
+        **recall_stats(idx_sets, exact_sets),
+        "sec": sec,
+        "bruteforce_sec": bf_sec,
+    }
+    print(f"# hybrid_rrf_indexed: recall@10={stats['recall_at_10']}",
+          file=sys.stderr)
+    return stats
+
+
+def hash_lex_pool(spark, emb, pool: int = 50):
+    """A deterministic stand-in lexical pool for fixtures without a text
+    side (the clustered fixture): top-`pool` ids by md5 of the id. Both
+    hybrid variants share the lexical half BY CONSTRUCTION, so its
+    content only shapes the fusion weighting — what's measured is the
+    vector half's approximation, same as with a real BM25 pool."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    ids = [int(r["vec_id"]) for r in emb.select("vec_id").collect()]
+    ranked = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    return spark.createDataFrame(
+        [(d, r + 1) for r, d in enumerate(ranked[:pool])],
+        "doc_id long, lex_rank long",
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_q = int(os.environ.get("SPARK_GRAFT_ANN_QUERIES", "100"))
@@ -337,6 +424,18 @@ def main() -> None:
     clu_frontier = lsh_frontier(lsh_topk, cemb, cqueries, cexact, cn)
     clu_ivfpq_frontier = ivfpq_frontier(ivfpq_topk, cemb, cqueries, cexact, cn)
 
+    # --- hybrid: the fused consumption point of the LSH approximation ----
+    from wiki_mysql_spark.queries.search import _lex_ranked
+
+    hybrid = {
+        "isotropic_bm25_lex": hybrid_recall(
+            spark, emb, queries, _lex_ranked(spark, sf_dir)
+        ),
+        "clustered_hash_lex": hybrid_recall(
+            spark, cemb, cqueries, hash_lex_pool(spark, cemb)
+        ),
+    }
+
     out = {
         "metric": "ann_recall_at_10",
         "value": {n: r["recall_at_10"] for n, r in sections["isotropic"].items()},
@@ -356,6 +455,7 @@ def main() -> None:
             "isotropic": iso_ivfpq_frontier,
             "clustered": clu_ivfpq_frontier,
         },
+        "hybrid_rrf_indexed": hybrid,
     }
     print(json.dumps(out))
     if len(sys.argv) > 1:
