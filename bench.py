@@ -81,6 +81,10 @@ HEADLINE = [
     # round-10: the same fusion with the vector pool served by the
     # persisted LSH index — the 100 TB path, measured
     "hybrid_search_rrf_indexed",
+    # round-11: the lifecycle's publication + health surfaces — query
+    # through the atomic CURRENT pointer, and the IVFADC occupancy stats
+    "lsh_index_publish",
+    "ivfpq_index_stats",
 ]
 
 # Entries whose steady-state cost is the partition-pruned QUERY path over a
@@ -94,6 +98,8 @@ INDEX_QUERY_WARMUP = {
     "ann_index_query",
     "lsh_index_query",
     "lsh_index_stats",
+    "lsh_index_publish",
+    "ivfpq_index_stats",
     "hybrid_search_rrf_indexed",
 }
 

@@ -55,6 +55,7 @@ def main() -> None:
     from wiki_mysql_spark.operators.similarity import (
         index_current,
         index_publish,
+        index_retire,
         lsh_index_append,
         lsh_index_build,
         lsh_index_compact,
@@ -129,6 +130,15 @@ def main() -> None:
     index_publish(spark, pointer, dst)
     stages["publish_sec"] = round(time.perf_counter() - t0, 4)
     stages["query_sec_after_compact"] = q_latency(index_current(spark, pointer))[0]
+
+    # --- RETIRE the pre-compaction generation (grace period elapsed);
+    # the current generation must survive and stay queryable
+    t0 = time.perf_counter()
+    retired = index_retire(spark, pointer, [root, dst])
+    stages["retire_sec"] = round(time.perf_counter() - t0, 4)
+    stages["retired_roots"] = len(retired)
+    assert retired == [root] and not os.path.exists(root)
+    stages["query_sec_after_retire"] = q_latency(index_current(spark, pointer))[0]
 
     import shutil
 

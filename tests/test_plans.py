@@ -691,6 +691,17 @@ def test_index_delete_compact_and_pointer_swap(spark, tmp_path):
         spark, index_current(spark, pointer), q, k=5, probe_bits=1
     ).collect())) == got
 
+    # --- retirement: the previous generation is reclaimed, the CURRENT
+    # one can never be deleted even when listed
+    from wiki_mysql_spark.operators.similarity import index_retire
+
+    deleted = index_retire(spark, pointer, [full_root, cmp_root])
+    assert deleted == [full_root]
+    assert not os.path.exists(full_root), "retired generation must be gone"
+    assert sorted(map(tuple, lsh_index_query(
+        spark, index_current(spark, pointer), q, k=5, probe_bits=1
+    ).collect())) == got, "current generation must survive retire"
+
     # --- IVFADC: same merge-on-read behavior under frozen codebooks
     pq_root = str(tmp_path / "pq_full")
     ivfpq_index_build(emb, pq_root, n_coarse=8, coarse_iters=1, m=8,

@@ -1065,6 +1065,34 @@ def index_current(spark, pointer: str) -> str:
     return json.loads(_fs_read_text(spark, pointer))["root"]
 
 
+def index_retire(spark, pointer: str, roots) -> list[str]:
+    """Garbage-collect RETIRED index generations: recursively delete every
+    root in ``roots`` that is not the pointer's CURRENT target — the
+    cleanup half of the publish lifecycle (compact-to-new-root + pointer
+    swap leaves the previous generation on disk for in-flight readers;
+    once the grace period passes, this reclaims it). The current
+    generation is always skipped, so a retire list that accidentally
+    includes it (or a pointer re-swapped back mid-cleanup) cannot delete
+    the generation queries are resolving to. Returns the roots actually
+    deleted. The caller owns the grace-period policy (time- or
+    query-drain-based) — this primitive only enforces never-the-current
+    invariant."""
+    current = index_current(spark, pointer).rstrip("/")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    deleted: list[str] = []
+    for r in roots:
+        rr = str(r).rstrip("/")
+        if rr == current:
+            continue
+        hpath = jvm.org.apache.hadoop.fs.Path(rr)
+        fs = hpath.getFileSystem(conf)
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
+            deleted.append(rr)
+    return deleted
+
+
 def _index_compact(
     spark, src_path: str, dst_path: str, *, subdir: str,
     partition_cols: list[str], id_name: str,
