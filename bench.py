@@ -85,6 +85,9 @@ HEADLINE = [
     # through the atomic CURRENT pointer, and the IVFADC occupancy stats
     "lsh_index_publish",
     "ivfpq_index_stats",
+    # round-11: incremental dedup — today's batch vs the persisted
+    # signature index, partition-pruned, text fetched only for candidates
+    "dedup_minhash_incremental",
 ]
 
 # Entries whose steady-state cost is the partition-pruned QUERY path over a
@@ -100,6 +103,7 @@ INDEX_QUERY_WARMUP = {
     "lsh_index_stats",
     "lsh_index_publish",
     "ivfpq_index_stats",
+    "dedup_minhash_incremental",
     "hybrid_search_rrf_indexed",
 }
 

@@ -855,6 +855,94 @@ def test_tombstone_antijoin_byte_gated(spark, tmp_path, monkeypatch):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_minhash_index_prunes_appends_and_checks_scheme(spark, tmp_path):
+    """The persisted minhash signature index (incremental dedup):
+    (1) a SMALL batch's query scan must carry literal partition filters on
+    BOTH layout columns (band, bk) — the batch's collided partitions only;
+    (2) append must be row-identical to a from-scratch build of the union
+    (the scheme is frozen module constants, header-checked);
+    (3) a header whose scheme disagrees with the module must refuse
+    loudly, not silently return empty results;
+    (4) the incremental query against the indexed half must find the
+    cross-half duplicate pairs the batch self-join finds."""
+    import json
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators import dedup as dd
+    from wiki_mysql_spark.operators.similarity import (
+        _fs_read_text,
+        _fs_write_text,
+        _index_child,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fix = spark.createDataFrame(
+        [(900001, "alpha beta gamma delta epsilon zeta eta theta"),
+         (900002, "alpha beta gamma delta epsilon zeta eta theta"),
+         (900004, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        ["doc_id", "text"],
+    )
+    corpus = docs.unionByName(fix)
+    existing = corpus.where(F.col("doc_id") % 2 == 0)
+    batch = corpus.where(F.col("doc_id") % 2 == 1)
+
+    root = str(tmp_path / "mh_idx")
+    dd.minhash_index_build(existing, root)
+
+    # (1) pruning: a 2-doc batch probes at most 2 * N_BANDS partitions
+    tiny = corpus.where(F.col("doc_id").isin(900001, 900004))
+    res = dd.minhash_index_query(spark, root, tiny)
+    rows = res.collect()
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "band#" in plan and "bk#" in plan, (
+        "small-batch minhash index query must prune to its collided "
+        "(band, bk) partitions"
+    )
+    # 900001 (batch) must collide with its indexed copy 900002
+    assert any(r["doc_new"] == 900001 and r["doc_indexed"] == 900002
+               for r in rows)
+
+    # (4) verified incremental result == the batch self-join's cross-half
+    # pairs (orientation: doc_a < doc_b and even/odd halves line up only
+    # on the pair set, so compare unordered pairs + jaccard)
+    inc = dd.minhash_index_query(
+        spark, root, batch, corpus_docs=existing, jaccard_threshold=0.5
+    )
+    got = {(min(r["doc_new"], r["doc_indexed"]),
+            max(r["doc_new"], r["doc_indexed"]), r["jaccard"])
+           for r in inc.collect()}
+    cross = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dd.minhash_lsh_pairs(corpus, jaccard_threshold=0.5).collect()
+        if (r["doc_a"] % 2) != (r["doc_b"] % 2)
+    }
+    assert got == cross and got, (
+        "incremental dedup must equal the batch self-join restricted to "
+        "cross-half pairs"
+    )
+
+    # (2) append == union build
+    grown = dd.minhash_index_append(batch, root)
+    union_root = str(tmp_path / "mh_union")
+    union_idx = dd.minhash_index_build(corpus, union_root)
+    key = lambda r: (r["doc_id"], r["band"], r["v0"], r["v1"], r["bk"])
+    assert sorted(map(key, grown.collect())) == sorted(
+        map(key, union_idx.collect())
+    )
+
+    # (3) scheme drift refuses loudly
+    meta_path = _index_child(root, "meta.json")
+    meta = json.loads(_fs_read_text(spark, meta_path))
+    meta["n_perms"] = 99
+    _fs_write_text(spark, meta_path, json.dumps(meta))
+    with _pytest.raises(ValueError, match="scheme"):
+        dd.minhash_index_query(spark, root, tiny)
+
+
 def test_hybrid_indexed_vector_pool_prunes_partitions(spark):
     """`hybrid_search_rrf_indexed`'s 100 TB claim as behavior: the vector
     pool is served by the persisted LSH index, so the fused plan's bucket

@@ -101,20 +101,18 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
-    jaccard_threshold: float = 0.5,
-) -> DataFrame:
-    """Near-duplicate pairs via banded MinHash LSH, verified with exact
-    shingle Jaccard. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
-
-    Scale shape: band rows are (doc_id, band, v0, v1) — a few dozen bytes —
-    so the bucket self-join shuffles signatures, never text; the shingle
-    arrays are joined back for the (few) surviving candidate pairs only.
-    """
-    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    # shingle once; signatures AND the verification join both read this
-    # (tokenize into a column first — see shingles_of on why inlining is slow)
+def _minhash_shingles_and_bands(base: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The shared front half of every minhash path: the distinct-shingle
+    sets (doc_id, sh) and the banded signature rows (doc_id, band, v0, v1)
+    for a (doc_id, text) frame. Shingle once (lazy-checkpointed; signatures
+    AND any verification join read it — tokenize into a column first, see
+    shingles_of on why inlining is slow); hash each shingle once; fold the
+    k min() aggregates map-side. No sentinel rows for shingle-less docs
+    (unlike minhash_signatures): they have no signature rows, which only
+    removes the empty-vs-empty candidates that Jaccard verification would
+    NULL out anyway. Used by the batch self-join (minhash_lsh_pairs) and
+    the persisted-index build/query paths — one definition point, so the
+    incremental index can never hash differently than the batch dedup."""
     sh = (
         base.select("doc_id", words(F.col("text")).alias("ws"))
         .select("doc_id", F.array_distinct(shingles_of(F.col("ws"), 3)).alias("sh"))
@@ -123,9 +121,6 @@ def minhash_lsh_pairs(
     hashed = sh.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", (hash64(F.col("s")) % HASH_PRIME).alias("h")
     )
-    # No sentinel join here (unlike minhash_signatures): shingle-less docs
-    # have no signature rows, which only removes the empty-vs-empty
-    # candidates that Jaccard verification would NULL out anyway.
     sig = hashed.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_PRIME).alias(f"mh{i}")
@@ -147,6 +142,22 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.v0", "bk.v1")
+    return sh, bands
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH, verified with exact
+    shingle Jaccard. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Scale shape: band rows are (doc_id, band, v0, v1) — a few dozen bytes —
+    so the bucket self-join shuffles signatures, never text; the shingle
+    arrays are joined back for the (few) surviving candidate pairs only.
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    sh, bands = _minhash_shingles_and_bands(base)
 
     cand = (
         bands.alias("l")
@@ -178,6 +189,216 @@ def minhash_lsh_pairs(
         # the SQL oracle's raw-valued WHERE excludes
         .where(F.col("jac_raw") >= jaccard_threshold)
         .select("doc_a", "doc_b", F.round("jac_raw", 6).alias("jaccard"))
+    )
+
+
+# Partition-pruning buckets per band in the persisted minhash index: the
+# (v0, v1) band key is a pair of ~30-bit hashes (unbounded domain), so it
+# cannot be a partition directory column itself; bk = xxhash64(v0, v1) % 64
+# folds it into a bounded one. 8 bands x 64 = 512 directories — the same
+# layout scale as the persisted LSH index.
+MINHASH_INDEX_BUCKETS = 64
+
+
+def _minhash_index_rows(docs, id_col: str, text_col: str) -> DataFrame:
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    _, bands = _minhash_shingles_and_bands(base)
+    return bands.withColumn(
+        "bk", F.pmod(F.xxhash64("v0", "v1"), F.lit(MINHASH_INDEX_BUCKETS))
+    )
+
+
+def minhash_index_build(
+    docs: DataFrame, path: str, *, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Build AND PERSIST the banded minhash signature index: (doc_id, band,
+    v0, v1) rows land ``partitionBy(band, bk)`` (bk = xxhash64(v0, v1) mod
+    :data:`MINHASH_INDEX_BUCKETS`), the frozen scheme parameters land in
+    the header. This is INCREMENTAL DEDUP's other half: the batch
+    self-join (:func:`minhash_lsh_pairs`) answers "which docs in this
+    corpus duplicate each other"; a persisted signature index answers the
+    daily 100 TB question — "which docs in TODAY'S batch duplicate the
+    corpus" — without re-pairing the corpus with itself
+    (:func:`minhash_index_query`). Rows are repartitioned on the layout
+    columns so each partition lands as ~one file. Returns the persisted
+    index read back from ``path``."""
+    import json
+
+    from wiki_mysql_spark.operators.similarity import (
+        _fs_write_text,
+        _index_child,
+    )
+
+    spark = docs.sparkSession
+    rows = _minhash_index_rows(docs, id_col, text_col)
+    rows.repartition(F.col("band"), F.col("bk")).write.mode(
+        "overwrite"
+    ).option("compression", "zstd").partitionBy("band", "bk").parquet(
+        _index_child(path, "bands")
+    )
+    _fs_write_text(
+        spark,
+        _index_child(path, "meta.json"),
+        json.dumps({
+            "n_bands": N_BANDS,
+            "n_buckets": MINHASH_INDEX_BUCKETS,
+            "n_perms": len(MINHASH_PARAMS),
+        }),
+    )
+    return spark.read.parquet(_index_child(path, "bands"))
+
+
+def _minhash_meta_check(spark, path: str) -> None:
+    """Fail loudly if the index header's scheme parameters don't match
+    this module's frozen constants — a mismatched module would silently
+    hash the same text to different signatures and every query would
+    return nothing."""
+    import json
+
+    from wiki_mysql_spark.operators.similarity import (
+        _fs_read_text,
+        _index_child,
+    )
+
+    meta = json.loads(_fs_read_text(spark, _index_child(path, "meta.json")))
+    want = {
+        "n_bands": N_BANDS,
+        "n_buckets": MINHASH_INDEX_BUCKETS,
+        "n_perms": len(MINHASH_PARAMS),
+    }
+    got = {k: int(meta.get(k, -1)) for k in want}
+    if got != want:
+        raise ValueError(
+            f"minhash index at {path} was built with scheme {got}, this "
+            f"module expects {want} — rebuild the index or use the build's "
+            "module version"
+        )
+
+
+def minhash_index_append(
+    docs: DataFrame, path: str, *, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPEND new documents' banded signatures to a persisted minhash
+    index — the post-dedup half of the daily loop (today's deduped batch
+    joins the corpus it will be dedup'd against tomorrow). The minhash
+    scheme is frozen module constants (header-checked), so an appended
+    index is row-identical to a from-scratch build of the union —
+    test-pinned. One new file per touched (band, bk) partition, nothing
+    rewritten. Returns the full index read back from ``path``."""
+    from wiki_mysql_spark.operators.similarity import _index_child
+
+    spark = docs.sparkSession
+    _minhash_meta_check(spark, path)
+    rows = _minhash_index_rows(docs, id_col, text_col)
+    rows.repartition(F.col("band"), F.col("bk")).write.mode(
+        "append"
+    ).option("compression", "zstd").partitionBy("band", "bk").parquet(
+        _index_child(path, "bands")
+    )
+    return spark.read.parquet(_index_child(path, "bands"))
+
+
+def minhash_index_query(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_docs: DataFrame | None = None,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicates of ``new_docs`` AGAINST the indexed corpus — the
+    incremental dedup operation: signature the batch with the frozen
+    scheme, prune the index scan to the batch's (band, bk) partitions,
+    equi-join on the full band key, and (when ``corpus_docs`` is given)
+    verify candidates with exact shingle Jaccard. Returns
+    (doc_new, doc_indexed, jaccard) — or unverified candidate pairs
+    without ``corpus_docs``.
+
+    Scale shape: the probed (band, bk) set collects to the driver but its
+    domain is bounded at n_bands * n_buckets (512) rows NO MATTER the
+    batch size, so the collect is driver-safe by construction; a small
+    batch prunes the scan to its collided partitions, a corpus-sized
+    batch degrades to a full (but signature-only) scan. The band join
+    shuffles (long, int, long, long) signature rows, never text; corpus
+    text is fetched ONLY for the candidate doc_indexed ids (semi-join
+    before shingling), so at 100 TB verification reads the few colliding
+    documents, not the corpus."""
+    _minhash_meta_check(spark, path)
+
+    from wiki_mysql_spark.operators.similarity import _index_child
+
+    base_q = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    sh_q, bands_q = _minhash_shingles_and_bands(base_q)
+    qb = bands_q.withColumn(
+        "bk", F.pmod(F.xxhash64("v0", "v1"), F.lit(MINHASH_INDEX_BUCKETS))
+    ).localCheckpoint(eager=False)  # reused: probed collect + band join
+    by_band: dict[int, set[int]] = {}
+    for r in qb.select("band", "bk").distinct().collect():
+        by_band.setdefault(int(r["band"]), set()).add(int(r["bk"]))
+    pred = None
+    for b, bks in sorted(by_band.items()):
+        clause = (F.col("band") == b) & F.col("bk").isin(sorted(bks))
+        pred = clause if pred is None else (pred | clause)
+    if pred is None:  # empty batch: nothing to dedup
+        pred = F.lit(False)
+    idx = (
+        spark.read.parquet(_index_child(path, "bands"))
+        .where(pred)
+        .select(
+            F.col("doc_id").alias("doc_indexed"),
+            F.col("band").cast("int").alias("band"),
+            "v0",
+            "v1",
+        )
+    )
+    q = qb.select(F.col("doc_id").alias("doc_new"), "band", "v0", "v1")
+    cand = (
+        q.join(idx, ["band", "v0", "v1"])
+        .where(F.col("doc_new") != F.col("doc_indexed"))
+        .select("doc_new", "doc_indexed")
+        .dropDuplicates(["doc_new", "doc_indexed"])
+    )
+    if corpus_docs is None:
+        return cand
+    cand = cand.localCheckpoint(eager=False)  # reused: id semi-join + verify
+    cand_ids = cand.select(F.col("doc_indexed").alias("doc_id")).distinct()
+    c_base = (
+        corpus_docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        .join(cand_ids, "doc_id", "left_semi")
+    )
+    sh_c = c_base.select("doc_id", words(F.col("text")).alias("ws")).select(
+        "doc_id", F.array_distinct(shingles_of(F.col("ws"), 3)).alias("sh")
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_i"))
+    union = F.size(F.array_union("sh_n", "sh_i"))
+    return (
+        cand.join(
+            sh_q.select(F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_n")),
+            "doc_new",
+        )
+        .join(
+            sh_c.select(F.col("doc_id").alias("doc_indexed"), F.col("sh").alias("sh_i")),
+            "doc_indexed",
+        )
+        .select(
+            "doc_new",
+            "doc_indexed",
+            (inter / union.cast("double")).alias("jac_raw"),
+        )
+        # threshold on the RAW ratio (round only for display) — the same
+        # boundary contract as minhash_lsh_pairs
+        .where(F.col("jac_raw") >= jaccard_threshold)
+        .select("doc_new", "doc_indexed", F.round("jac_raw", 6).alias("jaccard"))
     )
 
 

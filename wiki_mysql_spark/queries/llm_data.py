@@ -280,6 +280,82 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs_with_fixture(spark, sf_dir), jaccard_threshold=0.5)
 
 
+_SQL_MINHASH_INCREMENTAL = f"""
+    WITH corpus AS MATERIALIZED ({_sql_docs_with_fixture()}),
+    tokenized AS (SELECT doc_id, {SQL_WORDS} AS ws FROM corpus),
+    shingled AS MATERIALIZED (SELECT doc_id, {SQL_SHINGLES} AS sh FROM tokenized),
+    hashed AS MATERIALIZED (
+        SELECT doc_id,
+               list_transform(sh, s -> {_sql_hash('s')} % {HASH_PRIME}) AS hv
+        FROM shingled
+    ),
+    dsh AS MATERIALIZED (
+        SELECT doc_id, list_distinct(sh) AS ds,
+               len(list_distinct(sh))::BIGINT AS n_sh
+        FROM shingled
+    ),
+    sigs AS MATERIALIZED (SELECT doc_id, {_sql_minhash_cols()} FROM hashed),
+    bands AS MATERIALIZED (
+        SELECT doc_id, b.band,
+               CASE b.band {' '.join(f'WHEN {b} THEN mh{2*b}' for b in range(N_BANDS))} END AS v0,
+               CASE b.band {' '.join(f'WHEN {b} THEN mh{2*b+1}' for b in range(N_BANDS))} END AS v1
+        FROM sigs, (SELECT unnest(range({N_BANDS})) AS band) b
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT r.doc_id AS doc_new, l.doc_id AS doc_indexed
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.v0 = r.v0 AND l.v1 = r.v1
+        WHERE l.doc_id % 2 = 0 AND r.doc_id % 2 = 1
+    ),
+    jac AS (
+        SELECT doc_new, doc_indexed,
+               len(list_intersect(a.ds, b.ds))::BIGINT AS n_common,
+               a.n_sh + b.n_sh AS n_tot
+        FROM cand
+        JOIN dsh a ON a.doc_id = doc_indexed
+        JOIN dsh b ON b.doc_id = doc_new
+    )
+    SELECT doc_new, doc_indexed,
+           round(n_common / (n_tot - n_common)::DOUBLE, 6) AS jaccard
+    FROM jac
+    WHERE n_common / (n_tot - n_common)::DOUBLE >= 0.5
+    """
+
+
+@query("dedup_minhash_incremental", _SQL_MINHASH_INCREMENTAL)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup against a PERSISTED minhash signature index
+    (`operators/dedup.py:minhash_index_build/minhash_index_query`) — the
+    daily 100 TB operation the batch self-join can't express: "which docs
+    in today's batch duplicate the corpus", answered without re-pairing
+    the corpus with itself. The even-id half of the corpus is indexed
+    (banded signatures written partitionBy(band, bk), scheme constants in
+    the header); the odd-id half arrives as the new batch, is signatured
+    with the SAME frozen scheme, collides through a partition-pruned
+    band-key equi-join, and surviving candidates are verified with exact
+    shingle Jaccard — corpus text is fetched only for candidate ids
+    (semi-join before shingling). The oracle recomputes the full banded
+    collision + verification restricted to cross-half pairs, so the hash
+    proves the persisted round trip introduces and loses nothing vs the
+    in-memory construction. The dup fixture spans both halves (100001 odd
+    vs 100002/100004 even), so the incremental path provably finds
+    cross-generation duplicates."""
+    from wiki_mysql_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_query,
+    )
+
+    docs = _docs_with_fixture(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    path = _cached_index(
+        "minhash", sf_dir, lambda p: minhash_index_build(existing, p)
+    )
+    return minhash_index_query(
+        spark, path, batch, corpus_docs=existing, jaccard_threshold=0.5
+    )
+
+
 @query(
     "dedup_minhash_components",
     f"""
