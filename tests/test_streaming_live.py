@@ -404,3 +404,71 @@ def test_stream_ivfpq_ingest_replay_equals_batch(spark):
         spark, ref_root, q, k=5, n_probe=2
     ).collect()))
     assert got == want and got
+
+
+def test_stream_minhash_ingest_replay_idempotent(spark):
+    """The minhash dedup index's streaming write path with a forced
+    written-then-failed replay: the drained index must equal a one-shot
+    build of the corpus, row for row (the per-batch-keyed overwrite makes
+    the replay a rewrite, not a duplicate append); the pruned incremental
+    query must work DIRECTLY against the streamed (delta-layered) root;
+    a flat append onto it must refuse; compaction retires the delta layer
+    and query results are unchanged."""
+    import tempfile
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_compact,
+        minhash_index_query,
+    )
+    from wiki_mysql_spark.streaming.ann_ingest import (
+        run_stream_minhash_ingest,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    fix = spark.createDataFrame(
+        [(900001, "alpha beta gamma delta epsilon zeta eta theta"),
+         (900003, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    corpus = docs.unionByName(fix)
+
+    path, n_batches = run_stream_minhash_ingest(
+        spark, corpus, n_files=4, poison_once_batch=1
+    )
+    assert n_batches >= 2, "staging must slice into several micro-batches"
+
+    ref = minhash_index_build(
+        corpus, tempfile.mkdtemp(prefix="mh_stream_ref_")
+    )
+    cols = ["doc_id", "band", "v0", "v1", "bk"]
+    streamed = spark.read.parquet(path + "/bands")
+    assert "batch" in streamed.columns  # the delta layer exists pre-compact
+    assert sorted(map(tuple, streamed.select(*cols).collect())) == sorted(
+        map(tuple, ref.select(*cols).collect())
+    )
+
+    # the incremental query works against the delta-layered root directly
+    batch = corpus.where(F.col("doc_id") == 900003)
+    res = minhash_index_query(spark, path, batch, corpus_docs=corpus)
+    pairs = {(r["doc_new"], r["doc_indexed"]) for r in res.collect()}
+    assert (900003, 900001) in pairs
+
+    # flat appends refuse the un-compacted streamed root
+    with _pytest.raises(ValueError, match="compact first|minhash_index_compact"):
+        minhash_index_append(batch, path)
+
+    # compaction retires the delta layer; the query is unchanged
+    cmp_root = tempfile.mkdtemp(prefix="mh_stream_cmp_")
+    compacted = minhash_index_compact(spark, path, cmp_root)
+    assert "batch" not in compacted.columns
+    res2 = minhash_index_query(spark, cmp_root, batch, corpus_docs=corpus)
+    assert sorted(map(tuple, res2.collect())) == sorted(
+        map(tuple, res.collect())
+    )

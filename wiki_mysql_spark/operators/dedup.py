@@ -251,6 +251,70 @@ def minhash_index_build(
     return spark.read.parquet(_index_child(path, "bands"))
 
 
+def minhash_index_init(spark, path: str) -> None:
+    """Write ONLY the index header (the frozen scheme constants) at
+    ``path`` — the zero-data starting point of the streaming ingest path,
+    where every micro-batch is a :func:`minhash_index_write_delta` and no
+    batch is privileged (the same lifecycle split as ``lsh_index_init``;
+    the minhash scheme, like hyperplane LSH, needs no training)."""
+    import json
+
+    from wiki_mysql_spark.operators.similarity import (
+        _fs_write_text,
+        _index_child,
+    )
+
+    _fs_write_text(
+        spark,
+        _index_child(path, "meta.json"),
+        json.dumps({
+            "n_bands": N_BANDS,
+            "n_buckets": MINHASH_INDEX_BUCKETS,
+            "n_perms": len(MINHASH_PARAMS),
+        }),
+    )
+
+
+def minhash_index_write_delta(
+    docs: DataFrame, path: str, delta: str, *, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """IDEMPOTENT ingest unit for the persisted minhash index: signature
+    ``docs`` with the frozen scheme and write ``mode("overwrite")`` under
+    ``<path>/bands/<delta>/`` (still ``partitionBy(band, bk)`` below the
+    delta key — the query side's partition pruning is untouched).
+    Re-running the SAME delta key overwrites its own directory with
+    identical deterministic content instead of blind-appending — the
+    replayed-micro-batch property (key by ``batch=<batch_id>``);
+    :func:`minhash_index_compact` collapses the accumulated delta dirs
+    back to the flat layout."""
+    from wiki_mysql_spark.operators.similarity import _index_child
+
+    spark = docs.sparkSession
+    _minhash_meta_check(spark, path)
+    rows = _minhash_index_rows(docs, id_col, text_col)
+    rows.repartition(F.col("band"), F.col("bk")).write.mode(
+        "overwrite"
+    ).option("compression", "zstd").partitionBy("band", "bk").parquet(
+        _index_child(path, "bands/" + delta.strip("/"))
+    )
+
+
+def minhash_index_compact(spark, src_path: str, dst_path: str) -> DataFrame:
+    """Layout-preserving compaction of the minhash index (delegates to
+    the shared ``_index_compact``): appended/streamed partitions collapse
+    back to ~one file each under the same (band, bk) layout at a new
+    root, any ``batch=`` delta layer retired, header copied verbatim —
+    :func:`minhash_index_query` against the compacted root is identical
+    to the streamed one, test-pinned."""
+    from wiki_mysql_spark.operators.similarity import _index_compact
+
+    return _index_compact(
+        spark, src_path, dst_path,
+        subdir="bands", partition_cols=["band", "bk"], id_name="doc_id",
+    )
+
+
 def _minhash_meta_check(spark, path: str) -> None:
     """Fail loudly if the index header's scheme parameters don't match
     this module's frozen constants — a mismatched module would silently
@@ -288,10 +352,27 @@ def minhash_index_append(
     scheme is frozen module constants (header-checked), so an appended
     index is row-identical to a from-scratch build of the union —
     test-pinned. One new file per touched (band, bk) partition, nothing
-    rewritten. Returns the full index read back from ``path``."""
-    from wiki_mysql_spark.operators.similarity import _index_child
+    rewritten. Returns the full index read back from ``path``.
+
+    Refuses a stream-ingested root that still carries a ``batch=`` delta
+    layer (the same contract as ``lsh_index_append``: mixing flat
+    ``band=`` dirs with ``batch=<id>/band=`` ones breaks every subsequent
+    read) — compact first or ingest through
+    :func:`minhash_index_write_delta`."""
+    from wiki_mysql_spark.operators.similarity import (
+        _has_delta_layer,
+        _index_child,
+    )
 
     spark = docs.sparkSession
+    if _has_delta_layer(spark, path, "bands"):
+        raise ValueError(
+            f"minhash_index_append: index at {path} carries a streaming "
+            "batch= delta layer; a flat append next to it would create "
+            "conflicting partition directory structures and break every "
+            "subsequent read — run minhash_index_compact first, or ingest "
+            "this batch via minhash_index_write_delta"
+        )
     _minhash_meta_check(spark, path)
     rows = _minhash_index_rows(docs, id_col, text_col)
     rows.repartition(F.col("band"), F.col("bk")).write.mode(
@@ -349,15 +430,17 @@ def minhash_index_query(
         pred = clause if pred is None else (pred | clause)
     if pred is None:  # empty batch: nothing to dedup
         pred = F.lit(False)
-    idx = (
-        spark.read.parquet(_index_child(path, "bands"))
-        .where(pred)
-        .select(
-            F.col("doc_id").alias("doc_indexed"),
-            F.col("band").cast("int").alias("band"),
-            "v0",
-            "v1",
-        )
+    scan = spark.read.parquet(_index_child(path, "bands")).where(pred)
+    if "batch" in scan.columns:
+        # stream-ingested root: a batch=<id> delta layer rides above the
+        # (band, bk) layout (minhash_index_write_delta) — pruning on the
+        # layout columns is unaffected, the extra partition column drops
+        scan = scan.drop("batch")
+    idx = scan.select(
+        F.col("doc_id").alias("doc_indexed"),
+        F.col("band").cast("int").alias("band"),
+        "v0",
+        "v1",
     )
     q = qb.select(F.col("doc_id").alias("doc_new"), "band", "v0", "v1")
     cand = (

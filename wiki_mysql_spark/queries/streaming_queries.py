@@ -385,6 +385,77 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the streamed minhash index must equal the banded signature table of a
+# one-shot hashing of the whole corpus — same fragments as the
+# dedup_minhash_* oracles (one definition point for the frozen scheme).
+# `WHERE len(hv) > 0` mirrors the Spark side exactly: shingle-less docs
+# (<3 words) have no signature rows (no sentinel rows in the index).
+def _sql_streamed_minhash_index() -> str:
+    from wiki_mysql_spark.operators.dedup import N_BANDS
+    from wiki_mysql_spark.functions.text import HASH_PRIME
+    from wiki_mysql_spark.queries.llm_data import (
+        SQL_SHINGLES,
+        SQL_WORDS,
+        _sql_docs_with_fixture,
+        _sql_hash,
+        _sql_minhash_cols,
+    )
+
+    return f"""
+    WITH corpus AS MATERIALIZED ({_sql_docs_with_fixture()}),
+    tokenized AS (SELECT doc_id, {SQL_WORDS} AS ws FROM corpus),
+    shingled AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM tokenized),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(sh, s -> {_sql_hash('s')} % {HASH_PRIME}) AS hv
+        FROM shingled
+    ),
+    sigs AS MATERIALIZED (
+        SELECT doc_id, {_sql_minhash_cols()} FROM hashed WHERE len(hv) > 0
+    )
+    SELECT doc_id, CAST(b.band AS BIGINT) AS band,
+           CASE b.band {' '.join(f'WHEN {b} THEN mh{2*b}' for b in range(N_BANDS))} END AS v0,
+           CASE b.band {' '.join(f'WHEN {b} THEN mh{2*b+1}' for b in range(N_BANDS))} END AS v1
+    FROM sigs, (SELECT unnest(range({N_BANDS})) AS band) b
+    """
+
+
+@query("stream_minhash_ingest", _sql_streamed_minhash_index())
+def stream_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into the persisted MINHASH SIGNATURE index
+    (`streaming/ann_ingest.py:run_stream_minhash_ingest`) — the streaming
+    half of incremental dedup (`dedup_minhash_incremental`), completing
+    the symmetry with the LSH/IVFADC index families: documents drain one
+    file per micro-batch through CHECKPOINTED foreachBatch, the header's
+    frozen scheme initialized up front (`minhash_index_init` — minhash,
+    like hyperplane LSH, needs no training, so no batch is privileged),
+    every micro-batch a replay-idempotent `minhash_index_write_delta`
+    (overwrite-keyed `bands/batch=<id>/`, still partitionBy(band, bk)
+    below the key so `minhash_index_query`'s partition pruning is
+    untouched). The oracle asserts the drained index equals a one-shot
+    signature pass over the full corpus, row for row, independent of
+    batch slicing and replays (forced-replay equality pinned in
+    tests/test_streaming_live.py). At 100 TB this is the dedup store's
+    write path: today's crawl lands as its micro-batches' delta files,
+    tomorrow's batch dedups against it through the same pruned query."""
+    from wiki_mysql_spark.queries.llm_data import _docs_with_fixture
+    from wiki_mysql_spark.streaming.ann_ingest import (
+        run_stream_minhash_ingest,
+    )
+
+    docs = _docs_with_fixture(spark, sf_dir)
+    path, n_batches = run_stream_minhash_ingest(spark, docs)
+    if n_batches < 2:
+        raise RuntimeError(
+            f"minhash ingest drained in {n_batches} micro-batch(es); "
+            f"expected the staged multi-file slicing to exercise deltas"
+        )
+    idx = spark.read.parquet(path + "/bands")
+    return idx.select(
+        "doc_id", F.col("band").cast("long").alias("band"), "v0", "v1",
+    )
+
+
 def _sql_streamed_ivfpq_index() -> str:
     from wiki_mysql_spark.queries.llm_data import _sql_ivfpq_index
 

@@ -67,10 +67,12 @@ def _drain_idempotent(
     n_files: int,
     timeout_sec: int,
     poison_once_batch: int | None,
+    id_col: str = "vec_id",
 ) -> int:
-    """Shared drain loop of both streaming index sinks: stage ``emb`` as
-    ``n_files`` parquet files (split by hash(vec_id) so batches are
-    arbitrary id-slices), drain one file per micro-batch through
+    """Shared drain loop of the streaming index sinks (LSH, IVFADC, and
+    the minhash dedup index): stage ``emb`` as ``n_files`` parquet files
+    (split by hash(``id_col``) so batches are arbitrary id-slices),
+    drain one file per micro-batch through
     CHECKPOINTED foreachBatch, each batch an idempotent
     ``write_delta(batch_df, "batch=<id>")``. Returns the count of
     DISTINCT batch ids ingested; raises on a timed-out drain (a partial
@@ -84,7 +86,7 @@ def _drain_idempotent(
     lands on its own directory — no duplicates (test-pinned for both
     index kinds)."""
     staging = tempfile.mkdtemp(prefix="stream_ann_src_")
-    emb.repartition(n_files, F.col("vec_id")).write.mode("overwrite").parquet(
+    emb.repartition(n_files, F.col(id_col)).write.mode("overwrite").parquet(
         staging
     )
     checkpoint = tempfile.mkdtemp(prefix="stream_ann_ckpt_")
@@ -210,5 +212,41 @@ def run_stream_ivfpq_ingest(
         lambda df, delta: ivfpq_index_write_delta(df, index_root, delta),
         n_files=n_files, timeout_sec=timeout_sec,
         poison_once_batch=poison_once_batch,
+    )
+    return index_root, n
+
+
+def run_stream_minhash_ingest(
+    spark: SparkSession,
+    docs,
+    *,
+    n_files: int = 4,
+    timeout_sec: int = 240,
+    poison_once_batch: int | None = None,
+) -> tuple[str, int]:
+    """Drain a documents frame into a persisted MINHASH SIGNATURE index
+    (:func:`_drain_idempotent` over the dedup-index delta writer) — the
+    streaming half of incremental dedup: documents arrive as a stream and
+    their banded signatures land in the (band, bk)-partitioned index
+    while `minhash_index_query` keeps partition-pruning the same layout
+    (the delta key sits above the layout columns). The minhash scheme,
+    like hyperplane LSH, needs no training, so the header initializes up
+    front (`minhash_index_init` — no privileged first batch) and the
+    drained index is row-identical to a one-shot build of the whole
+    corpus, independent of batch slicing and of replays (the registry
+    oracle + the forced-replay test assert exactly that). Returns
+    ``(index_root, n_batches)``."""
+    from wiki_mysql_spark.operators.dedup import (
+        minhash_index_init,
+        minhash_index_write_delta,
+    )
+
+    index_root = _tmpdir("stream_mh_idx_")
+    minhash_index_init(spark, index_root)
+    n = _drain_idempotent(
+        spark, docs, index_root,
+        lambda df, delta: minhash_index_write_delta(df, index_root, delta),
+        n_files=n_files, timeout_sec=timeout_sec,
+        poison_once_batch=poison_once_batch, id_col="doc_id",
     )
     return index_root, n
