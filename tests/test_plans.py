@@ -737,14 +737,25 @@ def test_index_pointer_overwrite_atomic_and_recovery(spark, tmp_path):
     advice item — the old delete-then-rename pair had a window where a
     concurrent index_current failed and a crash lost the pointer). Also
     pins the hygiene contract (no temp siblings survive a successful
-    write) and the reader-side recovery for the delete+rename FALLBACK
-    path (a crashed fallback writer leaves only a complete .tmp sibling;
-    the next read adopts it and completes the interrupted publish)."""
+    write) and the reader-side recovery contract for the delete+rename
+    FALLBACK path (r11 advice item — a tmp is VISIBLE with partial
+    content between create() and close(), so adoption must be gated):
+    a crashed fallback writer's tmp is recovered ONLY when it is old
+    enough to not be an in-flight publish AND its content validates as
+    complete JSON; recovery returns the content WITHOUT renaming the tmp
+    into place (the read path never steals a live writer's tmp); a
+    truncated tmp or a fresh tmp is never adopted — the reader gets the
+    clean retryable missing-file error instead of persisted corruption."""
     import glob
     import json
     import os
+    import time
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
 
     from wiki_mysql_spark.operators.similarity import (
+        _TMP_ADOPT_MIN_AGE_MS,
         index_current,
         index_publish,
     )
@@ -759,14 +770,48 @@ def test_index_pointer_overwrite_atomic_and_recovery(spark, tmp_path):
         "a successful pointer write must not leave temp siblings"
     )
 
-    # crashed-fallback recovery: only a complete tmp sibling exists
+    aged = time.time() - 2 * _TMP_ADOPT_MIN_AGE_MS / 1000.0
+
+    # (a) a FRESH tmp (possibly an in-flight publish) is NOT adopted even
+    # though its content is valid — racing reader gets the retryable error
     os.remove(pointer)
-    with open(pointer + ".tmp-recovertest", "w") as f:
+    fresh = pointer + ".tmp-freshwrite"
+    with open(fresh, "w") as f:
         json.dump({"root": "/roots/gen3"}, f)
+    with _pytest.raises(Py4JJavaError, match="does not exist|FileNotFound"):
+        index_current(spark, pointer)
+
+    # (b) a TRUNCATED aged tmp (crash mid-create) is NOT adopted — partial
+    # JSON must never become the pointer
+    os.remove(fresh)
+    broken = pointer + ".tmp-truncated"
+    with open(broken, "w") as f:
+        f.write('{"root": "/roots/ge')  # cut mid-value
+    os.utime(broken, (aged, aged))
+    with _pytest.raises(Py4JJavaError, match="does not exist|FileNotFound"):
+        index_current(spark, pointer)
+
+    # (c) an AGED, complete tmp (crashed fallback writer) IS recovered —
+    # content returned, but the tmp is NOT renamed into place: the read
+    # path must not mutate the directory out from under a writer's rename
+    good = pointer + ".tmp-recovertest"
+    with open(good, "w") as f:
+        json.dump({"root": "/roots/gen3"}, f)
+    os.utime(good, (aged, aged))
     assert index_current(spark, pointer) == "/roots/gen3"
-    # the interrupted publish completed on first read
-    assert os.path.exists(pointer)
-    assert index_current(spark, pointer) == "/roots/gen3"
+    assert not os.path.exists(pointer), (
+        "recovery must not materialize the pointer from the read path"
+    )
+    assert os.path.exists(good), "recovery must leave the writer's tmp alone"
+    # newest valid aged candidate wins when several crashed writers left tmps
+    newer = pointer + ".tmp-newercrash"
+    with open(newer, "w") as f:
+        json.dump({"root": "/roots/gen4"}, f)
+    os.utime(newer, (aged + 1, aged + 1))
+    assert index_current(spark, pointer) == "/roots/gen4"
+    # a subsequent real publish settles the file and wins over any tmp
+    index_publish(spark, pointer, "/roots/gen5")
+    assert index_current(spark, pointer) == "/roots/gen5"
 
 
 def test_index_append_refuses_uncompacted_delta_layer(spark, tmp_path):
@@ -1100,3 +1145,168 @@ def test_index_compact_collapses_files_and_preserves_queries(spark, tmp_path):
         spark, src, q, k=5, probe_bits=1
     ).collect()))
     assert got == want
+
+
+def test_index_retire_qualified_alias_and_reswap(spark, tmp_path):
+    """index_retire's never-delete-the-current guard (r11 advice item):
+    (1) a scheme-qualified ALIAS of the current root (file:/x in the
+    pointer vs /x in the retire list, or vice versa) must not bypass the
+    guard — roots compare by fully-qualified URI, not raw string;
+    (2) the pointer is re-read before EACH root's delete, so a publish
+    landing mid-loop protects every root after it (the old single
+    pre-loop read would have deleted a root the pointer had just been
+    swapped back to)."""
+    import os
+
+    from wiki_mysql_spark.operators.similarity import (
+        index_publish,
+        index_retire,
+    )
+
+    gen1 = str(tmp_path / "gen1")
+    gen2 = str(tmp_path / "gen2")
+    for g in (gen1, gen2):
+        os.makedirs(g)
+        with open(os.path.join(g, "part-0"), "w") as f:
+            f.write("x")
+
+    # (1) pointer holds the scheme-qualified spelling; retire list the
+    # plain one — the current generation must still be recognized
+    pointer = str(tmp_path / "current.json")
+    index_publish(spark, pointer, "file:" + gen1)
+    deleted = index_retire(spark, pointer, [gen1, gen2])
+    assert deleted == [gen2], f"alias must not bypass the guard: {deleted}"
+    assert os.path.exists(gen1), "current generation deleted through alias"
+
+    # (2) a pointer swap between two roots' deletes is honored: the
+    # retire list is a generator that re-publishes gen2 as CURRENT after
+    # the first root is yielded — the per-root re-read must protect it
+    os.makedirs(gen2)
+    with open(os.path.join(gen2, "part-0"), "w") as f:
+        f.write("x")
+    gen3 = str(tmp_path / "gen3")
+    os.makedirs(gen3)
+
+    def roots_with_midloop_swap():
+        yield gen3  # deleted (not current at its re-read)
+        index_publish(spark, pointer, gen2)  # concurrent publish lands
+        yield gen2  # must now be skipped
+
+    deleted = index_retire(spark, pointer, roots_with_midloop_swap())
+    assert deleted == [gen3]
+    assert os.path.exists(gen2), (
+        "a root published mid-retire must survive — the pointer is "
+        "re-read before each delete"
+    )
+
+
+def test_tombstone_gate_probe_cached_until_delete(spark, tmp_path, monkeypatch):
+    """The tombstone byte-gate probe is paid once per delete, not once per
+    query (r11 advice item — getContentSummary is a recursive listing on
+    object-store connectors): repeated reads reuse the cached size, and
+    _index_delete invalidates it so the next read re-probes the grown
+    set."""
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "lsh_cache")
+    sim.lsh_index_build(emb, root, dim=64, n_planes=6)
+
+    calls = []
+    real = sim._fs_bytes
+    monkeypatch.setattr(
+        sim, "_fs_bytes", lambda s, p: (calls.append(p), real(s, p))[1]
+    )
+
+    sim.lsh_index_delete(spark, root, [0, 3])
+    sim.lsh_index_read(spark, root).count()
+    sim.lsh_index_read(spark, root).count()
+    assert len(calls) == 1, f"size probed per query, not per delete: {calls}"
+
+    sim.lsh_index_delete(spark, root, [6])
+    sim.lsh_index_read(spark, root).count()
+    assert len(calls) == 2, "delete must invalidate the cached probe"
+
+
+def test_minhash_index_delete_query_and_compact_settles(spark, tmp_path):
+    """The minhash signature index's DELETE path (r11 verdict item #2 —
+    the one index family without takedown support): after
+    minhash_index_delete, (1) the pruned query must stop matching the
+    dead document immediately (merge-on-read anti-join) while still
+    matching live near-duplicates, (2) minhash_index_read must exclude
+    the dead rows, and (3) compaction must make the removal physical —
+    no tombstones at the new root, dead signatures gone from disk, query
+    results identical to the merge-on-read view."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    fix = spark.createDataFrame(
+        [(900001, "alpha beta gamma delta epsilon zeta eta theta"),
+         (900002, "alpha beta gamma delta epsilon zeta eta theta"),
+         (900004, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        ["doc_id", "text"],
+    )
+    corpus = docs.unionByName(fix)
+    existing = corpus.where(F.col("doc_id") % 2 == 0)
+    batch = corpus.where(F.col("doc_id").isin(900001))
+
+    root = str(tmp_path / "mh_del")
+    dd.minhash_index_build(existing, root)
+
+    # before the delete: 900001 matches BOTH indexed near-dups
+    before = dd.minhash_index_query(
+        spark, root, batch, corpus_docs=existing, jaccard_threshold=0.5
+    )
+    hit = {int(r["doc_indexed"]) for r in before.collect()}
+    assert {900002, 900004} <= hit
+
+    # (1) takedown of 900002: it must stop matching; 900004 must keep
+    dd.minhash_index_delete(spark, root, [900002])
+    after = dd.minhash_index_query(
+        spark, root, batch, corpus_docs=existing, jaccard_threshold=0.5
+    )
+    hit_after = {int(r["doc_indexed"]) for r in after.collect()}
+    assert 900002 not in hit_after, "deleted doc still matches"
+    assert 900004 in hit_after, "delete removed more than the dead doc"
+
+    # retried delete job is idempotent
+    dd.minhash_index_delete(spark, root, [900002])
+    again = {
+        int(r["doc_indexed"])
+        for r in dd.minhash_index_query(
+            spark, root, batch, corpus_docs=existing, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert again == hit_after
+
+    # (2) live-row reader excludes the dead doc
+    live_ids = {
+        int(r["doc_id"])
+        for r in dd.minhash_index_read(spark, root).select("doc_id")
+        .distinct().collect()
+    }
+    assert 900002 not in live_ids and 900004 in live_ids
+
+    # (3) compaction settles: tombstones retired, dead rows physically
+    # gone, query over the compacted root identical
+    cmp_root = str(tmp_path / "mh_cmp")
+    compacted = dd.minhash_index_compact(spark, root, cmp_root)
+    assert not os.path.exists(os.path.join(cmp_root, "tombstones"))
+    on_disk = {int(r["doc_id"]) for r in compacted.select("doc_id").collect()}
+    assert 900002 not in on_disk
+    cmp_hit = {
+        int(r["doc_indexed"])
+        for r in dd.minhash_index_query(
+            spark, cmp_root, batch, corpus_docs=existing,
+            jaccard_threshold=0.5,
+        ).collect()
+    }
+    assert cmp_hit == hit_after

@@ -194,10 +194,28 @@ def minhash_lsh_pairs(
 
 # Partition-pruning buckets per band in the persisted minhash index: the
 # (v0, v1) band key is a pair of ~30-bit hashes (unbounded domain), so it
-# cannot be a partition directory column itself; bk = xxhash64(v0, v1) % 64
+# cannot be a partition directory column itself; bk = (v0 * MULT + v1) mod 64
 # folds it into a bounded one. 8 bands x 64 = 512 directories — the same
-# layout scale as the persisted LSH index.
+# layout scale as the persisted LSH index. The fold is an affine mix, NOT
+# xxhash64: v0/v1 are already uniform hashes (so any odd-multiplier affine
+# fold spreads buckets evenly), and the affine form is computable verbatim
+# by the DuckDB oracle — which is what lets the index's health surface
+# (minhash_index_stats: per-(band, bk) occupancy) be hash-checked instead
+# of rows-only. No overflow either side: v0 < 2^30, MULT < 2^32, so
+# v0*MULT + v1 < 2^62 stays inside int64 in both engines. The fold is part
+# of the on-disk scheme and header-guarded (_minhash_meta_check).
 MINHASH_INDEX_BUCKETS = 64
+MINHASH_BK_MULT = 2_654_435_761  # Knuth's multiplicative-hash constant
+
+
+def _minhash_bk() -> F.Column:
+    """The bucket fold bk = (v0 * MULT + v1) mod n_buckets as a column
+    expression — ONE definition point shared by the write paths and the
+    query's probe, so index and batch can never bucket differently."""
+    return F.pmod(
+        F.col("v0") * F.lit(MINHASH_BK_MULT) + F.col("v1"),
+        F.lit(MINHASH_INDEX_BUCKETS),
+    )
 
 
 def _minhash_index_rows(docs, id_col: str, text_col: str) -> DataFrame:
@@ -205,9 +223,18 @@ def _minhash_index_rows(docs, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     _, bands = _minhash_shingles_and_bands(base)
-    return bands.withColumn(
-        "bk", F.pmod(F.xxhash64("v0", "v1"), F.lit(MINHASH_INDEX_BUCKETS))
-    )
+    return bands.withColumn("bk", _minhash_bk())
+
+
+def _minhash_scheme() -> dict:
+    """The frozen on-disk scheme constants, as written to every index
+    header and checked back by :func:`_minhash_meta_check`."""
+    return {
+        "n_bands": N_BANDS,
+        "n_buckets": MINHASH_INDEX_BUCKETS,
+        "n_perms": len(MINHASH_PARAMS),
+        "bk_mult": MINHASH_BK_MULT,
+    }
 
 
 def minhash_index_build(
@@ -215,7 +242,7 @@ def minhash_index_build(
     text_col: str = "text",
 ) -> DataFrame:
     """Build AND PERSIST the banded minhash signature index: (doc_id, band,
-    v0, v1) rows land ``partitionBy(band, bk)`` (bk = xxhash64(v0, v1) mod
+    v0, v1) rows land ``partitionBy(band, bk)`` (bk = (v0·MULT + v1) mod
     :data:`MINHASH_INDEX_BUCKETS`), the frozen scheme parameters land in
     the header. This is INCREMENTAL DEDUP's other half: the batch
     self-join (:func:`minhash_lsh_pairs`) answers "which docs in this
@@ -242,11 +269,7 @@ def minhash_index_build(
     _fs_write_text(
         spark,
         _index_child(path, "meta.json"),
-        json.dumps({
-            "n_bands": N_BANDS,
-            "n_buckets": MINHASH_INDEX_BUCKETS,
-            "n_perms": len(MINHASH_PARAMS),
-        }),
+        json.dumps(_minhash_scheme()),
     )
     return spark.read.parquet(_index_child(path, "bands"))
 
@@ -267,11 +290,7 @@ def minhash_index_init(spark, path: str) -> None:
     _fs_write_text(
         spark,
         _index_child(path, "meta.json"),
-        json.dumps({
-            "n_bands": N_BANDS,
-            "n_buckets": MINHASH_INDEX_BUCKETS,
-            "n_perms": len(MINHASH_PARAMS),
-        }),
+        json.dumps(_minhash_scheme()),
     )
 
 
@@ -328,11 +347,7 @@ def _minhash_meta_check(spark, path: str) -> None:
     )
 
     meta = json.loads(_fs_read_text(spark, _index_child(path, "meta.json")))
-    want = {
-        "n_bands": N_BANDS,
-        "n_buckets": MINHASH_INDEX_BUCKETS,
-        "n_perms": len(MINHASH_PARAMS),
-    }
+    want = _minhash_scheme()
     got = {k: int(meta.get(k, -1)) for k in want}
     if got != want:
         raise ValueError(
@@ -383,6 +398,45 @@ def minhash_index_append(
     return spark.read.parquet(_index_child(path, "bands"))
 
 
+def minhash_index_delete(spark, path: str, ids) -> None:
+    """DELETE documents from the persisted minhash signature index — the
+    takedown/GDPR path the LSH and IVFADC indexes already had (the r11
+    verdict's missing-item #2): without it, a removed document's
+    signatures keep matching (and thereby suppressing) every future
+    near-duplicate of it. Reuses the shared merge-on-read tombstone
+    primitive (`operators/similarity.py:_index_delete`): doc_id
+    tombstones land as one-column parquet appends, the query path
+    (:func:`minhash_index_query`) anti-joins them immediately (byte-gated
+    broadcast vs shuffle for free), and the next
+    :func:`minhash_index_compact` rewrites the touched partitions without
+    the dead rows and retires the tombstone set. ``ids`` is a one-column
+    DataFrame or an iterable of doc ids."""
+    from wiki_mysql_spark.operators.similarity import _index_delete
+
+    _index_delete(spark, path, ids, id_name="doc_id")
+
+
+def minhash_index_read(spark, path: str) -> DataFrame:
+    """The LIVE rows of a persisted minhash signature index: the banded
+    signature table (any streaming ``batch=`` delta layer folded in)
+    minus tombstoned doc_ids — what :func:`minhash_index_query` actually
+    collides the batch against, and the frame the health surface
+    (``minhash_index_stats``) describes."""
+    from wiki_mysql_spark.operators.similarity import _index_child, _live_rows
+
+    rows = spark.read.parquet(_index_child(path, "bands"))
+    if "batch" in rows.columns:
+        rows = rows.drop("batch")
+    rows = rows.select(
+        "doc_id",
+        F.col("band").cast("long").alias("band"),
+        "v0",
+        "v1",
+        F.col("bk").cast("long").alias("bk"),
+    )
+    return _live_rows(spark, rows, path, "doc_id")
+
+
 def minhash_index_query(
     spark,
     path: str,
@@ -418,9 +472,9 @@ def minhash_index_query(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     sh_q, bands_q = _minhash_shingles_and_bands(base_q)
-    qb = bands_q.withColumn(
-        "bk", F.pmod(F.xxhash64("v0", "v1"), F.lit(MINHASH_INDEX_BUCKETS))
-    ).localCheckpoint(eager=False)  # reused: probed collect + band join
+    qb = bands_q.withColumn("bk", _minhash_bk()).localCheckpoint(
+        eager=False
+    )  # reused: probed collect + band join
     by_band: dict[int, set[int]] = {}
     for r in qb.select("band", "bk").distinct().collect():
         by_band.setdefault(int(r["band"]), set()).add(int(r["bk"]))
@@ -436,6 +490,13 @@ def minhash_index_query(
         # (band, bk) layout (minhash_index_write_delta) — pruning on the
         # layout columns is unaffected, the extra partition column drops
         scan = scan.drop("batch")
+    # merge-on-read deletes: tombstoned doc_ids (minhash_index_delete) drop
+    # from the candidate set here — a taken-down document must stop
+    # matching future near-duplicates; the next compaction makes the
+    # removal physical. Byte-gated broadcast-vs-shuffle as everywhere.
+    from wiki_mysql_spark.operators.similarity import _live_rows
+
+    scan = _live_rows(spark, scan, path, "doc_id")
     idx = scan.select(
         F.col("doc_id").alias("doc_indexed"),
         F.col("band").cast("int").alias("band"),

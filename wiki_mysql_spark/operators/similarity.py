@@ -962,9 +962,10 @@ def _index_delete(
         )
     else:
         ids = ids.select(F.col(ids.columns[0]).cast("long").alias(id_name))
-    ids.distinct().coalesce(1).write.mode("append").parquet(
-        _index_child(path, "tombstones")
-    )
+    tpath = _index_child(path, "tombstones")
+    ids.distinct().coalesce(1).write.mode("append").parquet(tpath)
+    # the tombstone set just grew — the next _live_rows must re-probe it
+    _FS_BYTES_CACHE.pop(tpath, None)
 
 
 def lsh_index_delete(spark, path: str, ids) -> None:
@@ -991,6 +992,16 @@ def ivfpq_index_delete(spark, path: str, ids) -> None:
 # in-memory hash-relation expansion of ids is a small constant factor.
 _TOMBSTONE_BROADCAST_BYTES = 32 << 20
 
+#: Cached on-disk byte sizes of tombstone directories, keyed by path —
+#: written by :func:`_live_rows`, invalidated by :func:`_index_delete`.
+#: The gate probe is cheap on HDFS/local but a recursive listing on
+#: object-store connectors; tombstones only change through
+#: :func:`_index_delete` in this process, so the cache is exact for the
+#: single-writer lifecycle and at worst one-delete stale across processes
+#: (a stale BROADCAST decision needs ~4M externally-added deletes to be
+#: wrong, and compaction retires the set anyway).
+_FS_BYTES_CACHE: dict[str, int] = {}
+
 
 def _live_rows(spark, rows: DataFrame, path: str, id_name: str) -> DataFrame:
     """Filter index rows through the tombstone set when one exists.
@@ -1003,14 +1014,26 @@ def _live_rows(spark, rows: DataFrame, path: str, id_name: str) -> DataFrame:
     the anti-join shuffles — an oversized delete set (bulk dedup
     removal, GDPR batch) degrades to a slower-but-correct plan instead
     of broadcasting an unbounded build side to every executor. Both
-    paths are plan-pinned in tests/test_plans.py."""
+    paths are plan-pinned in tests/test_plans.py.
+
+    The size probe is CACHED per tombstone path (:data:`_FS_BYTES_CACHE`,
+    invalidated by :func:`_index_delete`): on HDFS/local the probe is one
+    cheap metadata call, but object-store connectors implement
+    ``getContentSummary`` as a recursive listing whose cost grows with
+    exactly the tombstone file count this gate exists to handle — paying
+    it once per delete instead of once per query keeps the read path
+    listing-free."""
     tpath = _index_child(path, "tombstones")
     if not _fs_exists(spark, tpath):
         return rows
     tombs = spark.read.parquet(tpath).select(
         F.col(id_name).cast("long").alias("__dead_id")
     )
-    if _fs_bytes(spark, tpath) < _TOMBSTONE_BROADCAST_BYTES:
+    size = _FS_BYTES_CACHE.get(tpath)
+    if size is None:
+        size = _fs_bytes(spark, tpath)
+        _FS_BYTES_CACHE[tpath] = size
+    if size < _TOMBSTONE_BROADCAST_BYTES:
         tombs = F.broadcast(tombs)
     return rows.join(
         tombs,
@@ -1065,25 +1088,48 @@ def index_current(spark, pointer: str) -> str:
     return json.loads(_fs_read_text(spark, pointer))["root"]
 
 
+def _fs_qualified_uri(spark, path) -> str:
+    """Fully-qualified form of ``path`` under its filesystem's default
+    scheme/authority (``fs.makeQualified``) — the comparison form for
+    path-identity checks: ``file:/x``, ``file:///x`` and ``/x`` (on a
+    local default FS) all qualify to the same string, where raw-string
+    comparison would call them different. Uses the qualified Path's
+    ``toString()``, not ``toUri()`` — the URI form preserves the
+    empty-vs-absent authority distinction (``file:///x`` vs ``file:/x``)
+    that path identity must ignore."""
+    jvm = spark._jvm
+    p = str(path).rstrip("/") or str(path)
+    hpath = jvm.org.apache.hadoop.fs.Path(p)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return str(fs.makeQualified(hpath))
+
+
 def index_retire(spark, pointer: str, roots) -> list[str]:
     """Garbage-collect RETIRED index generations: recursively delete every
     root in ``roots`` that is not the pointer's CURRENT target — the
     cleanup half of the publish lifecycle (compact-to-new-root + pointer
     swap leaves the previous generation on disk for in-flight readers;
-    once the grace period passes, this reclaims it). The current
-    generation is always skipped, so a retire list that accidentally
-    includes it (or a pointer re-swapped back mid-cleanup) cannot delete
-    the generation queries are resolving to. Returns the roots actually
-    deleted. The caller owns the grace-period policy (time- or
-    query-drain-based) — this primitive only enforces never-the-current
-    invariant."""
-    current = index_current(spark, pointer).rstrip("/")
+    once the grace period passes, this reclaims it). The pointer is
+    RE-READ immediately before each root's delete and compared by
+    fully-QUALIFIED URI (:func:`_fs_qualified_uri`), so a scheme-aliased
+    spelling of the current root (``file:/x`` vs ``/x``) cannot bypass
+    the guard and a pointer swap landing between two roots' deletes is
+    honored for every root after it. Residual TOCTOU: a swap landing in
+    the instant between one root's re-read and its delete can still lose
+    that generation — single-writer lifecycle ownership (one compactor
+    publishing, one janitor retiring) is the deployment contract that
+    removes it; this primitive narrows the window from the whole loop to
+    one delete call. Returns the roots actually deleted. The caller owns
+    the grace-period policy (time- or query-drain-based)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     deleted: list[str] = []
     for r in roots:
         rr = str(r).rstrip("/")
-        if rr == current:
+        # re-resolve the pointer per root: a concurrent publish mid-loop
+        # must be able to protect a root this call was about to delete
+        current_uri = _fs_qualified_uri(spark, index_current(spark, pointer))
+        if _fs_qualified_uri(spark, rr) == current_uri:
             continue
         hpath = jvm.org.apache.hadoop.fs.Path(rr)
         fs = hpath.getFileSystem(conf)
@@ -1886,8 +1932,9 @@ def _fs_write_text(spark, path: str, text: str) -> None:
     rename is a metadata op. Filesystems whose connector lacks
     FileContext (some object stores) fall back to delete+rename, whose
     crash window is covered by :func:`_fs_read_text`'s tmp-sibling
-    recovery — the temp object is fully written before it is adopted,
-    so no reader ever sees partial content on any path."""
+    recovery — a sibling is adopted only after its content validates as
+    complete JSON (and never while fresh enough to be an in-flight
+    write), so no reader ever sees partial content on any path."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -1920,8 +1967,8 @@ def _fs_write_text(spark, path: str, text: str) -> None:
         fc.rename(tmp, hpath, over)
     except Exception:
         # connector without FileContext: delete+rename fallback — the
-        # crash/concurrency window this opens is recovered by
-        # _fs_read_text adopting the newest complete temp sibling
+        # crash window this opens is recovered by _fs_read_text returning
+        # the newest AGED, JSON-validating temp sibling's content
         if fs.exists(hpath):
             fs.delete(hpath, False)
         if not fs.rename(tmp, hpath):
@@ -1939,11 +1986,15 @@ def _fs_exists(spark, path: str) -> bool:
 
 
 def _fs_bytes(spark, path: str) -> int:
-    """Total on-disk bytes under ``path`` — one driver-side filesystem
-    metadata call (``getContentSummary``), no Spark job. Used to let DATA
-    pick a physical strategy (broadcast vs shuffle) before a plan is
-    built, the same way :func:`wiki_mysql_spark.sources.tables.is_small_input`
-    byte-gates driver-side collects."""
+    """Total on-disk bytes under ``path`` — one driver-side
+    ``getContentSummary`` call, no Spark job. On HDFS/local this is a
+    single cheap metadata op; object-store connectors implement it as a
+    recursive listing, which is why the tombstone gate caches the result
+    (:data:`_FS_BYTES_CACHE`) instead of re-probing per query. Used to
+    let DATA pick a physical strategy (broadcast vs shuffle) before a
+    plan is built, the same way
+    :func:`wiki_mysql_spark.sources.tables.is_small_input` byte-gates
+    driver-side collects."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -1967,31 +2018,58 @@ def _has_delta_layer(spark, path: str, subdir: str) -> bool:
     return False
 
 
+#: Minimum age (ms since last modification) before a ``.tmp-*`` sibling is
+#: even considered for crash recovery by :func:`_fs_read_text`. A tmp file
+#: younger than this may be a concurrent writer's IN-FLIGHT publish (visible
+#: with partial content between create() and close()); content validation
+#: below is the authoritative gate, the age check just keeps the recovery
+#: path from racing a healthy writer at all.
+_TMP_ADOPT_MIN_AGE_MS = 5_000
+
+
 def _fs_read_text(spark, path: str) -> str:
     """Read a small text file through the Hadoop FileSystem (see
     :func:`_fs_write_text`).
 
-    Recovery path: if ``path`` is absent but a complete ``.tmp-*``
-    sibling exists, a writer on the delete+rename FALLBACK (a connector
-    without FileContext) crashed between the delete and the rename. The
-    temp sibling is by construction fully written (the rename is only
-    attempted after a successful close), so adopt the newest one:
-    best-effort rename it into place, then return its content — the
-    interrupted publish completes on first read instead of losing the
-    pointer."""
+    Recovery path: if ``path`` is absent but a ``.tmp-*`` sibling exists, a
+    writer on the delete+rename FALLBACK (a connector without FileContext)
+    may have crashed between the delete and the rename. A tmp file is
+    VISIBLE with partial content from ``create()`` until ``close()``, so a
+    sibling's existence is not proof of a completed write: candidates are
+    considered newest-first, any modified within the last
+    :data:`_TMP_ADOPT_MIN_AGE_MS` is skipped (it may be an in-flight
+    publish), and a candidate is adopted only if its content VALIDATES as
+    the JSON every file in this layer is (index headers, CURRENT pointers
+    — ``json.loads`` succeeds). Adoption returns the candidate's content
+    WITHOUT renaming it into place: the read path never mutates the
+    directory, so it can never steal an in-flight writer's tmp out from
+    under that writer's own rename — the next successful publish settles
+    the real file. If no candidate validates, the original (absent) path
+    is opened, surfacing the clean retryable missing-file error."""
+    import json as _json
+    import time as _time
+
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         cands = fs.globStatus(jvm.org.apache.hadoop.fs.Path(path + ".tmp-*"))
-        if cands is not None and len(cands) > 0:
-            newest = max(cands, key=lambda s: s.getModificationTime())
+        now_ms = int(_time.time() * 1000)
+        for st in sorted(
+            cands or [], key=lambda s: s.getModificationTime(), reverse=True
+        ):
+            if now_ms - st.getModificationTime() < _TMP_ADOPT_MIN_AGE_MS:
+                continue  # possibly mid-write by a live publisher
+            inp = fs.open(st.getPath())
             try:
-                fs.rename(newest.getPath(), hpath)
-            except Exception:
-                pass
-            if not fs.exists(hpath):
-                hpath = newest.getPath()
+                text = jvm.org.apache.commons.io.IOUtils.toString(inp, "UTF-8")
+            finally:
+                inp.close()
+            try:
+                _json.loads(text)
+            except ValueError:
+                continue  # truncated/partial crash residue — never adopt
+            return text
     inp = fs.open(hpath)
     try:
         return jvm.org.apache.commons.io.IOUtils.toString(inp, "UTF-8")

@@ -280,7 +280,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs_with_fixture(spark, sf_dir), jaccard_threshold=0.5)
 
 
-_SQL_MINHASH_INCREMENTAL = f"""
+def _sql_minhash_incremental(index_pred: str = "") -> str:
+    """The incremental-dedup oracle: banded collision of the odd-id batch
+    against the even-id indexed half + exact-Jaccard verification.
+    ``index_pred`` further restricts the INDEX side — the delete entry
+    passes the tombstone predicate, proving query-after-delete equals a
+    collision pass over an index that never contained the dead docs."""
+    return f"""
     WITH corpus AS MATERIALIZED ({_sql_docs_with_fixture()}),
     tokenized AS (SELECT doc_id, {SQL_WORDS} AS ws FROM corpus),
     shingled AS MATERIALIZED (SELECT doc_id, {SQL_SHINGLES} AS sh FROM tokenized),
@@ -305,7 +311,7 @@ _SQL_MINHASH_INCREMENTAL = f"""
         SELECT DISTINCT r.doc_id AS doc_new, l.doc_id AS doc_indexed
         FROM bands l JOIN bands r
           ON l.band = r.band AND l.v0 = r.v0 AND l.v1 = r.v1
-        WHERE l.doc_id % 2 = 0 AND r.doc_id % 2 = 1
+        WHERE l.doc_id % 2 = 0{index_pred} AND r.doc_id % 2 = 1
     ),
     jac AS (
         SELECT doc_new, doc_indexed,
@@ -320,6 +326,9 @@ _SQL_MINHASH_INCREMENTAL = f"""
     FROM jac
     WHERE n_common / (n_tot - n_common)::DOUBLE >= 0.5
     """
+
+
+_SQL_MINHASH_INCREMENTAL = _sql_minhash_incremental()
 
 
 @query("dedup_minhash_incremental", _SQL_MINHASH_INCREMENTAL)
@@ -350,6 +359,48 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("doc_id") % 2 == 1)
     path = _cached_index(
         "minhash", sf_dir, lambda p: minhash_index_build(existing, p)
+    )
+    return minhash_index_query(
+        spark, path, batch, corpus_docs=existing, jaccard_threshold=0.5
+    )
+
+
+@query(
+    "minhash_index_delete",
+    _sql_minhash_incremental(" AND l.doc_id % 3 <> 0"),
+)
+def minhash_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index lifecycle — DELETES on the minhash signature index
+    (`operators/dedup.py:minhash_index_delete`), the r11 verdict's
+    missing-item #2: without a delete path, a taken-down document's
+    signatures keep matching (and thereby suppressing) every future
+    near-duplicate of it. Build the index on the even-id half, tombstone
+    every indexed doc_id divisible by 3 (the takedown/GDPR batch), then
+    run the incremental query for the odd-id batch. Tombstones reuse the
+    shared merge-on-read primitive (`similarity.py:_index_delete`): the
+    query path anti-joins them immediately — byte-gated broadcast vs
+    shuffle for free — and `minhash_index_compact` settles them
+    physically (pinned in tests/test_plans.py). The oracle recomputes the
+    banded collision + verification with the dead docs excluded from the
+    INDEX side, so the hash proves query-after-delete equals a query over
+    an index that NEVER contained them — deletes hide exactly the
+    requested docs and nothing else. The dup fixture makes the takedown
+    observable: 100002 (deleted, %3=0) stops matching batch doc 100001
+    while 100004 (live) keeps matching."""
+    from wiki_mysql_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_delete,
+        minhash_index_query,
+    )
+
+    docs = _docs_with_fixture(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    path = _index_tmpdir()
+    minhash_index_build(existing, path)
+    minhash_index_delete(
+        spark, path,
+        existing.where(F.col("doc_id") % 3 == 0).select("doc_id"),
     )
     return minhash_index_query(
         spark, path, batch, corpus_docs=existing, jaccard_threshold=0.5
@@ -2546,6 +2597,88 @@ def lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_bucket.groupBy("tbl").agg(
         F.countDistinct("bucket").alias("n_buckets"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_bucket_rows"),
+        F.min("c").alias("min_bucket_rows"),
+        (F.round(F.avg("c"), 6) + F.lit(0.0)).alias("avg_bucket_rows"),
+    )
+
+
+def _sql_minhash_index_stats() -> str:
+    from wiki_mysql_spark.operators.dedup import (
+        MINHASH_BK_MULT,
+        MINHASH_INDEX_BUCKETS,
+    )
+
+    return f"""
+    WITH corpus AS MATERIALIZED ({_sql_docs_with_fixture()}),
+    tokenized AS (
+        SELECT doc_id, {SQL_WORDS} AS ws FROM corpus WHERE doc_id % 2 = 0
+    ),
+    shingled AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM tokenized),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(sh, s -> {_sql_hash('s')} % {HASH_PRIME}) AS hv
+        FROM shingled
+    ),
+    sigs AS MATERIALIZED (
+        SELECT doc_id, {_sql_minhash_cols()} FROM hashed WHERE len(hv) > 0
+    ),
+    bands AS (
+        SELECT CAST(b.band AS BIGINT) AS band,
+               CASE b.band {' '.join(f'WHEN {b} THEN mh{2*b}' for b in range(N_BANDS))} END AS v0,
+               CASE b.band {' '.join(f'WHEN {b} THEN mh{2*b+1}' for b in range(N_BANDS))} END AS v1
+        FROM sigs, (SELECT unnest(range({N_BANDS})) AS band) b
+    ),
+    bucketed AS (
+        SELECT band,
+               (v0 * {MINHASH_BK_MULT} + v1) % {MINHASH_INDEX_BUCKETS} AS bk,
+               count(*) AS c
+        FROM bands GROUP BY band, bk
+    )
+    SELECT band, count(*)::BIGINT AS n_buckets, sum(c)::BIGINT AS n_rows,
+           max(c)::BIGINT AS max_bucket_rows, min(c)::BIGINT AS min_bucket_rows,
+           round(avg(c), 6) + 0 AS avg_bucket_rows
+    FROM bucketed GROUP BY band
+    """
+
+
+@query("minhash_index_stats", _sql_minhash_index_stats())
+def minhash_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index HEALTH stats for the persisted minhash signature index — the
+    r11 verdict's item #5, completing the health-surface symmetry with
+    `lsh_index_stats` and `ivfpq_index_stats`: per-band live-row count,
+    occupied-(band, bk)-partition count, and max/min/avg partition
+    occupancy. A hot (band, bk) partition is the dedup-index failure
+    signal: one shingle pattern dominating a bucket (boilerplate, empty
+    templates) means every future batch colliding there pays a candidate
+    explosion — the skew number says where, before the query cost does.
+    Runs over the LIVE rows of the cached persisted index
+    (`minhash_index_read`: tombstones excluded, any streaming batch=
+    delta layer folded in); one groupBy(band, bk) count then a per-band
+    fold — only (long, long, long) rows shuffle, never signatures or
+    text, and the scan reads the two partition-DIRECTORY columns only.
+    The bk fold is the affine header-guarded scheme constant
+    (`dedup.py:MINHASH_BK_MULT`), which is what makes this surface
+    hash-checkable: the oracle recomputes band, bk and the occupancy
+    folds verbatim in SQL."""
+    from wiki_mysql_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_read,
+    )
+
+    docs = _docs_with_fixture(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    path = _cached_index(
+        "minhash", sf_dir, lambda p: minhash_index_build(existing, p)
+    )
+    per_bucket = (
+        minhash_index_read(spark, path)
+        .groupBy("band", "bk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_bucket.groupBy("band").agg(
+        F.countDistinct("bk").alias("n_buckets"),
         F.sum("c").alias("n_rows"),
         F.max("c").alias("max_bucket_rows"),
         F.min("c").alias("min_bucket_rows"),
