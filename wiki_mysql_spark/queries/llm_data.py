@@ -407,6 +407,46 @@ def minhash_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("minhash_index_publish", _SQL_MINHASH_INCREMENTAL)
+def minhash_index_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic PUBLICATION of the minhash dedup index, exercised end to end
+    — completes the lifecycle symmetry with `lsh_index_publish`: all three
+    index families (LSH, IVFADC, minhash signatures) now run the full
+    build → append → stream-ingest → delete → compact → publish → retire
+    cycle, with the publish step ORACLED for the two queryable-through-a-
+    pointer families. The CURRENT pointer (`similarity.py:index_publish` —
+    one JSON file through the overwriting-rename layer, readers see old or
+    new root, never absent/partial) is written twice (the second write is
+    the steady-state compact-then-swap overwrite), resolved through
+    `index_current`, and the incremental dedup query runs against the
+    RESOLVED root. The oracle is the same cross-half collision replay as
+    `dedup_minhash_incremental`, so the hash proves the
+    publish→resolve→query composition is pure indirection — byte-identical
+    to querying the root directly."""
+    from wiki_mysql_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_query,
+    )
+    from wiki_mysql_spark.operators.similarity import (
+        index_current,
+        index_publish,
+    )
+
+    docs = _docs_with_fixture(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    path = _cached_index(
+        "minhash", sf_dir, lambda p: minhash_index_build(existing, p)
+    )
+    pointer = _index_tmpdir() + "/current.json"
+    index_publish(spark, pointer, "/retired/previous-generation")
+    index_publish(spark, pointer, path)  # overwrite: the steady-state swap
+    return minhash_index_query(
+        spark, index_current(spark, pointer), batch,
+        corpus_docs=existing, jaccard_threshold=0.5,
+    )
+
+
 @query(
     "dedup_minhash_components",
     f"""
