@@ -89,8 +89,10 @@ HEADLINE = [
     # signature index, partition-pruned, text fetched only for candidates
     "dedup_minhash_incremental",
     # round-12: the dedup index's health surface (directory-columns-only
-    # scan over the persisted signature index)
+    # scan over the persisted signature index), and CCNet-style
+    # perplexity filtering under a reference-trained bigram LM
     "minhash_index_stats",
+    "text_perplexity_filter",
 ]
 
 # Entries whose steady-state cost is the partition-pruned QUERY path over a

@@ -1698,3 +1698,45 @@ def test_fits_driver_byte_gate_rejects_wide_unknown_stats_corpus(spark):
     assert not _fits_driver(rdd_backed(4096), "vec_id", "embedding", gate)
     # 64 rows x 8 doubles ~ 9 KB estimated << 64 KB: still admitted
     assert _fits_driver(rdd_backed(8), "vec_id", "embedding", gate)
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """The perplexity filter's LM semantics against hand arithmetic:
+    reference 'a b a c' gives c1={a:2,b:1,c:1}, V=3, bigram counts
+    {'a b':1,'b a':1,'a c':1}; add-one scoring of 'a b c' is
+    ln(2/5), ln(1/4) — scaled-integer sums must match exactly; a doc
+    identical to the reference scores above the corpus mean (keep),
+    the novel doc below it (drop); a doc with <2 alpha tokens is
+    unscorable (n_bigrams=0, keep=false, avg NULL)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.lm import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "src0", "a b a c"),
+            (2, "web", "a b c"),
+            (3, "web", "zz1 42 !!"),
+            (4, "web", "a b a c"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores(
+            docs, ref_cond=F.col("source") == "src0"
+        ).collect()
+    }
+    lp = lambda num, den: round(math.log(num / den) * 1_000_000)
+    ref_sum = lp(2, 5) + lp(2, 4) + lp(2, 5)       # a b | b a | a c
+    novel_sum = lp(2, 5) + lp(1, 4)                # a b | b c (unseen)
+    assert rows[1]["lp_sum"] == ref_sum and rows[1]["n_bigrams"] == 3
+    assert rows[4]["lp_sum"] == ref_sum            # identical text, same score
+    assert rows[2]["lp_sum"] == novel_sum and rows[2]["n_bigrams"] == 2
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["lp_sum"] == 0
+    assert rows[3]["avg_logprob"] is None and rows[3]["keep"] is False
+    # head/tail split around the corpus mean: the reference-like docs
+    # keep, the novel one drops
+    assert rows[1]["keep"] and rows[4]["keep"] and not rows[2]["keep"]

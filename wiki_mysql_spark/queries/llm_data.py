@@ -3105,3 +3105,94 @@ def rag_retrieve_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cum_words") <= _RAG_BUDGET)
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style bigram-LM perplexity filtering (operators/lm.py)
+# ---------------------------------------------------------------------------
+
+_SQL_PERPLEXITY = """
+    -- add-one bigram LM trained on the src0/src1 reference slice; per-doc
+    -- scaled-integer logprob sums (exact, order-independent) with one
+    -- pinned-order double division at the end — the DSIR determinism idiom
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, source IN ('src0', 'src1') AS is_ref,
+               list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                           w -> regexp_matches(w, '^[a-z]+$')) AS ws
+        FROM documents
+    ),
+    lists AS (
+        SELECT doc_id, is_ref,
+               CASE WHEN len(ws) < 2 THEN []::VARCHAR[] ELSE
+                    list_transform(range(1, len(ws)), i -> ws[i]) END AS w1s,
+               CASE WHEN len(ws) < 2 THEN []::VARCHAR[] ELSE
+                    list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1]) END AS bgs
+        FROM toks
+    ),
+    bg AS MATERIALIZED (
+        SELECT doc_id, is_ref, unnest(w1s) AS w1, unnest(bgs) AS bg
+        FROM lists
+    ),
+    c1 AS MATERIALIZED (
+        SELECT w, count(*)::BIGINT AS n1
+        FROM (SELECT unnest(ws) AS w FROM toks WHERE is_ref) GROUP BY w
+    ),
+    c2 AS (SELECT bg, count(*)::BIGINT AS n2 FROM bg WHERE is_ref GROUP BY bg),
+    vv AS (SELECT count(*)::BIGINT AS v FROM c1),
+    scored AS (
+        SELECT doc_id,
+               round(ln((coalesce(n2, 0) + 1)::DOUBLE
+                        / (coalesce(n1, 0) + v)::DOUBLE) * 1000000)::BIGINT AS lp
+        FROM bg
+        LEFT JOIN c2 USING (bg)
+        LEFT JOIN c1 ON c1.w = bg.w1
+        CROSS JOIN vv
+    ),
+    agg AS (
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(lp)::BIGINT AS lp_sum
+        FROM scored GROUP BY doc_id
+    ),
+    tot AS (
+        SELECT coalesce(sum(lp_sum), 0)::BIGINT AS t,
+               coalesce(sum(n_bigrams), 0)::BIGINT AS nn
+        FROM agg
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+           coalesce(a.lp_sum, 0)::BIGINT AS lp_sum,
+           round(a.lp_sum::DOUBLE / a.n_bigrams / 1000000, 6) + 0 AS avg_logprob,
+           coalesce(a.lp_sum::DOUBLE / a.n_bigrams / 1000000
+                    >= t.t::DOUBLE / t.nn / 1000000, false) AS keep
+    FROM documents d LEFT JOIN agg a USING (doc_id) CROSS JOIN tot t
+    """
+
+
+@query("text_perplexity_filter", _SQL_PERPLEXITY)
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity filtering via a reference-trained bigram LM
+    (`operators/lm.py:bigram_lm_scores`) — the CCNet recipe (Wenzek et
+    al. 2020, public; also RedPajama/Dolma): train an add-one-smoothed
+    bigram LM on the trusted src0/src1 slice, score every document's
+    average log-probability under it, keep the docs no more perplexing
+    than the corpus mean (the head/tail split with the mean as the cut).
+    Complements the rule-based quality family (Gopher/C4) with the
+    model-based signal production pipelines actually rank on. Per-bigram
+    log-probabilities are scaled to exact BIGINTs (x 1e6, the DSIR
+    idiom) so per-doc sums are order-independent integers on both
+    engines; the one double division happens in a pinned operation
+    order, which is what lets the keep flag's raw-threshold comparison
+    hash-match. Scale shape: two map-side count shuffles over the
+    reference slice, inverted-index equi-joins for scoring (sized by
+    n-gram collisions, never |corpus| x |LM|), one per-doc aggregate,
+    a 1-row broadcast corpus mean; zero windows, zero UDFs."""
+    from wiki_mysql_spark.operators.lm import bigram_lm_scores
+
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+    )
+    return bigram_lm_scores(
+        docs, ref_cond=F.col("source").isin("src0", "src1")
+    )
