@@ -381,6 +381,11 @@ BNLJ_CONTRACT = {
     "rag_retrieve_context",
     "text_bm25_topk",
     "text_tfidf_keywords",
+    # two 1-row broadcasts by construction: the reference vocabulary size
+    # (the add-one smoothing denominator) and the corpus-mean logprob the
+    # keep flag compares against (operators/lm.py — the same corpus-stats
+    # shape as corpus_dsir_weights)
+    "text_perplexity_filter",
     "text_unigram_lm_score",
 }
 
