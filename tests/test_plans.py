@@ -1013,6 +1013,45 @@ def test_hybrid_indexed_vector_pool_prunes_partitions(spark):
     )
 
 
+def test_ivfpq_publish_composition_prunes_partitions(spark, tmp_path):
+    """`ivfpq_index_publish`'s claim as behavior: resolving the index root
+    THROUGH the CURRENT pointer is pure indirection, plan-wise — the
+    code-table scan of a query against `index_current(pointer)` must
+    carry the same literal ``cell IN (probed)`` partition filter as a
+    query against the root directly (pinned in
+    test_ann_index_query_scan_prunes_to_probed_cells), and the results
+    must be row-identical. The pointer swap may never cost the pruning."""
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.similarity import (
+        index_current,
+        index_publish,
+        ivfpq_index_build,
+        ivfpq_index_query,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "annidx")
+    ivfpq_index_build(emb, root, n_coarse=8, coarse_iters=2, m=8,
+                      n_centroids=16)
+    pointer = str(tmp_path / "current.json")
+    index_publish(spark, pointer, "/retired/previous-generation")
+    index_publish(spark, pointer, root)  # steady-state overwrite swap
+    q = emb.where(F.col("vec_id") < 3)
+    via_ptr = ivfpq_index_query(
+        spark, index_current(spark, pointer), q, k=5, n_probe=2
+    )
+    rows = via_ptr.collect()
+    assert rows, "pointer-resolved query returned nothing"
+    text = via_ptr._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell#" in text and " IN (" in text, (
+        "the probed-cell partition filter must survive the pointer "
+        "indirection"
+    )
+    direct = ivfpq_index_query(spark, root, q, k=5, n_probe=2)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, direct.collect()))
+
+
 def test_index_append_matches_union_build_and_frozen_books(spark, tmp_path):
     """Incremental index maintenance — the daily operation of a deployed
     index. LSH: hyperplanes are frozen at build, so build(half A) +
