@@ -93,6 +93,9 @@ HEADLINE = [
     # perplexity filtering under a reference-trained bigram LM
     "minhash_index_stats",
     "text_perplexity_filter",
+    # round-13: the IVFADC publication surface — the last index family's
+    # publish->resolve->query composition (pointer read + pruned cell scan)
+    "ivfpq_index_publish",
 ]
 
 # Entries whose steady-state cost is the partition-pruned QUERY path over a
@@ -111,6 +114,7 @@ INDEX_QUERY_WARMUP = {
     "dedup_minhash_incremental",
     "minhash_index_stats",
     "hybrid_search_rrf_indexed",
+    "ivfpq_index_publish",
 }
 
 
@@ -290,31 +294,56 @@ def main() -> None:
     )
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    # key order matters: the round driver records only the LAST 2000 chars
-    # of stdout, and per-query timings alone overflow that window — so the
-    # headline metric/value/unit go LAST, making the driver's tail capture
-    # self-contained (its "parsed" field was null for rounds 8-11 because
-    # metric/value printed FIRST and were truncated out).
-    print(
-        json.dumps(
-            {
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-                "concurrent_spark_jvms": other_jvms,
-                "load1_at_start": round(load1, 2),
-                "load1_at_entry": load_at_entry,
-                "host_steal_pct": steal_pct,
-                "calibration_sec": calibration,
-                "membw_gbps_start": membw_start,
-                "membw_gbps_end": membw_end,
-                "repeats_per_entry_min_reported": repeats,
-                "metric": "headline_queries_total_sec",
-                "unit": "sec",
-                "value": total,
-            }
-        )
-    )
+    # The round driver records only the LAST 2000 chars of stdout and
+    # json-parses that tail; its "parsed" field was null for rounds 8-12
+    # because the single stdout line exceeded the window (r12 moved
+    # metric/value/unit last, which put the HEADLINE in the tail but the
+    # tail was still a truncated fragment, not parseable JSON). Fix: the
+    # window-diagnostics (the per-entry load1 samples are ~1.4 KB alone)
+    # go to STDERR with the per-query progress lines, and the one stdout
+    # line is compact-separator JSON — queries + window summary + headline
+    # fit in ~1.7 KB, so the driver's tail capture IS the complete line.
+    diagnostics = {
+        "concurrent_spark_jvms": other_jvms,
+        "load1_at_start": round(load1, 2),
+        "load1_at_entry": load_at_entry,
+        "host_steal_pct": steal_pct,
+        "calibration_sec": calibration,
+        "membw_gbps_start": membw_start,
+        "membw_gbps_end": membw_end,
+        "repeats_per_entry_min_reported": repeats,
+    }
+    print(f"# window: {json.dumps(diagnostics)}", file=sys.stderr)
+    out = {
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "concurrent_spark_jvms": other_jvms,
+        "host_steal_pct": steal_pct,
+        "calibration_sec": calibration,
+        "membw_gbps_start": membw_start,
+        "repeats_per_entry_min_reported": repeats,
+        "metric": "headline_queries_total_sec",
+        "unit": "sec",
+        "value": total,
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        # never let the stdout line outgrow the driver's 2000-char tail:
+        # drop the window-summary keys first (they remain on stderr), then
+        # as a last resort keep only the slowest-N query timings
+        for k in ("membw_gbps_start", "calibration_sec", "host_steal_pct",
+                  "concurrent_spark_jvms", "repeats_per_entry_min_reported"):
+            out.pop(k, None)
+            line = json.dumps(out, separators=(",", ":"))
+            if len(line) <= 1900:
+                break
+        while len(line) > 1900 and len(out["queries"]) > 1:
+            keep = sorted(timings.items(), key=lambda kv: -kv[1])
+            out["queries"] = dict(keep[: max(1, len(out["queries"]) - 5)])
+            out["queries_truncated_to_slowest_n"] = len(out["queries"])
+            line = json.dumps(out, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
