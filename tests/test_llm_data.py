@@ -1740,3 +1740,29 @@ def test_bigram_lm_scores_hand_computed(spark):
     # head/tail split around the corpus mean: the reference-like docs
     # keep, the novel one drops
     assert rows[1]["keep"] and rows[4]["keep"] and not rows[2]["keep"]
+
+
+def test_bigram_lm_scores_empty_reference_raises(spark):
+    """r12 advice: an empty reference slice (V=0, all n1=0) makes the
+    add-one denominator 0, where Spark's non-ANSI Divide yields NULL and
+    DuckDB's IEEE division yields inf — silent engine divergence. The
+    operator must refuse loudly instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.lm import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "web", "a b c"), (2, "web", "d e f")],
+        ["doc_id", "source", "text"],
+    )
+    with pytest.raises(ValueError, match="reference vocabulary is empty"):
+        bigram_lm_scores(docs, ref_cond=F.col("source") == "src0")
+    # a reference slice with no SCORABLE tokens (nothing alphabetic)
+    # is just as empty
+    docs2 = spark.createDataFrame(
+        [(1, "src0", "42 !! 7"), (2, "web", "a b c")],
+        ["doc_id", "source", "text"],
+    )
+    with pytest.raises(ValueError, match="reference vocabulary is empty"):
+        bigram_lm_scores(docs2, ref_cond=F.col("source") == "src0")

@@ -814,6 +814,19 @@ def test_index_pointer_overwrite_atomic_and_recovery(spark, tmp_path):
         json.dump({"root": "/roots/gen4"}, f)
     os.utime(newer, (aged + 1, aged + 1))
     assert index_current(spark, pointer) == "/roots/gen4"
+    # (d) an aged candidate that cannot be OPENED (vanished between
+    # globStatus and open — simulated with a directory, which open()
+    # rejects the same way) must be skipped per-candidate, not raised
+    # through: the next valid candidate still wins (r12 advice item)
+    undir = pointer + ".tmp-zzunopenable"
+    os.mkdir(undir)
+    os.utime(undir, (aged + 2, aged + 2))
+    assert index_current(spark, pointer) == "/roots/gen4"
+    os.rmdir(undir)
+    # the FS-clock age probe must not leave residue behind
+    assert glob.glob(pointer + ".ageprobe-*") == [], (
+        "recovery's filesystem-clock probe must clean up after itself"
+    )
     # a subsequent real publish settles the file and wins over any tmp
     index_publish(spark, pointer, "/roots/gen5")
     assert index_current(spark, pointer) == "/roots/gen5"
@@ -1354,3 +1367,74 @@ def test_minhash_index_delete_query_and_compact_settles(spark, tmp_path):
         ).collect()
     }
     assert cmp_hit == hit_after
+
+
+def test_index_rebuild_in_place_clears_prior_tombstones(spark, tmp_path):
+    """r12 advice: ``*_index_build`` (and ``*_index_init``) must clear a
+    PRIOR generation's tombstones/ dir — tombstones belong to the data
+    files they were issued against, never to the root. Without the clear,
+    rebuilding in place at a root that previously received deletes
+    silently suppresses every rebuilt row whose id was tombstoned in the
+    old generation. Pin for all three families: build → delete → rebuild
+    in place → the full row set must be live again."""
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators import dedup as dd
+    from wiki_mysql_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_delete,
+        ivfpq_index_read,
+        lsh_index_build,
+        lsh_index_delete,
+        lsh_index_read,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    all_ids = {int(r["vec_id"]) for r in emb.select("vec_id").collect()}
+
+    # --- LSH
+    root = str(tmp_path / "lsh")
+    lsh_index_build(emb, root, dim=64, n_planes=4, n_tables=1)
+    lsh_index_delete(spark, root, sorted(all_ids)[:3])
+    lsh_index_build(emb, root, dim=64, n_planes=4, n_tables=1)
+    live = {
+        int(r["neighbor_id"])
+        for r in lsh_index_read(spark, root).select("neighbor_id").collect()
+    }
+    assert live == all_ids, "stale tombstones suppressed rebuilt LSH rows"
+
+    # --- IVFADC
+    root = str(tmp_path / "ivfpq")
+    ivfpq_index_build(emb, root, n_coarse=4, coarse_iters=1, m=8,
+                      n_centroids=8)
+    ivfpq_index_delete(spark, root, sorted(all_ids)[:3])
+    ivfpq_index_build(emb, root, n_coarse=4, coarse_iters=1, m=8,
+                      n_centroids=8)
+    live = {
+        int(r["nid"])
+        for r in ivfpq_index_read(spark, root).select("nid").collect()
+    }
+    assert live == all_ids, "stale tombstones suppressed rebuilt IVFADC rows"
+
+    # --- minhash signatures
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(50)
+    doc_ids = {int(r["doc_id"]) for r in docs.select("doc_id").collect()}
+    root = str(tmp_path / "mh")
+    dd.minhash_index_build(docs, root)
+    dd.minhash_index_delete(spark, root, sorted(doc_ids)[:3])
+    dd.minhash_index_build(docs, root)
+    live = {
+        int(r["doc_id"])
+        for r in dd.minhash_index_read(spark, root).select("doc_id")
+        .distinct().collect()
+    }
+    assert live == doc_ids, "stale tombstones suppressed rebuilt signatures"
+
+    # init (the streaming zero-data start) clears too
+    dd.minhash_index_delete(spark, root, sorted(doc_ids)[:3])
+    dd.minhash_index_init(spark, root)
+    import os
+
+    assert not os.path.exists(os.path.join(root, "tombstones"))

@@ -257,6 +257,7 @@ def minhash_index_build(
     from wiki_mysql_spark.operators.similarity import (
         _fs_write_text,
         _index_child,
+        _index_clear_tombstones,
     )
 
     spark = docs.sparkSession
@@ -271,6 +272,9 @@ def minhash_index_build(
         _index_child(path, "meta.json"),
         json.dumps(_minhash_scheme()),
     )
+    # a prior generation's tombstones must not suppress rebuilt docs —
+    # tombstones belong to the data files they were issued against
+    _index_clear_tombstones(spark, path)
     return spark.read.parquet(_index_child(path, "bands"))
 
 
@@ -285,6 +289,7 @@ def minhash_index_init(spark, path: str) -> None:
     from wiki_mysql_spark.operators.similarity import (
         _fs_write_text,
         _index_child,
+        _index_clear_tombstones,
     )
 
     _fs_write_text(
@@ -292,6 +297,7 @@ def minhash_index_init(spark, path: str) -> None:
         _index_child(path, "meta.json"),
         json.dumps(_minhash_scheme()),
     )
+    _index_clear_tombstones(spark, path)
 
 
 def minhash_index_write_delta(

@@ -102,8 +102,20 @@ def bigram_lm_scores(
         .agg(F.count(F.lit(1)).alias("n2"))
     )
     # V = reference vocabulary size — the add-one denominator's smoothing
-    # mass. One row, broadcast into the per-bigram expression.
-    v = F.broadcast(c1.agg(F.count(F.lit(1)).alias("v")))
+    # mass. Computed eagerly (one tiny job over the checkpointed ref
+    # slice) so an EMPTY reference fails loudly here: with V=0 and all
+    # n1=0 the denominator is 0, and Spark's non-ANSI Divide yields NULL
+    # where DuckDB's IEEE division yields inf — the engines would diverge
+    # instead of erroring (r12 advice). The collected count then rides
+    # the per-bigram expression as a literal (one fewer 1-row
+    # broadcast-nested-loop join than the broadcast-DataFrame spelling).
+    v_size = int(c1.agg(F.count(F.lit(1)).alias("v")).collect()[0]["v"])
+    if v_size == 0:
+        raise ValueError(
+            "bigram_lm_scores: ref_cond selects no scorable reference "
+            "documents — the reference vocabulary is empty, so the "
+            "add-one denominator would be 0 and every score undefined"
+        )
 
     bg = toks.select(
         "doc_id", F.explode("pairs").alias("p")
@@ -112,7 +124,7 @@ def bigram_lm_scores(
         F.round(
             F.log(
                 (F.coalesce(F.col("n2"), F.lit(0)) + 1).cast("double")
-                / (F.coalesce(F.col("n1"), F.lit(0)) + F.col("v")).cast(
+                / (F.coalesce(F.col("n1"), F.lit(0)) + F.lit(v_size)).cast(
                     "double"
                 )
             )
@@ -124,7 +136,6 @@ def bigram_lm_scores(
     scored = (
         bg.join(c2, "bg", "left")
         .join(c1.withColumnRenamed("w", "w1"), "w1", "left")
-        .crossJoin(v)
         .select("doc_id", lp)
     )
     agg = scored.groupBy("doc_id").agg(

@@ -808,6 +808,7 @@ def lsh_index_build(
              "n_tables": n_tables}
         ),
     )
+    _index_clear_tombstones(spark, path)
     return spark.read.parquet(_index_child(path, "buckets"))
 
 
@@ -843,6 +844,7 @@ def lsh_index_init(
              "n_tables": n_tables}
         ),
     )
+    _index_clear_tombstones(spark, path)
 
 
 def lsh_index_write_delta(
@@ -965,6 +967,27 @@ def _index_delete(
     tpath = _index_child(path, "tombstones")
     ids.distinct().coalesce(1).write.mode("append").parquet(tpath)
     # the tombstone set just grew — the next _live_rows must re-probe it
+    _FS_BYTES_CACHE.pop(tpath, None)
+
+
+def _index_clear_tombstones(spark, path: str) -> None:
+    """Remove a PRIOR generation's tombstone set at ``<path>/tombstones``
+    — called by every ``*_index_build``/``*_index_init`` once the new
+    generation owns the root. Tombstones belong to the data files they
+    were issued against, never to the root: rebuilding in place at a root
+    that previously received deletes would otherwise silently suppress
+    any rebuilt row whose id was tombstoned in the old generation (the
+    r12 advice footgun — newly reachable for all three families once the
+    query paths became tombstone-aware). Ordered AFTER the new data/header
+    lands so a crash mid-build leaves the OLD generation's tombstones
+    intact (the old index stays correct); invalidates the byte-gate
+    cache so the next :func:`_live_rows` sees the cleared state."""
+    tpath = _index_child(path, "tombstones")
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(tpath)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
     _FS_BYTES_CACHE.pop(tpath, None)
 
 
@@ -2041,12 +2064,26 @@ def _fs_read_text(spark, path: str) -> str:
     publish), and a candidate is adopted only if its content VALIDATES as
     the JSON every file in this layer is (index headers, CURRENT pointers
     — ``json.loads`` succeeds). Adoption returns the candidate's content
-    WITHOUT renaming it into place: the read path never mutates the
-    directory, so it can never steal an in-flight writer's tmp out from
-    under that writer's own rename — the next successful publish settles
-    the real file. If no candidate validates, the original (absent) path
-    is opened, surfacing the clean retryable missing-file error."""
+    WITHOUT renaming it into place: the read path never renames or
+    deletes anything another writer owns, so it can never steal an
+    in-flight writer's tmp out from under that writer's own rename — the
+    next successful publish settles the real file. If no candidate
+    validates, the original path is (re-)opened, surfacing the clean
+    retryable missing-file error — or succeeding, if a stalled writer's
+    rename landed while candidates were being examined.
+
+    The age gate's "now" comes from the FILESYSTEM's clock where
+    possible (r12 advice): a throwaway probe file is created next to the
+    candidates and its modification time read back, so driver-vs-remote-
+    FS clock skew cannot permanently skip a valid crashed tmp or
+    misjudge an in-flight one. The probe uses a process-unique name and
+    is deleted immediately; if it cannot be written (read-only mount),
+    the driver clock is the documented fallback and the skew assumption
+    is: |driver - FS| must stay under :data:`_TMP_ADOPT_MIN_AGE_MS` for
+    the age gate to mean anything — JSON validation remains the
+    authoritative gate either way."""
     import json as _json
+    import os as _os
     import time as _time
 
     jvm = spark._jvm
@@ -2054,17 +2091,35 @@ def _fs_read_text(spark, path: str) -> str:
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         cands = fs.globStatus(jvm.org.apache.hadoop.fs.Path(path + ".tmp-*"))
-        now_ms = int(_time.time() * 1000)
+        if cands:
+            try:
+                probe = jvm.org.apache.hadoop.fs.Path(
+                    f"{path}.ageprobe-{_os.getpid()}"
+                )
+                fs.create(probe, True).close()
+                now_ms = int(fs.getFileStatus(probe).getModificationTime())
+                fs.delete(probe, False)
+            except Exception:
+                now_ms = int(_time.time() * 1000)  # documented skew fallback
         for st in sorted(
             cands or [], key=lambda s: s.getModificationTime(), reverse=True
         ):
             if now_ms - st.getModificationTime() < _TMP_ADOPT_MIN_AGE_MS:
                 continue  # possibly mid-write by a live publisher
-            inp = fs.open(st.getPath())
             try:
-                text = jvm.org.apache.commons.io.IOUtils.toString(inp, "UTF-8")
-            finally:
-                inp.close()
+                inp = fs.open(st.getPath())
+                try:
+                    text = jvm.org.apache.commons.io.IOUtils.toString(
+                        inp, "UTF-8"
+                    )
+                finally:
+                    inp.close()
+            except Exception:
+                # the candidate vanished between globStatus and open — a
+                # stalled writer's rename finally landed (the real path
+                # likely exists now) or a janitor swept it; fall through
+                # to the next candidate / the real-path open below
+                continue
             try:
                 _json.loads(text)
             except ValueError:
@@ -2204,6 +2259,7 @@ def ivfpq_index_build(
         _index_child(path, "meta.json"),
         json.dumps({"dim": dim, "m": m, "coarse": coarse, "books": books}),
     )
+    _index_clear_tombstones(spark, path)
     return spark.read.parquet(_index_child(path, "codes"))
 
 
@@ -2336,6 +2392,7 @@ def ivfpq_index_init(
         _index_child(path, "meta.json"),
         json.dumps({"dim": dim, "m": m, "coarse": coarse, "books": books}),
     )
+    _index_clear_tombstones(spark, path)
 
 
 def ivfpq_index_write_delta(
