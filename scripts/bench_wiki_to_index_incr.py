@@ -14,13 +14,32 @@ proves the operation a 100 TB crawl pipeline actually runs every day:
 with, per cycle: stage timings, EXACT accounting of injected cross-day
 duplicates (a 1-in-DUP_EVERY slice of the previous day's survivors
 re-enters under new ids — the re-crawl case — and must be removed exactly),
-and a plan assertion that the index scan keeps its literal (band, bk)
-PartitionFilters in every cycle. The closing counterfactual re-runs the
+a plan assertion that the index scan keeps its literal (band, bk)
+PartitionFilters in every cycle, and per-(band, bk) FILE-COUNT stats over
+the live index root.
+
+COMPACTION CADENCE (r12 verdict item #3): every ``compact_every`` days the
+loop runs the full steady-state maintenance move — minhash_index_compact
+to a new root, index_publish swaps the CURRENT pointer, index_retire
+reclaims the old generation — and every read in the loop resolves the
+root THROUGH the pointer, exactly as a fleet of daily jobs would. The
+cycle records file counts before/after (appends add one file per touched
+partition per day; compaction must reset them to ~1) and the next day's
+query runs against the compacted generation under the same pruning and
+exactness assertions — so the artifact shows the query staying pruned,
+exact and flat ACROSS the compaction, and the per-partition file counts
+sawtoothing instead of growing without bound (at the measured ~15 ms/file
+metadata floor, an uncompacted year would otherwise carry ~365
+files/partition). The closing counterfactual re-runs the
 BATCH self-join over the final full corpus: the number incremental dedup
 exists to avoid paying per day (the operator-level 2.16x-vs-5.76x sf1
 claim, proven at the pipeline level). Usage:
 
-    python scripts/bench_wiki_to_index_incr.py [pages_per_day] [days] [out.json]
+    python scripts/bench_wiki_to_index_incr.py [pages_per_day] [days] \
+        [out.json] [compact_every]
+
+``compact_every`` defaults to 0 (never — the r12-compatible layout-growth
+mode); pass N>0 to compact after the append of every Nth day.
 
 Honors SPARK_GRAFT_CPUS. Stage boundaries are materialized the way a real
 pipeline checkpoints between jobs — each stage's time is its own cost.
@@ -46,6 +65,7 @@ REID_SHIFT = 150_000_000   # re-crawled copy of a day-(k-1) doc -> day-k band
 def main() -> None:
     pages_per_day = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     days = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    compact_every = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     import bench_wiki_etl as gen
 
@@ -63,16 +83,42 @@ def main() -> None:
     from wiki_mysql_spark.operators.dedup import (
         minhash_index_append,
         minhash_index_build,
+        minhash_index_compact,
         minhash_index_query,
         minhash_lsh_pairs,
+    )
+    from wiki_mysql_spark.operators.similarity import (
+        index_current,
+        index_publish,
+        index_retire,
     )
     from wiki_mysql_spark.plans.wiki_pipeline import run_wiki_etl
     from wiki_mysql_spark.session import get_session
 
     spark = get_session("wiki-incremental-dedup-bench")
     work = tempfile.mkdtemp(prefix="wiki_incr_")
-    index_root = os.path.join(work, "mh_index")
     corpus_root = os.path.join(work, "corpus")
+    # the index root is always resolved THROUGH the CURRENT pointer — the
+    # deployment shape; compaction publishes a new generation behind it
+    pointer = os.path.join(work, "current.json")
+
+    def _band_file_stats(root: str) -> dict:
+        """Driver-side walk of the (band, bk) layout: data files per leaf
+        partition — the append-accumulation the ~15 ms/file floor prices."""
+        vals = []
+        for dirpath, _dirnames, filenames in os.walk(
+            os.path.join(root, "bands")
+        ):
+            n = sum(1 for f in filenames if f.endswith(".parquet"))
+            if n and "band=" in dirpath:
+                vals.append(n)
+        if not vals:
+            return {"n_partitions": 0, "max_files": 0, "avg_files": 0.0}
+        return {
+            "n_partitions": len(vals),
+            "max_files": max(vals),
+            "avg_files": round(sum(vals) / len(vals), 2),
+        }
 
     cycles: list[dict] = []
     prev_survivors = None
@@ -128,9 +174,12 @@ def main() -> None:
         c["intra_day_dups"] = n_intra
 
         if day == 0:
-            # --- bootstrap: the first corpus becomes the first index -----
+            # --- bootstrap: the first corpus becomes the first index,
+            # published behind the CURRENT pointer ------------------------
             t0 = time.perf_counter()
-            minhash_index_build(batch, index_root)
+            gen0 = os.path.join(work, "mh_index_gen0")
+            minhash_index_build(batch, gen0)
+            index_publish(spark, pointer, gen0)
             c["index_build_sec"] = round(time.perf_counter() - t0, 2)
             survivors = batch
         else:
@@ -139,6 +188,7 @@ def main() -> None:
             # must carry literal (band, bk) partition filters EVERY cycle —
             # pruning has to survive the composed lineage, not just the
             # unit test), then the verified query that the pipeline acts on.
+            index_root = index_current(spark, pointer)
             t0 = time.perf_counter()
             cand = minhash_index_query(spark, index_root, batch)
             c["candidate_pairs"] = cand.count()
@@ -180,6 +230,31 @@ def main() -> None:
             t0 = time.perf_counter()
             minhash_index_append(survivors, index_root)
             c["index_append_sec"] = round(time.perf_counter() - t0, 2)
+
+        live_root = index_current(spark, pointer)
+        c["index_files"] = _band_file_stats(live_root)
+
+        # --- compaction cadence: the steady-state maintenance move -------
+        if compact_every and day > 0 and day % compact_every == 0:
+            pre = c["index_files"]
+            t0 = time.perf_counter()
+            new_root = os.path.join(work, f"mh_index_gen{day}")
+            minhash_index_compact(spark, live_root, new_root)
+            index_publish(spark, pointer, new_root)
+            retired = index_retire(spark, pointer, [live_root])
+            c["compact_sec"] = round(time.perf_counter() - t0, 2)
+            post = _band_file_stats(new_root)
+            c["compact_files_before"] = pre
+            c["compact_files_after"] = post
+            assert retired == [live_root.rstrip("/")], (
+                f"day {day}: retire reclaimed {retired}, "
+                f"expected [{live_root}]"
+            )
+            assert post["max_files"] < max(2, pre["max_files"]), (
+                f"day {day}: compaction did not reset per-partition file "
+                f"counts ({pre} -> {post})"
+            )
+            c["index_files"] = post
 
         c["survivors"] = survivors.count()
         # the corpus store a production loop keeps anyway: verification
@@ -244,6 +319,28 @@ def main() -> None:
             f"day1->final while the cross-day query went "
             f"{round(qn['index_query_sec'] / q1['index_query_sec'], 2)}x"
         ),
+        "compact_every": compact_every,
+        # the cadence evidence: per-partition file counts sawtooth at each
+        # compaction and the cross-day query stays flat across the swap
+        "compactions": [
+            {
+                "day": c["day"],
+                "compact_sec": c["compact_sec"],
+                "files_before": c["compact_files_before"],
+                "files_after": c["compact_files_after"],
+                "query_sec_same_day": c.get("index_query_sec"),
+                "query_sec_next_day": next(
+                    (
+                        d.get("index_query_sec")
+                        for d in cycles
+                        if d["day"] == c["day"] + 1
+                    ),
+                    None,
+                ),
+            }
+            for c in cycles
+            if "compact_sec" in c
+        ],
         "all_cycles_pruned": all(
             c.get("query_plan_pruned", True) for c in cycles
         ),
