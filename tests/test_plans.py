@@ -1065,6 +1065,81 @@ def test_ivfpq_publish_composition_prunes_partitions(spark, tmp_path):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, direct.collect()))
 
 
+def test_index_autocompact_policy_all_families(spark, tmp_path):
+    """The threshold-gated compaction policy (`index_autocompact` and its
+    family wrappers): below the per-partition file-count threshold the
+    call is a pure read (pointer untouched, nothing deleted); at the
+    threshold it compacts to the new root, swaps the pointer and retires
+    the old generation in one move, and a query through the pointer still
+    answers. Covers the LSH and IVFADC wrappers (the minhash wrapper is
+    driven end to end by the `minhash_index_autocompact` registry entry
+    and the loop bench)."""
+    from pyspark.sql import functions as F
+
+    from wiki_mysql_spark.operators.similarity import (
+        index_current,
+        index_publish,
+        ivfpq_index_append,
+        ivfpq_index_autocompact,
+        ivfpq_index_build,
+        ivfpq_index_query,
+        lsh_index_append,
+        lsh_index_autocompact,
+        lsh_index_build,
+        lsh_index_query,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    q = emb.where(F.col("vec_id") < 3)
+
+    # --- LSH
+    root = str(tmp_path / "lsh_gen0")
+    lsh_index_build(even, root, dim=64, n_planes=4, n_tables=1)
+    lsh_index_append(odd, root)
+    pointer = str(tmp_path / "lsh_current.json")
+    index_publish(spark, pointer, root)
+    rep = lsh_index_autocompact(
+        spark, pointer, str(tmp_path / "lsh_gen1"),
+        max_files_per_partition=3,
+    )
+    assert not rep["compacted"] and index_current(spark, pointer) == root
+    want = sorted(map(tuple, lsh_index_query(
+        spark, root, q, k=5, probe_bits=1
+    ).collect()))
+    rep = lsh_index_autocompact(
+        spark, pointer, str(tmp_path / "lsh_gen1"),
+        max_files_per_partition=2,
+    )
+    assert rep["compacted"] and rep["retired"] == [root]
+    assert rep["stats_after"]["max_files"] < rep["stats_before"]["max_files"]
+    got = sorted(map(tuple, lsh_index_query(
+        spark, index_current(spark, pointer), q, k=5, probe_bits=1
+    ).collect()))
+    assert got == want, "autocompact changed LSH query results"
+
+    # --- IVFADC
+    root = str(tmp_path / "pq_gen0")
+    ivfpq_index_build(even, root, n_coarse=4, coarse_iters=1, m=8,
+                      n_centroids=8)
+    ivfpq_index_append(odd, root)
+    pointer = str(tmp_path / "pq_current.json")
+    index_publish(spark, pointer, root)
+    want = sorted(map(tuple, ivfpq_index_query(
+        spark, root, q, k=5, n_probe=2
+    ).collect()))
+    rep = ivfpq_index_autocompact(
+        spark, pointer, str(tmp_path / "pq_gen1"),
+        max_files_per_partition=2,
+    )
+    assert rep["compacted"] and rep["retired"] == [root]
+    got = sorted(map(tuple, ivfpq_index_query(
+        spark, index_current(spark, pointer), q, k=5, n_probe=2
+    ).collect()))
+    assert got == want, "autocompact changed IVFADC query results"
+
+
 def test_index_append_matches_union_build_and_frozen_books(spark, tmp_path):
     """Incremental index maintenance — the daily operation of a deployed
     index. LSH: hyperplanes are frozen at build, so build(half A) +

@@ -340,6 +340,24 @@ def minhash_index_compact(spark, src_path: str, dst_path: str) -> DataFrame:
     )
 
 
+def minhash_index_autocompact(
+    spark, pointer: str, new_root: str, *, max_files_per_partition: int = 8,
+) -> dict:
+    """Threshold-gated compaction cadence for the minhash signature index
+    — ``similarity.index_autocompact`` with this family's compactor and
+    (band, bk) layout: probe per-partition file counts on the pointer's
+    CURRENT generation, and at ``max_files_per_partition`` run
+    compact → publish → retire as one move. A daily ingest loop calls it
+    unconditionally after each append; below the threshold it is a pure
+    driver-side read."""
+    from wiki_mysql_spark.operators.similarity import index_autocompact
+
+    return index_autocompact(
+        spark, pointer, new_root, compact=minhash_index_compact,
+        subdir="bands", max_files_per_partition=max_files_per_partition,
+    )
+
+
 def _minhash_meta_check(spark, path: str) -> None:
     """Fail loudly if the index header's scheme parameters don't match
     this module's frozen constants — a mismatched module would silently

@@ -1223,6 +1223,102 @@ def ivfpq_index_compact(spark, src_path: str, dst_path: str) -> DataFrame:
     )
 
 
+def index_file_stats(spark, path: str, *, subdir: str) -> dict:
+    """Per-partition data-file counts for a persisted index's layout under
+    ``<path>/<subdir>/`` — the append-accumulation signal the compaction
+    policy gates on: every ``*_index_append`` adds one file per touched
+    partition, and the local-FS scan floor is ~15 ms/file
+    (perf-notes-measured), so ``max_files`` ≈ appends since the last
+    compaction. One driver-side recursive listing, no Spark job — the
+    same listing cost compaction itself pays; run it from the maintenance
+    loop (daily), not the query path. Returns ``{n_partitions, n_files,
+    max_files, avg_files}`` over leaf directories holding parquet data."""
+    base = _index_child(path, subdir)
+    jvm = spark._jvm
+    hbase = jvm.org.apache.hadoop.fs.Path(base)
+    fs = hbase.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hbase):
+        return {"n_partitions": 0, "n_files": 0, "max_files": 0,
+                "avg_files": 0.0}
+    counts: dict = {}
+    stack = [hbase]
+    while stack:
+        for st in fs.listStatus(stack.pop()):
+            if st.isDirectory():
+                stack.append(st.getPath())
+            elif st.getPath().getName().endswith(".parquet"):
+                parent = str(st.getPath().getParent())
+                counts[parent] = counts.get(parent, 0) + 1
+    if not counts:
+        return {"n_partitions": 0, "n_files": 0, "max_files": 0,
+                "avg_files": 0.0}
+    vals = list(counts.values())
+    return {
+        "n_partitions": len(vals),
+        "n_files": sum(vals),
+        "max_files": max(vals),
+        "avg_files": round(sum(vals) / len(vals), 2),
+    }
+
+
+def index_autocompact(
+    spark, pointer: str, new_root: str, *, compact, subdir: str,
+    max_files_per_partition: int = 8,
+) -> dict:
+    """Threshold-gated steady-state index maintenance — the compaction
+    CADENCE as a first-class operator instead of operator-lifecycle
+    choreography every caller re-implements: probe the CURRENT
+    generation's per-partition file counts (:func:`index_file_stats`),
+    and when ``max_files`` reaches ``max_files_per_partition``, run the
+    full move — ``compact`` to ``new_root``, :func:`index_publish` the
+    pointer swap, :func:`index_retire` the old generation. Below the
+    threshold it is a pure read (a few driver metadata calls, no job, no
+    mutation), so a daily loop calls it unconditionally after each append
+    and compaction happens every ~N days automatically. ``compact`` is
+    the family's compactor (``lsh_index_compact`` /
+    ``ivfpq_index_compact`` / ``minhash_index_compact``) — the policy is
+    family-agnostic because the lifecycle machinery is shared. Returns a
+    report dict: ``compacted`` (bool), ``root`` (the generation current
+    AFTER the call), ``stats_before`` and, when compacted,
+    ``stats_after`` + ``retired``. Single-writer lifecycle ownership (one
+    maintenance job per index) is the deployment contract, as for
+    :func:`index_retire`."""
+    root = index_current(spark, pointer)
+    stats = index_file_stats(spark, root, subdir=subdir)
+    if stats["max_files"] < max_files_per_partition:
+        return {"compacted": False, "root": root, "stats_before": stats}
+    compact(spark, root, new_root)
+    index_publish(spark, pointer, new_root)
+    retired = index_retire(spark, pointer, [root])
+    return {
+        "compacted": True,
+        "root": new_root,
+        "stats_before": stats,
+        "stats_after": index_file_stats(spark, new_root, subdir=subdir),
+        "retired": retired,
+    }
+
+
+def lsh_index_autocompact(
+    spark, pointer: str, new_root: str, *, max_files_per_partition: int = 8,
+) -> dict:
+    """:func:`index_autocompact` for the LSH family (buckets layout)."""
+    return index_autocompact(
+        spark, pointer, new_root, compact=lsh_index_compact,
+        subdir="buckets", max_files_per_partition=max_files_per_partition,
+    )
+
+
+def ivfpq_index_autocompact(
+    spark, pointer: str, new_root: str, *, max_files_per_partition: int = 8,
+) -> dict:
+    """:func:`index_autocompact` for the IVFADC family (codes layout)."""
+    return index_autocompact(
+        spark, pointer, new_root, compact=ivfpq_index_compact,
+        subdir="codes", max_files_per_partition=max_files_per_partition,
+    )
+
+
 def lsh_index_query(
     spark,
     path: str,

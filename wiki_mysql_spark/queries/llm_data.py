@@ -447,6 +447,91 @@ def minhash_index_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("minhash_index_compact", _SQL_MINHASH_INCREMENTAL)
+def minhash_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance — COMPACTION of the minhash signature index
+    (`operators/dedup.py:minhash_index_compact`), now oracled end to end
+    like `lsh_index_compact`: the even-id corpus half is indexed in two
+    generations (build the %4==0 quarter, append the %4==2 quarter —
+    every touched (band, bk) partition now holds two files), compacted to
+    a new root (each partition back to ~one file, layout and header
+    preserved), and the incremental query for the odd-id batch runs
+    against the COMPACTED root. The oracle is the same cross-half
+    collision replay as `dedup_minhash_incremental`, so the hash proves
+    compaction loses and invents nothing — query-after-compact is
+    byte-identical to a query over the never-compacted index. At 100 TB
+    this is the periodic job that keeps per-partition file counts (==
+    appends since last compaction) off the ~15 ms/file scan floor."""
+    from wiki_mysql_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_compact,
+        minhash_index_query,
+    )
+
+    docs = _docs_with_fixture(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    src, dst = _index_tmpdir(), _index_tmpdir()
+    minhash_index_build(existing.where(F.col("doc_id") % 4 == 0), src)
+    minhash_index_append(existing.where(F.col("doc_id") % 4 == 2), src)
+    minhash_index_compact(spark, src, dst)
+    return minhash_index_query(
+        spark, dst, batch, corpus_docs=existing, jaccard_threshold=0.5
+    )
+
+
+@query("minhash_index_autocompact", _SQL_MINHASH_INCREMENTAL)
+def minhash_index_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction CADENCE as an oracled operator
+    (`operators/dedup.py:minhash_index_autocompact` →
+    `similarity.index_autocompact`): the daily loop's steady-state
+    maintenance move — probe the CURRENT generation's per-partition file
+    counts, and at the threshold run compact → publish → retire as one
+    call. Exercised end to end: build + append leave 2 files per touched
+    partition behind the pointer; a threshold-3 probe is a PURE READ (no
+    compaction, pointer unchanged); a threshold-2 probe fires the full
+    move (new root compacted, pointer swapped, old generation retired);
+    the incremental query then resolves THROUGH the pointer. The oracle
+    is the same cross-half collision replay, so the hash proves the whole
+    policy composition — probe, compact, swap, retire, resolve — is pure
+    indirection over the same index contents."""
+    from wiki_mysql_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_autocompact,
+        minhash_index_build,
+        minhash_index_query,
+    )
+    from wiki_mysql_spark.operators.similarity import (
+        index_current,
+        index_publish,
+    )
+
+    docs = _docs_with_fixture(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    root = _index_tmpdir()
+    minhash_index_build(existing.where(F.col("doc_id") % 4 == 0), root)
+    minhash_index_append(existing.where(F.col("doc_id") % 4 == 2), root)
+    pointer = _index_tmpdir() + "/current.json"
+    index_publish(spark, pointer, root)
+    # below threshold: pure read, nothing moves
+    rep = minhash_index_autocompact(
+        spark, pointer, _index_tmpdir(), max_files_per_partition=3
+    )
+    assert not rep["compacted"] and index_current(spark, pointer) == root
+    # at threshold: compact + publish + retire in one move
+    rep = minhash_index_autocompact(
+        spark, pointer, _index_tmpdir(), max_files_per_partition=2
+    )
+    assert rep["compacted"] and rep["retired"] == [root]
+    assert rep["stats_after"]["max_files"] < rep["stats_before"]["max_files"]
+    return minhash_index_query(
+        spark, index_current(spark, pointer), batch,
+        corpus_docs=existing, jaccard_threshold=0.5,
+    )
+
+
 @query(
     "dedup_minhash_components",
     f"""
@@ -2339,6 +2424,43 @@ def ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codes.select(
         "nid", F.col("cell").cast("long").alias("cell"),
         *[f"c{s}" for s in range(8)],
+    )
+
+
+@query(
+    "ivfpq_index_compact",
+    _sql_ivfpq_index(n_coarse=16, m=8, n_centroids=16, dim=64,
+                     coarse_iters=2, train_where="WHERE vec_id % 2 = 0"),
+)
+def ivfpq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance — COMPACTION of the IVFADC index
+    (`operators/similarity.py:ivfpq_index_compact`), now oracled like
+    `lsh_index_compact`: build on the even-id half (quantizers train on
+    that slice), append the odd-id half under the FROZEN books (every
+    touched cell now holds two files), compact to a new root (each cell
+    back to ~one file, layout and trained-codebook header preserved), and
+    return the compacted code table read back. The oracle replays the
+    frozen-book asymmetry in SQL (training CTEs parameterized to the
+    even-id slice, encode over the full corpus — `ivfpq_index_append`'s
+    oracle), so the hash proves compaction rewrites bytes, not codes: no
+    vector re-encoded, none lost or invented."""
+    from wiki_mysql_spark.operators.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_compact,
+        ivfpq_index_read,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src, dst = _index_tmpdir(), _index_tmpdir()
+    ivfpq_index_build(
+        emb.where(F.col("vec_id") % 2 == 0), src,
+        n_coarse=16, coarse_iters=2, m=8, n_centroids=16,
+    )
+    ivfpq_index_append(emb.where(F.col("vec_id") % 2 == 1), src)
+    ivfpq_index_compact(spark, src, dst)
+    return ivfpq_index_read(spark, dst).select(
+        "nid", "cell", *[f"c{s}" for s in range(8)],
     )
 
 
