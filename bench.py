@@ -319,6 +319,7 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "concurrent_spark_jvms": other_jvms,
+        "load1_at_start": round(load1, 2),
         "host_steal_pct": steal_pct,
         "calibration_sec": calibration,
         "membw_gbps_start": membw_start,
@@ -333,7 +334,8 @@ def main() -> None:
         # drop the window-summary keys first (they remain on stderr), then
         # as a last resort keep only the slowest-N query timings
         for k in ("membw_gbps_start", "calibration_sec", "host_steal_pct",
-                  "concurrent_spark_jvms", "repeats_per_entry_min_reported"):
+                  "load1_at_start", "concurrent_spark_jvms",
+                  "repeats_per_entry_min_reported"):
             out.pop(k, None)
             line = json.dumps(out, separators=(",", ":"))
             if len(line) <= 1900:
