@@ -258,11 +258,18 @@ def minhash_index_build(
         _fs_write_text,
         _index_child,
         _index_clear_tombstones,
+        _layout_write_partitions,
     )
 
     spark = docs.sparkSession
     rows = _minhash_index_rows(docs, id_col, text_col)
-    rows.repartition(F.col("band"), F.col("bk")).write.mode(
+    rows.repartition(
+        _layout_write_partitions(
+            spark, N_BANDS * MINHASH_INDEX_BUCKETS
+        ),
+        F.col("band"),
+        F.col("bk"),
+    ).write.mode(
         "overwrite"
     ).option("compression", "zstd").partitionBy("band", "bk").parquet(
         _index_child(path, "bands")
@@ -313,12 +320,21 @@ def minhash_index_write_delta(
     replayed-micro-batch property (key by ``batch=<batch_id>``);
     :func:`minhash_index_compact` collapses the accumulated delta dirs
     back to the flat layout."""
-    from wiki_mysql_spark.operators.similarity import _index_child
+    from wiki_mysql_spark.operators.similarity import (
+        _index_child,
+        _layout_write_partitions,
+    )
 
     spark = docs.sparkSession
     _minhash_meta_check(spark, path)
     rows = _minhash_index_rows(docs, id_col, text_col)
-    rows.repartition(F.col("band"), F.col("bk")).write.mode(
+    rows.repartition(
+        _layout_write_partitions(
+            spark, N_BANDS * MINHASH_INDEX_BUCKETS
+        ),
+        F.col("band"),
+        F.col("bk"),
+    ).write.mode(
         "overwrite"
     ).option("compression", "zstd").partitionBy("band", "bk").parquet(
         _index_child(path, "bands/" + delta.strip("/"))
@@ -401,6 +417,7 @@ def minhash_index_append(
     from wiki_mysql_spark.operators.similarity import (
         _has_delta_layer,
         _index_child,
+        _layout_write_partitions,
     )
 
     spark = docs.sparkSession
@@ -414,7 +431,13 @@ def minhash_index_append(
         )
     _minhash_meta_check(spark, path)
     rows = _minhash_index_rows(docs, id_col, text_col)
-    rows.repartition(F.col("band"), F.col("bk")).write.mode(
+    rows.repartition(
+        _layout_write_partitions(
+            spark, N_BANDS * MINHASH_INDEX_BUCKETS
+        ),
+        F.col("band"),
+        F.col("bk"),
+    ).write.mode(
         "append"
     ).option("compression", "zstd").partitionBy("band", "bk").parquet(
         _index_child(path, "bands")

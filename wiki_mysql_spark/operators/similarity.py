@@ -18,6 +18,7 @@ reproducible run-to-run and testable.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame, Window
@@ -68,8 +69,33 @@ def brute_force_topk(
     )
 
 
+def _sql_double(x: float) -> str:
+    """Render one double as a Spark SQL literal. ``repr`` emits the
+    shortest decimal string that round-trips to the same IEEE double, and
+    the SQL parser reads it back to that exact double, so the resulting
+    ``Literal`` is bit-identical to ``F.lit(float(x))``'s."""
+    v = float(x)
+    if not math.isfinite(v):
+        raise ValueError(f"non-finite vector literal {x!r}")
+    return repr(v) + "D"
+
+
+def _sql_vec(vals: list[float]) -> str:
+    return "array(" + ",".join(_sql_double(x) for x in vals) + ")"
+
+
 def _lit_vec(vals: list[float]) -> F.Column:
-    return F.array(*[F.lit(float(x)) for x in vals])
+    """Literal ``array<double>`` built by parsing ONE rendered SQL
+    expression instead of composing dim ``F.lit`` calls: each ``F.lit`` /
+    ``F.array`` is a py4j round trip, and the per-call forests this module
+    builds (planes, coarse centroids, PQ books — hundreds of vectors per
+    query) measured 1.7-3.7s of pure driver py4j chatter per call site at
+    64-dim/16-center shapes, vs ~10ms for the parsed spelling. The parsed
+    Catalyst tree is the same CreateArray-of-Literal node, so plans,
+    codegen and results are unchanged (oracle-verified)."""
+    if not vals:
+        return F.array()
+    return F.expr(_sql_vec(vals))
 
 
 def _lit_centers(centers: list[tuple[int, list[float]]]) -> F.Column:
@@ -80,16 +106,31 @@ def _lit_centers(centers: list[tuple[int, list[float]]]) -> F.Column:
     per-centroid unrolled spelling built — at m=8 subspaces x k'=16 codes
     the unrolled PQ training plan spent ~9 s in analysis/codegen on a
     2k-row fixture (r7 measurement) for math that runs in under a second.
-    The per-element FP op sequence is IDENTICAL (same fold, same rounding),
+    Rendered as ONE parsed SQL expression (see :func:`_lit_vec` — the
+    composed spelling was thousands of py4j round trips per call). The
+    per-element FP op sequence is IDENTICAL (same fold, same rounding),
     so every oracle replay is unaffected."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).cast("long").alias("cid"),
-                _lit_vec(cv).alias("v"),
-            )
+    if not centers:
+        return F.array()
+    return F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('cid',{int(cid)}L,'v',{_sql_vec(cv)})"
             for cid, cv in centers
-        ]
+        )
+        + ")"
+    )
+
+
+def _lit_center_map(centers: list[tuple[int, list[float]]]) -> F.Column:
+    """Literal ``map<long, array<double>>`` of cid -> centroid, rendered
+    as ONE parsed SQL expression (same py4j-chatter rationale as
+    :func:`_lit_vec`; the composed ``F.create_map`` spelling of a 16x64
+    coarse map measured ~1.8s per call)."""
+    return F.expr(
+        "map("
+        + ",".join(f"{int(cid)}L,{_sql_vec(cv)}" for cid, cv in centers)
+        + ")"
     )
 
 
@@ -561,7 +602,10 @@ def lsh_signature(vec: F.Column, planes: list[list[float]]) -> F.Column:
     the r8 ivfpq fix removed — measured ~2.8 s of the sf0.01 index build
     before this form). Bit semantics unchanged: dot > 0 strictly sets the
     bit; a null/mismatched vector nulls every dot and folds to bucket 0."""
-    P = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    # ONE parsed SQL literal for the whole planes array (see _lit_vec):
+    # the composed per-lit spelling was ~n_planes*dim py4j round trips
+    # (~1s per signature site at 8x64) for the identical Catalyst tree.
+    P = F.expr("array(" + ",".join(_sql_vec(p) for p in planes) + ")")
     dots = F.transform(
         P,
         lambda p: F.aggregate(
@@ -795,7 +839,11 @@ def lsh_index_build(
         )
     tables = lsh_table_planes(dim, n_planes, n_tables, seed)
     rows = _lsh_corpus_side(corpus, tables, id_col, vec_col)
-    rows.repartition(F.col("tbl"), F.col("bucket")).write.mode(
+    rows.repartition(
+        _layout_write_partitions(spark, n_tables * (1 << n_planes)),
+        F.col("tbl"),
+        F.col("bucket"),
+    ).write.mode(
         "overwrite"
     ).option("compression", "zstd").partitionBy("tbl", "bucket").parquet(
         _index_child(path, "buckets")
@@ -881,7 +929,11 @@ def lsh_index_write_delta(
         )
     tables = lsh_table_planes(dim, n_planes, n_tables, seed)
     rows = _lsh_corpus_side(corpus, tables, id_col, vec_col)
-    rows.repartition(F.col("tbl"), F.col("bucket")).write.mode(
+    rows.repartition(
+        _layout_write_partitions(spark, n_tables * (1 << n_planes)),
+        F.col("tbl"),
+        F.col("bucket"),
+    ).write.mode(
         "overwrite"
     ).option("compression", "zstd").partitionBy("tbl", "bucket").parquet(
         _index_child(path, "buckets/" + delta.strip("/"))
@@ -935,7 +987,11 @@ def lsh_index_append(
         )
     tables = lsh_table_planes(dim, n_planes, n_tables, seed)
     rows = _lsh_corpus_side(corpus, tables, id_col, vec_col)
-    rows.repartition(F.col("tbl"), F.col("bucket")).write.mode(
+    rows.repartition(
+        _layout_write_partitions(spark, n_tables * (1 << n_planes)),
+        F.col("tbl"),
+        F.col("bucket"),
+    ).write.mode(
         "append"
     ).option("compression", "zstd").partitionBy("tbl", "bucket").parquet(
         _index_child(path, "buckets")
@@ -1192,7 +1248,9 @@ def _index_compact(
         # exactly the operation that retires it
         rows = rows.drop("batch")
     rows = _live_rows(spark, rows, src_path, id_name)
-    rows.repartition(*[F.col(c) for c in partition_cols]).write.mode(
+    rows.repartition(
+        _layout_write_partitions(spark), *[F.col(c) for c in partition_cols]
+    ).write.mode(
         "overwrite"
     ).option("compression", "zstd").partitionBy(*partition_cols).parquet(
         _index_child(dst_path, subdir)
@@ -1649,13 +1707,7 @@ def pq_topk(
     # centroid, via a literal cid->center map (broadcast, no join)
     d_cols = []
     for s in range(m):
-        cmap = F.create_map(
-            *[
-                x
-                for cid, cv in books[s]
-                for x in (F.lit(int(cid)).cast("long"), _lit_vec(cv))
-            ]
-        )
+        cmap = _lit_center_map(books[s])
         d_cols.append(
             F.round(
                 l2_sq(
@@ -1888,13 +1940,7 @@ def ivfpq_topk(
         coarse = sorted(coarse_codebook)
         if not coarse:
             raise ValueError("ivfpq_topk: coarse codebook is empty")
-        rescmap = F.create_map(
-            *[
-                x
-                for cid, cv in coarse
-                for x in (F.lit(int(cid)).cast("long"), _lit_vec(cv))
-            ]
-        )
+        rescmap = _lit_center_map(coarse)
         rescorp = (
             corpus.select(
                 F.col(id_col).alias("nid"),
@@ -1944,13 +1990,7 @@ def _ivfpq_probes(
 ) -> DataFrame:
     """(query_id, qv, cell, qr) — one row per (query, probed cell), with
     the PER-CELL query residual ``q - centroid(cell)``."""
-    cmap = F.create_map(
-        *[
-            x
-            for cid, cv in coarse
-            for x in (F.lit(int(cid)).cast("long"), _lit_vec(cv))
-        ]
-    )
+    cmap = _lit_center_map(coarse)
     return queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -1987,13 +2027,7 @@ def _ivfpq_rank(
 
     d_cols = []
     for s in range(m):
-        bmap = F.create_map(
-            *[
-                x
-                for cid, cv in books[s]
-                for x in (F.lit(int(cid)).cast("long"), _lit_vec(cv))
-            ]
-        )
+        bmap = _lit_center_map(books[s])
         d_cols.append(
             F.round(
                 l2_sq(
@@ -2023,6 +2057,35 @@ def _ivfpq_rank(
         )
         .where(F.col("rank") <= k)
     )
+
+
+def _layout_write_partitions(spark, n_dirs: int | None = None) -> int:
+    """Shuffle width for a ``partitionBy(<layout cols>)`` index write.
+
+    The dominant cost of these writes at index scale is FILE CREATION, not
+    bytes: each task writes its layout groups' files sequentially
+    (~15-20ms per parquet file open/footer/commit on local disk), so the
+    wall-clock is ~(n_dirs / n_tasks) * per-file cost. A keyed
+    ``repartition(cols)`` under AQE is sized by BYTES (advisory size with
+    a 1MB min-partition floor), which collapses a small index build onto
+    1-3 tasks — measured 7-10s for the 512-directory LSH/minhash layouts
+    at sf0.1 vs 1.6-2.5s with the width pinned to cluster parallelism.
+    AQE cannot see the per-file cost, so the width is pinned explicitly:
+
+      * floor: ``defaultParallelism`` — every core creates files;
+      * cap: ``n_dirs`` when the caller knows the layout width — hash
+        partitioning on the layout columns puts each directory wholly in
+        one task, so widths past n_dirs only add empty tasks.
+
+    At real scale the data side grows and a deployment whose single
+    layout partitions outgrow one task adds a within-partition split key
+    to the repartition (each build's docstring states this posture) —
+    this helper sizes the small/medium regime where AQE's byte targeting
+    is the wrong cost model."""
+    par = max(1, spark.sparkContext.defaultParallelism)
+    if n_dirs is None:
+        return par
+    return max(1, min(int(n_dirs), par))
 
 
 def _index_child(path: str, name: str) -> str:
@@ -2268,13 +2331,7 @@ def _ivfpq_train(
             driver_train_bytes=driver_train_bytes,
         )
     )
-    rescmap = F.create_map(
-        *[
-            x
-            for cid, cv in coarse
-            for x in (F.lit(int(cid)).cast("long"), _lit_vec(cv))
-        ]
-    )
+    rescmap = _lit_center_map(coarse)
     rescorp = (
         corpus.select(
             F.col(id_col).alias("nid"),
@@ -2347,7 +2404,9 @@ def ivfpq_index_build(
     # failure mode). Hash-partitioning on cell gives ~one file per cell;
     # a deployment whose cells outgrow one task would add a within-cell
     # split key (e.g. pmod(hash(nid), files_per_cell)) to the repartition.
-    codes.repartition(F.col("cell")).write.mode("overwrite").option(
+    codes.repartition(
+        _layout_write_partitions(spark, n_coarse), F.col("cell")
+    ).write.mode("overwrite").option(
         "compression", "zstd"
     ).partitionBy("cell").parquet(_index_child(path, "codes"))
     _fs_write_text(
@@ -2449,7 +2508,9 @@ def ivfpq_index_append(
     codes = _ivfpq_encode(
         corpus, coarse, books, id_col=id_col, vec_col=vec_col, dim=dim
     )
-    codes.repartition(F.col("cell")).write.mode("append").option(
+    codes.repartition(
+        _layout_write_partitions(spark, len(coarse)), F.col("cell")
+    ).write.mode("append").option(
         "compression", "zstd"
     ).partitionBy("cell").parquet(_index_child(path, "codes"))
     return spark.read.parquet(_index_child(path, "codes"))
@@ -2520,7 +2581,9 @@ def ivfpq_index_write_delta(
     codes = _ivfpq_encode(
         corpus, coarse, books, id_col=id_col, vec_col=vec_col, dim=dim
     )
-    codes.repartition(F.col("cell")).write.mode("overwrite").option(
+    codes.repartition(
+        _layout_write_partitions(spark, len(coarse)), F.col("cell")
+    ).write.mode("overwrite").option(
         "compression", "zstd"
     ).partitionBy("cell").parquet(
         _index_child(path, "codes/" + delta.strip("/"))
