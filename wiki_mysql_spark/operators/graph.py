@@ -23,6 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# The simple pagerank formulation truncates rank lineage every this many
+# rounds (plan growth per round is linear — one join+union+agg — so a
+# few rounds compile fine as one job; unbounded growth would eventually
+# make Catalyst analysis itself the bottleneck).
+_RANKS_CKPT_EVERY = 8
+
 
 def pagerank(
     edges: DataFrame,
@@ -83,7 +89,7 @@ def pagerank(
     )
     n_nodes = nodes.count() if redistribute_dangling else 0
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(n_iters):
+    for it in range(n_iters):
         contrib = (
             ew.join(ranks, ew.src == ranks.node)
             .select(
@@ -116,7 +122,18 @@ def pagerank(
             ranks = contrib.select(
                 "node", F.round(base, round_digits).alias("rank")
             )
-        ranks = ranks.localCheckpoint(eager=False)
+        # Lineage control, not correctness: the simple formulation reads
+        # `ranks` ONCE per round, so its plan grows linearly and a handful
+        # of rounds compile fine as one codegen'd job — the per-round
+        # checkpoint was costing a blocking RDD materialization per
+        # iteration (measured: 3-iter sf0.1 run 5.5s with per-round
+        # checkpoints, 4.7s checkpointing every _RANKS_CKPT_EVERY rounds;
+        # results bit-identical). The dangling variant reads `ranks` twice
+        # per round (contrib + dangling mass), so skipping its checkpoint
+        # would recompute the whole prefix 2^rounds times — it keeps the
+        # per-round truncation.
+        if redistribute_dangling or (it + 1) % _RANKS_CKPT_EVERY == 0:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
