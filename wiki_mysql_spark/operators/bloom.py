@@ -64,7 +64,15 @@ def might_contain(col: Column, bloom_words: list[int], *, n_bits: int = 1 << 16,
                   n_hashes: int = 5) -> Column:
     """Native membership probe: true iff every seeded hash bit is set.
     Guaranteed no false negatives; false positives at the configured rate."""
-    arr = F.lit(bloom_words)
+    # ONE parsed SQL literal for the word array: PySpark's lit(list) builds
+    # array(*[lit(x) ...]) — one py4j round trip per element, ~1s of pure
+    # driver chatter for the default 1024-word filter at every probe call
+    # site (the same pathology as similarity._lit_vec, measured there at
+    # 1.7-3.7s for centroid forests). The parsed Catalyst tree is the
+    # identical CreateArray-of-Literal, so plans and results are unchanged.
+    arr = F.expr(
+        "array(" + ",".join(f"{int(w)}L" for w in bloom_words) + ")"
+    )
     cond = F.lit(True)
     for s in range(n_hashes):
         h = F.pmod(F.xxhash64(col, F.lit(s)), F.lit(n_bits))

@@ -50,7 +50,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-_STATS_UNKNOWN = (1 << 63) - 1  # Catalyst's default sizeInBytes
+# Leaf sizes at or above this are treated as UNKNOWN, not big. Catalyst's
+# default sizeInBytes is 2^63-1, but the default does not arrive verbatim:
+# projections SCALE it by column-width ratios (a pruning Project over an
+# unknown leaf reports e.g. 0.75 * 2^63) and an eager localCheckpoint
+# copies those garbage-but-finite numbers into the LogicalRDD's stats —
+# measured: the 9-row wiki-fixture redirect edges reported 6.9e18 bytes
+# after checkpointing, which an exact-default test read as a REAL size and
+# sent every small-input gate down its distributed path (and dense_ids'
+# storage gate to DISK_ONLY). 1 PiB per leaf is comfortably above any real
+# single-leaf relation here while catching every propagated-default value;
+# a genuinely >=1 PiB leaf is merely re-classified unknown, and the gates'
+# bounded probes (row-capped) still answer correctly for it.
+_STATS_UNKNOWN = 1 << 50
 
 
 def is_rdd_backed(df: DataFrame) -> bool:
