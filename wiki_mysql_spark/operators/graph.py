@@ -196,23 +196,27 @@ def connected_components(
     changed = -1
     for _ in range(max_rounds):
         neigh = csym.join(labels, csym.b == labels.node).select(
-            F.col("a").alias("node"), "label"
+            F.col("a").alias("node"), "label", F.lit(False).alias("_own")
         )
-        new_labels = (
-            labels.unionByName(neigh)
+        # The fixpoint probe is FUSED into the label aggregation: each node
+        # has exactly one _own row (its previous label), so min(label) over
+        # all rows is the new label and min(label) over _own rows the old —
+        # the former separate new-vs-old node-scale join (two exchanges per
+        # round) becomes a filter-count over the checkpointed aggregate,
+        # for the price of one boolean riding the existing shuffle.
+        st = (
+            labels.select("node", "label", F.lit(True).alias("_own"))
+            .unionByName(neigh)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        # lazy: the `changed` count below is the materializing action
-        new_labels = new_labels.localCheckpoint(eager=False)
-        changed = (
-            new_labels.join(
-                labels.select("node", F.col("label").alias("_old")), "node"
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("_own"), F.col("label"))).alias("_old"),
             )
-            .where(F.col("label") < F.col("_old"))
-            .count()
+            # lazy: the `changed` count below is the materializing action
+            .localCheckpoint(eager=False)
         )
-        labels = new_labels
+        changed = st.where(F.col("label") < F.col("_old")).count()
+        labels = st.select("node", "label")
         if changed == 0:
             break
     if changed != 0:
