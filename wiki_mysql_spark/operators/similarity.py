@@ -729,20 +729,35 @@ def _lsh_query_side(
     vec_col: str,
 ) -> DataFrame:
     """(query_id, qv, tbl, bucket): one row per (query, table, probed
-    bucket). Shared by the inline and persisted-index query paths."""
+    bucket). Shared by the inline and persisted-index query paths.
+
+    The signature is computed ONCE per table in its own projection and the
+    probe buckets are single-bit XORs of that column: inlining
+    ``lsh_signature`` into every probe slot embedded the full
+    n_planes x dim literal/lambda tree n_tables·(1+probe_bits·n_planes)
+    times (18 copies at the 2x8x1-bit operating point — measured 0.99s of
+    pure driver-side tree building per call site, the dominant cost of the
+    warm ``lsh_index_query``). Bucket values are identical: XOR over the
+    same pure signature expression."""
     n_tables = len(tables)
-    return queries.select(
+    sigged = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        *[
+            lsh_signature(F.col(vec_col), tables[t]).alias(f"_sig{t}")
+            for t in range(n_tables)
+        ],
+    )
+    return sigged.select(
+        "query_id",
+        "qv",
         F.explode(
             F.array(
                 *[
                     F.struct(F.lit(t).cast("int").alias("tbl"), b.alias("bucket"))
                     for t in range(n_tables)
                     for b in lsh_probe_buckets(
-                        lsh_signature(F.col(vec_col), tables[t]),
-                        n_planes,
-                        probe_bits,
+                        F.col(f"_sig{t}"), n_planes, probe_bits
                     )
                 ]
             )
