@@ -17,14 +17,19 @@ def _run(spark, edges, articles, **kw):
         [(t, d, i) for i, (t, d) in enumerate(edges)], ["title", "target", "aid"]
     )
     targets = spark.createDataFrame(articles, ["title", "body_id"])
-    # run BOTH physical strategies — the size-gated driver fast path and the
-    # pointer-doubling loop — and require them to agree on every case
+    # run ALL physical strategies — the size-gated driver fast path, the
+    # caller-hinted fast path (skips the gate's checkpoint+probe jobs), and
+    # the pointer-doubling loop — and require them to agree on every case
     fast = resolve_redirects(redirects, targets, **kw).collect()
+    hinted = resolve_redirects(
+        redirects, targets, small_hint=True, **kw
+    ).collect()
     dist = resolve_redirects(
         redirects, targets, force_distributed=True, **kw
     ).collect()
     as_map = lambda rows: {r["title"]: r["body_id"] for r in rows}  # noqa: E731
     assert as_map(fast) == as_map(dist), "fast/distributed paths disagree"
+    assert as_map(hinted) == as_map(dist), "hinted/distributed paths disagree"
     return as_map(fast)
 
 

@@ -105,6 +105,12 @@ def test_dense_ids_deterministic_and_dense(spark):
     out = dense_ids(df, ["k"], id_col="id").orderBy("id").collect()
     assert [r["k"] for r in out] == sorted("zyxwvutsrq")
     assert [r["id"] for r in out] == list(range(1, 11))
+    # caller-hinted small path (skips the gate's checkpoint + probe jobs)
+    # must be row-identical to the self-probed decision
+    hinted = dense_ids(df, ["k"], id_col="id", small_hint=True).orderBy(
+        "id"
+    ).collect()
+    assert hinted == out
 
 
 def test_bz2_dump_reads_identically(spark, tmp_path):

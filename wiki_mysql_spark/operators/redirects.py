@@ -60,6 +60,7 @@ def resolve_redirects(
     max_depth: int = 1024,
     eager_checkpoint: bool = True,
     force_distributed: bool = False,
+    small_hint: bool | None = None,
 ) -> DataFrame:
     """Resolve redirect chains transitively.
 
@@ -92,7 +93,14 @@ def resolve_redirects(
     edges = redirects.select(
         F.col("title").alias("src"), F.col("target").alias("dst")
     )
-    if eager_checkpoint:
+    # ``small_hint=True``: the caller already sized the shared upstream
+    # frame (the wiki build's single staged probe) and vouches the edge set
+    # is under _SMALL_EDGES_BYTES — skip the checkpoint and the probe jobs
+    # and walk driver-side directly (the collect reads the caller's
+    # materialized blocks through a narrow filter). Strategy only; both
+    # paths are pinned result-identical in tests.
+    hinted_small = small_hint is True and not force_distributed
+    if eager_checkpoint and not hinted_small:
         # Materialize BEFORE the size gate: both strategies consume `edges`
         # repeatedly (the small path collects it, the doubling loop joins it
         # every round), and checkpointing first makes the gate's probe jobs
@@ -106,8 +114,10 @@ def resolve_redirects(
     # a narrow-count frame of pathologically wide titles must not slip
     # through on row count alone; the sampled byte estimate reads the
     # checkpoint, not the upstream DAG.
-    if not force_distributed and is_small_input(
-        edges, max_bytes=_SMALL_EDGES_BYTES, byte_probe=True
+    if hinted_small or (
+        not force_distributed
+        and small_hint is None
+        and is_small_input(edges, max_bytes=_SMALL_EDGES_BYTES, byte_probe=True)
     ):
         mapping = _resolve_small(edges, eff_depth)
         resolved = mapping.join(

@@ -131,6 +131,35 @@ def _build_wiki_frames(
         else staged.localCheckpoint(eager=False)
     )
 
+    # Size the SHARED staged frame once and hand the verdict to every
+    # downstream strategy gate: dense_ids (x2) and resolve_redirects would
+    # otherwise each localCheckpoint + byte-probe their own derived input —
+    # four bounded jobs whose answer is implied by this one, since every
+    # gated frame is a projection/filter/union of staged's rows (bytes and
+    # rows both <= staged's). One bounded probe job on the checkpointed
+    # staged (or a free stats read when a materializer made it a scan)
+    # replaces them. 8 MB = the tightest downstream gate
+    # (redirects._SMALL_EDGES_BYTES; dense_ids' bound is 64 MB), row cap =
+    # is_small_input's. Strategy only: a big corpus gets hint None and the
+    # gates behave exactly as before.
+    from wiki_mysql_spark.sources.tables import _row_bytes_estimate, leaf_bytes
+
+    _STAGED_SMALL_BYTES = 8 << 20
+    known, unknown = leaf_bytes(staged)
+    if not unknown and known is not None:
+        small_hint = True if known < _STAGED_SMALL_BYTES else None
+    else:
+        _probe = staged.limit(100_001).select(
+            F.count(F.lit(1)).alias("_n"),
+            F.coalesce(F.sum(_row_bytes_estimate(staged)), F.lit(0)).alias("_b"),
+        ).collect()[0]
+        small_hint = (
+            True
+            if int(_probe["_n"]) <= 100_000
+            and int(_probe["_b"]) < _STAGED_SMALL_BYTES
+            else None
+        )
+
     redirect_pages = staged.where(F.col("is_redirect")).select(
         "title", F.col("redirect_target").alias("target"), "aid"
     )
@@ -142,7 +171,10 @@ def _build_wiki_frames(
     # column never enters the range exchange or the layout checkpoint —
     # then joined back by aid (unique per page), the one full-text shuffle.
     ids = dense_ids(
-        articles_staged.select("aid", "title"), ["title"], id_col="body_id"
+        articles_staged.select("aid", "title"),
+        ["title"],
+        id_col="body_id",
+        small_hint=small_hint,
     )
     bodies_full = (
         articles_staged.select("aid", "body_text", "body_octets")
@@ -157,13 +189,16 @@ def _build_wiki_frames(
     direct_articles = ids.select("aid", "title", "body_id")
 
     resolved_redirects = resolve_redirects(
-        redirect_pages, article_rows, max_depth=max_redirect_depth
+        redirect_pages,
+        article_rows,
+        max_depth=max_redirect_depth,
+        small_hint=small_hint,
     ).select("aid", "title", "body_id")
 
     all_articles = direct_articles.unionByName(resolved_redirects)
-    articles = dense_ids(all_articles, ["title", "aid"], id_col="id").select(
-        "id", "aid", "title", F.col("body_id").alias("body")
-    )
+    articles = dense_ids(
+        all_articles, ["title", "aid"], id_col="id", small_hint=small_hint
+    ).select("id", "aid", "title", F.col("body_id").alias("body"))
     corrupt = (
         staged.where(F.col("corrupt_record").isNotNull()).select(
             "corrupt_record"
