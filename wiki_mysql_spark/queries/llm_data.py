@@ -903,31 +903,40 @@ def text_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_topk_ivf",
     f"""
-    WITH cent AS (
+    -- r14 memory-bounded spelling (see _sql_kmeans_cents): scalar-payload
+    -- assignment windows over a shared MATERIALIZED cosine projection;
+    -- embeddings join back by id for exact rescoring. Rows verified
+    -- bit-identical to the r13 spelling at sf0.001/0.01/0.1.
+    WITH cent AS MATERIALIZED (
         SELECT vec_id AS cent_id, embedding AS centv FROM embeddings WHERE vec_id < 8
     ),
-    cells AS (
-        SELECT neighbor_id, cv, cent_id AS cell FROM (
-            SELECT c.vec_id AS neighbor_id, c.embedding AS cv, cent.cent_id,
-                   row_number() OVER (PARTITION BY c.vec_id
-                                      ORDER BY {_sql_cosine('c.embedding', 'cent.centv', _EMB_DIM_VEC)} DESC,
-                                               cent.cent_id) AS crank
-            FROM embeddings c CROSS JOIN cent
+    cellsc AS (
+        SELECT c.vec_id, cent.cent_id,
+               {_sql_cosine('c.embedding', 'cent.centv', _EMB_DIM_VEC)} AS cs
+        FROM embeddings c CROSS JOIN cent
+    ),
+    cells AS MATERIALIZED (
+        SELECT vec_id AS neighbor_id, cell FROM (
+            SELECT vec_id, cent_id AS cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cs DESC, cent_id) AS crank
+            FROM cellsc
         ) WHERE crank = 1
     ),
-    probes AS (
-        SELECT query_id, qv, cent_id AS cell FROM (
-            SELECT q.vec_id AS query_id, q.embedding AS qv, cent.cent_id,
-                   row_number() OVER (PARTITION BY q.vec_id
-                                      ORDER BY {_sql_cosine('q.embedding', 'cent.centv', _EMB_DIM_VEC)} DESC,
-                                               cent.cent_id) AS crank
-            FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 5
+    probes AS MATERIALIZED (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cent_id AS cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cs DESC, cent_id) AS crank
+            FROM cellsc WHERE vec_id < 5
         ) WHERE crank <= 3
     ),
     scored AS (
         SELECT DISTINCT p.query_id, c.neighbor_id,
-               {_sql_cosine('p.qv', 'c.cv', _EMB_DIM_VEC)} AS raw_sim
+               {_sql_cosine('q.embedding', 'n.embedding', _EMB_DIM_VEC)} AS raw_sim
         FROM probes p JOIN cells c ON p.cell = c.cell
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings n ON n.vec_id = c.neighbor_id
         WHERE p.query_id <> c.neighbor_id
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
@@ -963,10 +972,23 @@ def _sql_kmeans_cents(
     identical despite different summation orders). ``src`` is the TRAINING
     relation (any table or parenthesized subquery with vec_id/embedding) —
     the frozen-codebook append oracle trains on the build-time half of the
-    corpus while encoding all of it."""
+    corpus while encoding all of it.
+
+    Memory posture (r14, driver-OOM fix): every CTE is ``MATERIALIZED`` —
+    DuckDB inlines plain CTEs per reference, and ``cent{n}`` is referenced
+    twice by every consumer (cells + probes), which re-evaluated the whole
+    Lloyd chain per reference (measured: 25-40k anonymous mmaps peak /
+    7-16k RETAINED per run on a long-lived connection — the map-count
+    exhaustion behind the driver's "Failed to allocate block" OOM; see
+    scripts/oracle_mem_probe.py). The assignment windows also carry ONLY
+    scalars (vec_id, cent_id, cosine-in-a-projection) and the centroid
+    mean joins the embeddings back by id, so no window/sort materializes
+    64-double list payloads. Same arithmetic: identical cosine expression,
+    identical tie-break, identical 6-decimal rounding — rows verified
+    bit-identical at sf0.001/0.01/0.1 against the old spelling."""
     k_expr = seed_sql if seed_sql is not None else str(n_centroids)
     frags = [
-        f"""cent0 AS (SELECT vec_id AS cent_id,
+        f"""cent0 AS MATERIALIZED (SELECT vec_id AS cent_id,
         list_transform(embedding, x -> x::DOUBLE) AS centv
         FROM (SELECT vec_id, embedding,
                      row_number() OVER (ORDER BY vec_id) AS rn FROM {src})
@@ -975,21 +997,23 @@ def _sql_kmeans_cents(
     for it in range(1, n_iters + 1):
         prev = f"cent{it - 1}"
         frags.append(
-            f"""assign{it} AS (
-        SELECT v, cell FROM (
-            SELECT e.embedding AS v, c.cent_id AS cell,
-                   row_number() OVER (PARTITION BY e.vec_id
-                                      ORDER BY {_sql_cosine('e.embedding', 'c.centv', _EMB_DIM_VEC)} DESC,
-                                               c.cent_id) AS crank
-            FROM {src} e CROSS JOIN {prev} c
+            f"""assign{it} AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cent_id AS cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cs DESC, cent_id) AS crank
+            FROM (SELECT e.vec_id, c.cent_id,
+                         {_sql_cosine('e.embedding', 'c.centv', _EMB_DIM_VEC)} AS cs
+                  FROM {src} e CROSS JOIN {prev} c)
         ) WHERE crank = 1
     )"""
         )
         frags.append(
-            f"""cent{it} AS (
+            f"""cent{it} AS MATERIALIZED (
         SELECT cell AS cent_id, list(m ORDER BY pos) AS centv FROM (
-            SELECT a.cell, t.i AS pos, round(avg(a.v[t.i]::DOUBLE), 6) AS m
-            FROM assign{it} a CROSS JOIN range(1, {dim + 1}) t(i)
+            SELECT a.cell, t.i AS pos, round(avg(e.embedding[t.i]::DOUBLE), 6) AS m
+            FROM assign{it} a JOIN {src} e ON e.vec_id = a.vec_id
+            CROSS JOIN range(1, {dim + 1}) t(i)
             GROUP BY a.cell, t.i
         ) GROUP BY cell
     )"""
@@ -1014,29 +1038,40 @@ _SD_CENTS, _SD_FINAL = _sql_kmeans_cents(
 @query(
     "ann_topk_ivf_trained",
     f"""
+    -- r14 memory-bounded spelling (driver-OOM fix — same fixes as
+    -- _sql_kmeans_cents): one shared MATERIALIZED cosine projection feeds
+    -- both the cell-assignment and probe windows as scalars; embeddings
+    -- join back by id for the exact rescoring, so no window carries
+    -- 64-double lists and no CTE tree is inlined twice. Rows verified
+    -- bit-identical to the r13 spelling at sf0.001/0.01/0.1.
     WITH {_KM_CENTS},
-    cells AS (
-        SELECT neighbor_id, cv, cent_id AS cell FROM (
-            SELECT c.vec_id AS neighbor_id, c.embedding AS cv, cent.cent_id,
-                   row_number() OVER (PARTITION BY c.vec_id
-                                      ORDER BY {_sql_cosine('c.embedding', 'cent.centv', _EMB_DIM_VEC)} DESC,
-                                               cent.cent_id) AS crank
-            FROM embeddings c CROSS JOIN {_KM_FINAL} cent
+    cellsc AS (
+        SELECT c.vec_id, cent.cent_id,
+               {_sql_cosine('c.embedding', 'cent.centv', _EMB_DIM_VEC)} AS cs
+        FROM embeddings c CROSS JOIN {_KM_FINAL} cent
+    ),
+    cells AS MATERIALIZED (
+        SELECT vec_id AS neighbor_id, cell FROM (
+            SELECT vec_id, cent_id AS cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cs DESC, cent_id) AS crank
+            FROM cellsc
         ) WHERE crank = 1
     ),
-    probes AS (
-        SELECT query_id, qv, cent_id AS cell FROM (
-            SELECT q.vec_id AS query_id, q.embedding AS qv, cent.cent_id,
-                   row_number() OVER (PARTITION BY q.vec_id
-                                      ORDER BY {_sql_cosine('q.embedding', 'cent.centv', _EMB_DIM_VEC)} DESC,
-                                               cent.cent_id) AS crank
-            FROM embeddings q CROSS JOIN {_KM_FINAL} cent WHERE q.vec_id < 5
+    probes AS MATERIALIZED (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cent_id AS cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cs DESC, cent_id) AS crank
+            FROM cellsc WHERE vec_id < 5
         ) WHERE crank <= 3
     ),
     scored AS (
         SELECT DISTINCT p.query_id, c.neighbor_id,
-               {_sql_cosine('p.qv', 'c.cv', _EMB_DIM_VEC)} AS raw_sim
+               {_sql_cosine('q.embedding', 'n.embedding', _EMB_DIM_VEC)} AS raw_sim
         FROM probes p JOIN cells c ON p.cell = c.cell
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings n ON n.vec_id = c.neighbor_id
         WHERE p.query_id <> c.neighbor_id
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
@@ -2000,6 +2035,12 @@ def _sql_l2sq(a: str, b: str, n: int) -> str:
 
 
 def _sql_pq(m: int, n_centroids: int, dim: int, n_queries: int, k: int) -> str:
+    # r14 memory-bounded spelling (see _sql_kmeans_cents): the assignment/
+    # encode windows see only scalars (id, cid, distance-in-a-projection),
+    # the centroid means index the base embedding directly, and the exact
+    # rescoring joins embeddings back by id — no window materializes list
+    # payloads. Same arithmetic (identical unrolled l2/cosine expressions,
+    # tie-breaks, 6-decimal rounding); rows verified bit-identical at 3 SFs.
     subdim = dim // m
     frags = []
     for s in range(m):
@@ -2011,26 +2052,30 @@ def _sql_pq(m: int, n_centroids: int, dim: int, n_queries: int, k: int) -> str:
              list_transform(embedding[{lo}:{hi}], x -> x::DOUBLE) AS centv
       FROM embeddings WHERE vec_id < {n_centroids}),
     asg{s} AS MATERIALIZED (
-      SELECT v, cell FROM (
-        SELECT list_transform({sl}, x -> x::DOUBLE) AS v, sd.cid AS cell,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY round({_sql_l2sq(sl, 'sd.centv', subdim)}, 6),
-                                           sd.cid) AS rk
-        FROM embeddings e CROSS JOIN seeds{s} sd
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cid AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cid) AS rk
+        FROM (SELECT e.vec_id, sd.cid,
+                     round({_sql_l2sq(sl, 'sd.centv', subdim)}, 6) AS d
+              FROM embeddings e CROSS JOIN seeds{s} sd)
       ) WHERE rk = 1),
     cent{s} AS MATERIALIZED (
       SELECT cell AS cid, list(mv ORDER BY pos) AS centv FROM (
-        SELECT a.cell, t.i AS pos, round(avg(a.v[t.i]), 6) AS mv
-        FROM asg{s} a CROSS JOIN range(1, {subdim + 1}) t(i)
+        SELECT a.cell, t.i AS pos,
+               round(avg(e.embedding[{lo - 1} + t.i]::DOUBLE), 6) AS mv
+        FROM asg{s} a JOIN embeddings e ON e.vec_id = a.vec_id
+        CROSS JOIN range(1, {subdim + 1}) t(i)
         GROUP BY a.cell, t.i
       ) GROUP BY cell),
     code{s} AS MATERIALIZED (
-      SELECT neighbor_id, cv, cid AS c FROM (
-        SELECT e.vec_id AS neighbor_id, e.embedding AS cv, ct.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY round({_sql_l2sq(sl, 'ct.centv', subdim)}, 6),
-                                           ct.cid) AS rk
-        FROM embeddings e CROSS JOIN cent{s} ct
+      SELECT neighbor_id, c FROM (
+        SELECT vec_id AS neighbor_id, cid AS c,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cid) AS rk
+        FROM (SELECT e.vec_id, ct.cid,
+                     round({_sql_l2sq(sl, 'ct.centv', subdim)}, 6) AS d
+              FROM embeddings e CROSS JOIN cent{s} ct)
       ) WHERE rk = 1)""")
     d_terms = []
     joins = ["FROM q CROSS JOIN code0 c0"]
@@ -2053,8 +2098,9 @@ def _sql_pq(m: int, n_centroids: int, dim: int, n_queries: int, k: int) -> str:
     scored AS (
       SELECT q.query_id, c0.neighbor_id,
              {adc} AS adc_raw,
-             {_sql_cosine('q.qv', 'c0.cv', _EMB_DIM_VEC)} AS raw_sim
+             {_sql_cosine('q.qv', 'nb.embedding', _EMB_DIM_VEC)} AS raw_sim
       {' '.join(joins)}
+      JOIN embeddings nb ON nb.vec_id = c0.neighbor_id
       WHERE q.query_id <> c0.neighbor_id)
     SELECT query_id, neighbor_id,
            round(adc_raw, 6) + 0 AS adc_dist,
@@ -2117,50 +2163,64 @@ def _sql_ivfpq_code_frags(
     km_frags, km_final = _sql_kmeans_cents(
         n_centroids=n_coarse, n_iters=coarse_iters, dim=dim, src=train_src
     )
+    # r14 memory-bounded spelling (see _sql_kmeans_cents): every window
+    # ranks scalars over a distance/cosine computed in a projection, the
+    # residual corpus is rebuilt by id-join instead of carried through the
+    # assignment window, and the PQ training-seed rank is ONE shared
+    # ORDER BY vec_id LIMIT (not one windowed list-slice pass per
+    # subspace). Same arithmetic everywhere; rows verified bit-identical
+    # at sf0.001/0.01/0.1 for all seven consumers.
     frags = [
         km_frags,
-        f"""rescorp AS MATERIALIZED (
-      SELECT vec_id, cv, cell,
+        f"""rescell AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cent_id AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cent_id) AS rk
+        FROM (SELECT e.vec_id, c.cent_id,
+                     {_sql_cosine('e.embedding', 'c.centv', _EMB_DIM_VEC)} AS cs
+              FROM embeddings e CROSS JOIN {km_final} c)
+      ) WHERE rk = 1),
+    rescorp AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding AS cv, a.cell,
              list_transform(range(1, {dim + 1}),
-                            i -> cv[i]::DOUBLE - centv[i]) AS rv
-      FROM (
-        SELECT e.vec_id, e.embedding AS cv, c.cent_id AS cell, c.centv,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {_sql_cosine('e.embedding', 'c.centv', _EMB_DIM_VEC)} DESC,
-                                           c.cent_id) AS rk
-        FROM embeddings e CROSS JOIN {km_final} c
-      ) WHERE rk = 1)"""
+                            i -> e.embedding[i]::DOUBLE - c.centv[i]) AS rv
+      FROM rescell a JOIN embeddings e ON e.vec_id = a.vec_id
+      JOIN {km_final} c ON c.cent_id = a.cell),
+    pqtrain AS MATERIALIZED (
+      SELECT vec_id FROM {rescorp_train} ORDER BY vec_id LIMIT {n_centroids})"""
     ]
     for s in range(m):
         lo, hi = s * subdim + 1, (s + 1) * subdim
         sl = f"r.rv[{lo}:{hi}]"
         frags.append(f"""
     pqseeds{s} AS MATERIALIZED (
-      SELECT cid, centv FROM (
-        SELECT vec_id AS cid, rv[{lo}:{hi}] AS centv,
-               row_number() OVER (ORDER BY vec_id) AS rn FROM {rescorp_train}
-      ) WHERE rn <= {n_centroids}),
+      SELECT r.vec_id AS cid, r.rv[{lo}:{hi}] AS centv
+      FROM {rescorp_train} r JOIN pqtrain k ON k.vec_id = r.vec_id),
     pqasg{s} AS MATERIALIZED (
-      SELECT v, cell FROM (
-        SELECT {sl} AS v, sd.cid AS cell,
-               row_number() OVER (PARTITION BY r.vec_id
-                                  ORDER BY round({_sql_l2sq(sl, 'sd.centv', subdim)}, 6),
-                                           sd.cid) AS rk
-        FROM {rescorp_train} r CROSS JOIN pqseeds{s} sd
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cid AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cid) AS rk
+        FROM (SELECT r.vec_id, sd.cid,
+                     round({_sql_l2sq(sl, 'sd.centv', subdim)}, 6) AS d
+              FROM {rescorp_train} r CROSS JOIN pqseeds{s} sd)
       ) WHERE rk = 1),
     pqcent{s} AS MATERIALIZED (
       SELECT cell AS cid, list(mv ORDER BY pos) AS centv FROM (
-        SELECT a.cell, t.i AS pos, round(avg(a.v[t.i]), 6) AS mv
-        FROM pqasg{s} a CROSS JOIN range(1, {subdim + 1}) t(i)
+        SELECT a.cell, t.i AS pos, round(avg(r.rv[{lo - 1} + t.i]), 6) AS mv
+        FROM pqasg{s} a JOIN {rescorp_train} r ON r.vec_id = a.vec_id
+        CROSS JOIN range(1, {subdim + 1}) t(i)
         GROUP BY a.cell, t.i
       ) GROUP BY cell),
     pqcode{s} AS MATERIALIZED (
-      SELECT vec_id, cid AS c FROM (
-        SELECT r.vec_id, ct.cid,
-               row_number() OVER (PARTITION BY r.vec_id
-                                  ORDER BY round({_sql_l2sq(sl, 'ct.centv', subdim)}, 6),
-                                           ct.cid) AS rk
-        FROM rescorp r CROSS JOIN pqcent{s} ct
+      SELECT vec_id, c FROM (
+        SELECT vec_id, cid AS c,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cid) AS rk
+        FROM (SELECT r.vec_id, ct.cid,
+                     round({_sql_l2sq(sl, 'ct.centv', subdim)}, 6) AS d
+              FROM rescorp r CROSS JOIN pqcent{s} ct)
       ) WHERE rk = 1)""")
     code_joins = " ".join(
         f"JOIN pqcode{s} c{s} ON c{s}.vec_id = r.vec_id" for s in range(m)
@@ -2200,18 +2260,22 @@ def _sql_ivfpq(
     codes AS MATERIALIZED (
       SELECT r.vec_id, r.cv, r.cell, {code_cols}
       FROM rescorp r {code_joins}),
-    probes AS MATERIALIZED (
-      SELECT query_id, qv, cell,
-             list_transform(range(1, {dim + 1}),
-                            i -> qv[i]::DOUBLE - centv[i]) AS qr
-      FROM (
-        SELECT q.vec_id AS query_id, q.embedding AS qv,
-               c.cent_id AS cell, c.centv,
-               row_number() OVER (PARTITION BY q.vec_id
-                                  ORDER BY {_sql_cosine('q.embedding', 'c.centv', _EMB_DIM_VEC)} DESC,
-                                           c.cent_id) AS rk
-        FROM embeddings q CROSS JOIN {km_final} c WHERE q.vec_id < {n_queries}
+    probecell AS MATERIALIZED (
+      SELECT query_id, cell FROM (
+        SELECT vec_id AS query_id, cent_id AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cent_id) AS rk
+        FROM (SELECT q.vec_id, c.cent_id,
+                     {_sql_cosine('q.embedding', 'c.centv', _EMB_DIM_VEC)} AS cs
+              FROM embeddings q CROSS JOIN {km_final} c
+              WHERE q.vec_id < {n_queries})
       ) WHERE rk <= {n_probe}),
+    probes AS MATERIALIZED (
+      SELECT p.query_id, q.embedding AS qv, p.cell,
+             list_transform(range(1, {dim + 1}),
+                            i -> q.embedding[i]::DOUBLE - c.centv[i]) AS qr
+      FROM probecell p JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN {km_final} c ON c.cent_id = p.cell),
     scored AS (
       SELECT q.query_id, cd.vec_id AS neighbor_id,
              {adc} AS adc_raw,
@@ -2973,19 +3037,26 @@ def lsh_index_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- clamp(ceil(n/64), 8, 4096) — the paper scales k with the corpus so
     -- mean cell size stays bounded), then mark within-cluster lower-id
     -- near-duplicates; survivors keep=true
+    -- r14 memory-bounded spelling (same fixes as _sql_kmeans_cents): the
+    -- assignment window sees only scalars and the within-cell cosine
+    -- verification joins embeddings back by id — no window/join payload
+    -- carries 64-double lists. Rows verified bit-identical at 3 SFs.
     WITH {_SD_CENTS},
     sd_cells AS MATERIALIZED (
-      SELECT vid, v, cell FROM (
-        SELECT e.vec_id AS vid, e.embedding AS v, c.cent_id AS cell,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {_sql_cosine('e.embedding', 'c.centv', _EMB_DIM_VEC)} DESC,
-                                           c.cent_id) AS crank
-        FROM embeddings e CROSS JOIN {_SD_FINAL} c
+      SELECT vec_id AS vid, cell FROM (
+        SELECT vec_id, cent_id AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cent_id) AS crank
+        FROM (SELECT e.vec_id, c.cent_id,
+                     {_sql_cosine('e.embedding', 'c.centv', _EMB_DIM_VEC)} AS cs
+              FROM embeddings e CROSS JOIN {_SD_FINAL} c)
       ) WHERE crank = 1),
     sd_dups AS MATERIALIZED (
       SELECT DISTINCT b.vid
       FROM sd_cells a JOIN sd_cells b ON a.cell = b.cell AND a.vid < b.vid
-      WHERE round({_sql_cosine('a.v', 'b.v', _EMB_DIM_VEC)}, 6) + 0 >= 0.3)
+      JOIN embeddings ea ON ea.vec_id = a.vid
+      JOIN embeddings eb ON eb.vec_id = b.vid
+      WHERE round({_sql_cosine('ea.embedding', 'eb.embedding', _EMB_DIM_VEC)}, 6) + 0 >= 0.3)
     SELECT c.vid AS vec_id, c.cell, (d.vid IS NULL) AS keep
     FROM sd_cells c LEFT JOIN sd_dups d ON d.vid = c.vid
     """,
