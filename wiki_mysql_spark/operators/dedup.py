@@ -104,44 +104,70 @@ def minhash_signatures(
 def _minhash_shingles_and_bands(base: DataFrame) -> tuple[DataFrame, DataFrame]:
     """The shared front half of every minhash path: the distinct-shingle
     sets (doc_id, sh) and the banded signature rows (doc_id, band, v0, v1)
-    for a (doc_id, text) frame. Shingle once (lazy-checkpointed; signatures
-    AND any verification join read it — tokenize into a column first, see
-    shingles_of on why inlining is slow); hash each shingle once; fold the
-    k min() aggregates map-side. No sentinel rows for shingle-less docs
-    (unlike minhash_signatures): they have no signature rows, which only
-    removes the empty-vs-empty candidates that Jaccard verification would
-    NULL out anyway. Used by the batch self-join (minhash_lsh_pairs) and
-    the persisted-index build/query paths — one definition point, so the
-    incremental index can never hash differently than the batch dedup."""
-    sh = (
+    for a (doc_id, text) frame. Used by the batch self-join
+    (minhash_lsh_pairs) and the persisted-index build/query paths — one
+    definition point, so the incremental index can never hash differently
+    than the batch dedup.
+
+    SHUFFLE-FREE signatures (r14, guide §2.4): each minhash is
+    ``array_min(transform(hv, h -> (a*h + b) % P))`` over the per-doc
+    shingle-hash array — integer-identical to the old
+    explode -> groupBy(16 min() aggs) spelling (same md5-once hashing, same
+    affine fold, min over the same set) but computed in one map-side
+    projection, so the signature stage has NO Exchange at any scale. It
+    also collapses the two lazy checkpoints (shingles, banded signatures)
+    into ONE frame carrying (doc_id, sh, mh0..mh15): the verification join
+    reads ``sh`` and the band explode derives from the mh columns, both off
+    the same materialization — one plan-analysis pass and one checkpoint
+    job instead of two (the r13 verdict's "stage floor" item). Shingle-less
+    docs (<3 words) keep their sh row but are filtered from the band rows
+    (mh would be NULL), exactly the old no-signature-rows semantics: that
+    only removes the empty-vs-empty candidates Jaccard verification would
+    NULL out anyway."""
+    sh_sig = (
         base.select("doc_id", words(F.col("text")).alias("ws"))
-        .select("doc_id", F.array_distinct(shingles_of(F.col("ws"), 3)).alias("sh"))
+        .select(
+            "doc_id", F.array_distinct(shingles_of(F.col("ws"), 3)).alias("sh")
+        )
+        .select(
+            "doc_id",
+            "sh",
+            F.transform("sh", lambda s: hash64(s) % HASH_PRIME).alias("hv"),
+        )
+        .select(
+            "doc_id",
+            "sh",
+            *[
+                F.array_min(
+                    F.transform(
+                        "hv", lambda h: (F.lit(a) * h + F.lit(b)) % HASH_PRIME
+                    )
+                ).alias(f"mh{i}")
+                for i, (a, b) in enumerate(MINHASH_PARAMS)
+            ],
+        )
         .localCheckpoint(eager=False)
     )
-    hashed = sh.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", (hash64(F.col("s")) % HASH_PRIME).alias("h")
+    sh = sh_sig.select("doc_id", "sh")
+    bands = (
+        sh_sig.where(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.col(f"mh{2 * b}").alias("v0"),
+                            F.col(f"mh{2 * b + 1}").alias("v1"),
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("doc_id", "bk.band", "bk.v0", "bk.v1")
     )
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_PRIME).alias(f"mh{i}")
-            for i, (a, b) in enumerate(MINHASH_PARAMS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.col(f"mh{2 * b}").alias("v0"),
-                        F.col(f"mh{2 * b + 1}").alias("v1"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.v0", "bk.v1")
     return sh, bands
 
 
@@ -519,9 +545,11 @@ def minhash_index_query(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     sh_q, bands_q = _minhash_shingles_and_bands(base_q)
-    qb = bands_q.withColumn("bk", _minhash_bk()).localCheckpoint(
-        eager=False
-    )  # reused: probed collect + band join
+    # no checkpoint of its own: the band rows are a trivial explode off the
+    # checkpointed (sh, mh0..15) frame inside _minhash_shingles_and_bands,
+    # so the probe collect and the band join just re-derive them from that
+    # one materialization (r14 — one planning pass + one checkpoint fewer)
+    qb = bands_q.withColumn("bk", _minhash_bk())
     by_band: dict[int, set[int]] = {}
     for r in qb.select("band", "bk").distinct().collect():
         by_band.setdefault(int(r["band"]), set()).add(int(r["bk"]))
