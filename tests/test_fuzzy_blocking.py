@@ -174,11 +174,15 @@ def test_comparison_work_bounded_by_distinct_names(spark):
     assert max_block * 50 < row_block, (max_block, row_block)
 
 
-def test_connected_components_raises_when_unconverged(spark):
+def test_connected_components_raises_when_unconverged(spark, monkeypatch):
     """ADVICE r5: a component whose contracted diameter exceeds max_rounds
-    must FAIL LOUDLY, not return silently-wrong labels."""
+    must FAIL LOUDLY, not return silently-wrong labels. The r14 driver-side
+    union-find gate is forced OFF (edge bound 0) so this pins the
+    DISTRIBUTED propagation's divergence guard."""
+    from wiki_mysql_spark.operators import graph
     from wiki_mysql_spark.operators.graph import connected_components
 
+    monkeypatch.setattr(graph, "_CC_DRIVER_EDGE_ROWS", 0)
     # strictly descending path 100 -> 99 -> ... -> 0: every node's 1-hop
     # minimum is its successor, so small-star contraction cannot shorten
     # it — propagation needs ~n rounds to reach 0
@@ -197,6 +201,38 @@ def test_connected_components_raises_when_unconverged(spark):
     ok = connected_components(short, max_rounds=32)
     labels = {r["node"]: r["label"] for r in ok.collect()}
     assert set(labels.values()) == {0}
+
+
+def test_connected_components_driver_gate_parity(spark, monkeypatch):
+    """r14 gate equivalence: the driver-side union-find and the distributed
+    small-star + min-label propagation must produce IDENTICAL (node, label)
+    rows — chain, cycle, self-loop, two components, both edge directions."""
+    from wiki_mysql_spark.operators import graph
+    from wiki_mysql_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            (5, 4), (4, 3),          # chain, reversed direction
+            (10, 11), (11, 12), (12, 10),  # cycle
+            (20, 20),                # self-loop singleton
+            (31, 30),                # separate component
+        ],
+        "src long, dst long",
+    )
+    got_driver = {
+        (r["node"], r["label"]) for r in connected_components(edges).collect()
+    }
+    monkeypatch.setattr(graph, "_CC_DRIVER_EDGE_ROWS", 0)
+    got_dist = {
+        (r["node"], r["label"]) for r in connected_components(edges).collect()
+    }
+    assert got_driver == got_dist
+    assert got_driver == {
+        (3, 3), (4, 3), (5, 3),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20),
+        (30, 30), (31, 30),
+    }
 
 
 def _lev(a: str, b: str) -> int:

@@ -20,6 +20,8 @@ the simple propagation wins because its per-round shuffle is smaller.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -137,6 +139,49 @@ def pagerank(
     return ranks
 
 
+# Edge-row bound for the driver-side connected-components gate: at or
+# under this many RAW edge rows the whole edge set collects to the driver
+# and components come from an exact union-find (min-id representative —
+# identical labels to the propagation below). Two longs per edge -> the
+# bound caps the collect at a few tens of MB of driver memory by
+# construction. The dup-cluster graphs this operator exists for are
+# CONTRACTED name/candidate graphs (dedup_fuzzy_clusters: 64 nodes at sf1
+# over a bounded vocabulary), where a distributed fixpoint pays ~30 job
+# barriers to label a graph that fits in one page — the same byte-gated
+# driver-twin posture as kmeans_codebook/_fits_driver. Past the bound the
+# small-star + min-label propagation below runs unchanged.
+_CC_DRIVER_EDGE_ROWS = int(
+    os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", str(1 << 18))
+)
+
+
+def _cc_union_find(pairs) -> dict[int, int]:
+    """Exact driver-side components: min-id-rooted union-find. Returns
+    node -> min reachable node id, for every node in any pair."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # smaller id stays the root, so every root IS its component's
+            # minimum — the same label min-label propagation converges to
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -152,10 +197,29 @@ def connected_components(
     components and are not emitted (callers union them back if needed).
     ``max_rounds`` bounds divergence on adversarial graphs; propagation
     normally exits at the fixpoint (a round with zero label changes).
+
+    Strategy is DATA-DRIVEN (r14): one bounded ``limit(N+1).collect()``
+    probe fetches the edge set, and when it fits
+    (:data:`_CC_DRIVER_EDGE_ROWS`) the labels come from an exact
+    driver-side union-find — same (node, label) rows, ~3 jobs instead of
+    ~30 fixpoint barriers. The probe doubles as the data fetch, so the
+    gate costs no extra job; an over-limit graph pays one truncated
+    limit-scan and takes the distributed path below.
     """
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
+    spark = edges.sparkSession
+    probe = e.limit(_CC_DRIVER_EDGE_ROWS + 1).collect()
+    if len(probe) <= _CC_DRIVER_EDGE_ROWS:
+        labels = _cc_union_find(
+            (r["a"], r["b"])
+            for r in probe
+            if r["a"] is not None and r["b"] is not None
+        )
+        return spark.createDataFrame(
+            list(labels.items()), schema="node long, label long"
+        )
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
