@@ -284,6 +284,7 @@ def minhash_index_build(
         _fs_write_text,
         _index_child,
         _index_clear_tombstones,
+        _layout_schema,
         _layout_write_partitions,
     )
 
@@ -300,15 +301,20 @@ def minhash_index_build(
     ).option("compression", "zstd").partitionBy("band", "bk").parquet(
         _index_child(path, "bands")
     )
+    # one inference read-back pins the layout schema into the header, so
+    # every later read of this root skips the footer-inference job
+    idx = spark.read.parquet(_index_child(path, "bands"))
+    meta = _minhash_scheme()
+    meta["schema"] = _layout_schema(idx)
     _fs_write_text(
         spark,
         _index_child(path, "meta.json"),
-        json.dumps(_minhash_scheme()),
+        json.dumps(meta),
     )
     # a prior generation's tombstones must not suppress rebuilt docs —
     # tombstones belong to the data files they were issued against
     _index_clear_tombstones(spark, path)
-    return spark.read.parquet(_index_child(path, "bands"))
+    return idx
 
 
 def minhash_index_init(spark, path: str) -> None:
@@ -400,11 +406,12 @@ def minhash_index_autocompact(
     )
 
 
-def _minhash_meta_check(spark, path: str) -> None:
+def _minhash_meta_check(spark, path: str) -> dict:
     """Fail loudly if the index header's scheme parameters don't match
     this module's frozen constants — a mismatched module would silently
     hash the same text to different signatures and every query would
-    return nothing."""
+    return nothing. Returns the parsed header so callers reuse it (e.g.
+    the pinned layout schema) without a second driver-side read."""
     import json
 
     from wiki_mysql_spark.operators.similarity import (
@@ -421,6 +428,7 @@ def _minhash_meta_check(spark, path: str) -> None:
             f"module expects {want} — rebuild the index or use the build's "
             "module version"
         )
+    return meta
 
 
 def minhash_index_append(
@@ -455,7 +463,7 @@ def minhash_index_append(
             "subsequent read — run minhash_index_compact first, or ingest "
             "this batch via minhash_index_write_delta"
         )
-    _minhash_meta_check(spark, path)
+    meta = _minhash_meta_check(spark, path)
     rows = _minhash_index_rows(docs, id_col, text_col)
     rows.repartition(
         _layout_write_partitions(
@@ -468,7 +476,9 @@ def minhash_index_append(
     ).option("compression", "zstd").partitionBy("band", "bk").parquet(
         _index_child(path, "bands")
     )
-    return spark.read.parquet(_index_child(path, "bands"))
+    from wiki_mysql_spark.operators.similarity import _read_layout
+
+    return _read_layout(spark, path, "bands", meta)
 
 
 def minhash_index_delete(spark, path: str, ids) -> None:
@@ -495,9 +505,17 @@ def minhash_index_read(spark, path: str) -> DataFrame:
     minus tombstoned doc_ids — what :func:`minhash_index_query` actually
     collides the batch against, and the frame the health surface
     (``minhash_index_stats``) describes."""
-    from wiki_mysql_spark.operators.similarity import _index_child, _live_rows
+    import json
 
-    rows = spark.read.parquet(_index_child(path, "bands"))
+    from wiki_mysql_spark.operators.similarity import (
+        _fs_read_text,
+        _index_child,
+        _live_rows,
+        _read_layout,
+    )
+
+    meta = json.loads(_fs_read_text(spark, _index_child(path, "meta.json")))
+    rows = _read_layout(spark, path, "bands", meta)
     if "batch" in rows.columns:
         rows = rows.drop("batch")
     rows = rows.select(
@@ -537,9 +555,9 @@ def minhash_index_query(
     text is fetched ONLY for the candidate doc_indexed ids (semi-join
     before shingling), so at 100 TB verification reads the few colliding
     documents, not the corpus."""
-    _minhash_meta_check(spark, path)
+    meta = _minhash_meta_check(spark, path)
 
-    from wiki_mysql_spark.operators.similarity import _index_child
+    from wiki_mysql_spark.operators.similarity import _read_layout
 
     base_q = new_docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
@@ -559,7 +577,7 @@ def minhash_index_query(
         pred = clause if pred is None else (pred | clause)
     if pred is None:  # empty batch: nothing to dedup
         pred = F.lit(False)
-    scan = spark.read.parquet(_index_child(path, "bands")).where(pred)
+    scan = _read_layout(spark, path, "bands", meta).where(pred)
     if "batch" in scan.columns:
         # stream-ingested root: a batch=<id> delta layer rides above the
         # (band, bk) layout (minhash_index_write_delta) — pruning on the

@@ -863,16 +863,19 @@ def lsh_index_build(
     ).option("compression", "zstd").partitionBy("tbl", "bucket").parquet(
         _index_child(path, "buckets")
     )
+    # one inference read-back pins the layout schema into the header, so
+    # every later read of this root skips the footer-inference job
+    idx = spark.read.parquet(_index_child(path, "buckets"))
     _fs_write_text(
         spark,
         _index_child(path, "meta.json"),
         json.dumps(
             {"dim": dim, "n_planes": n_planes, "seed": seed,
-             "n_tables": n_tables}
+             "n_tables": n_tables, "schema": _layout_schema(idx)}
         ),
     )
     _index_clear_tombstones(spark, path)
-    return spark.read.parquet(_index_child(path, "buckets"))
+    return idx
 
 
 def lsh_index_init(
@@ -1011,7 +1014,7 @@ def lsh_index_append(
     ).option("compression", "zstd").partitionBy("tbl", "bucket").parquet(
         _index_child(path, "buckets")
     )
-    return spark.read.parquet(_index_child(path, "buckets"))
+    return _read_layout(spark, path, "buckets", meta)
 
 
 def _index_delete(
@@ -1120,7 +1123,9 @@ def _live_rows(spark, rows: DataFrame, path: str, id_name: str) -> DataFrame:
     tpath = _index_child(path, "tombstones")
     if not _fs_exists(spark, tpath):
         return rows
-    tombs = spark.read.parquet(tpath).select(
+    # schema pinned statically: _index_delete always writes one long id
+    # column — skips the footer schema-inference job every read would pay
+    tombs = spark.read.schema(f"{id_name} long").parquet(tpath).select(
         F.col(id_name).cast("long").alias("__dead_id")
     )
     size = _FS_BYTES_CACHE.get(tpath)
@@ -1139,7 +1144,10 @@ def _live_rows(spark, rows: DataFrame, path: str, id_name: str) -> DataFrame:
 def lsh_index_read(spark, path: str) -> DataFrame:
     """The LIVE rows of a persisted LSH index: the bucket table minus any
     tombstoned ids — what the query path actually scores against."""
-    rows = spark.read.parquet(_index_child(path, "buckets")).select(
+    import json
+
+    meta = json.loads(_fs_read_text(spark, _index_child(path, "meta.json")))
+    rows = _read_layout(spark, path, "buckets", meta).select(
         "neighbor_id",
         "cv",
         F.col("tbl").cast("long").alias("tbl"),
@@ -1152,7 +1160,10 @@ def ivfpq_index_read(spark, path: str) -> DataFrame:
     """The LIVE rows of a persisted IVFADC index: the code table (any
     streamed batch= delta layer dropped) minus tombstoned ids — what the
     query path actually ranks against."""
-    rows = spark.read.parquet(_index_child(path, "codes"))
+    import json
+
+    meta = json.loads(_fs_read_text(spark, _index_child(path, "meta.json")))
+    rows = _read_layout(spark, path, "codes", meta)
     if "batch" in rows.columns:
         rows = rows.drop("batch")
     rows = rows.withColumn("cell", F.col("cell").cast("long"))
@@ -1255,8 +1266,10 @@ def _index_compact(
     (:func:`_index_delete`) are dropped during the rewrite and the
     tombstone set is NOT copied to the new root — the merge-on-read debt
     is settled."""
-    meta = _fs_read_text(spark, _index_child(src_path, "meta.json"))
-    rows = spark.read.parquet(_index_child(src_path, subdir))
+    import json
+
+    meta = json.loads(_fs_read_text(spark, _index_child(src_path, "meta.json")))
+    rows = _read_layout(spark, src_path, subdir, meta)
     if "batch" in rows.columns:
         # a stream-ingested index carries a batch=<id> delta layer above
         # the layout columns (lsh_index_write_delta); compaction is
@@ -1270,8 +1283,15 @@ def _index_compact(
     ).option("compression", "zstd").partitionBy(*partition_cols).parquet(
         _index_child(dst_path, subdir)
     )
-    _fs_write_text(spark, _index_child(dst_path, "meta.json"), meta)
-    return spark.read.parquet(_index_child(dst_path, subdir))
+    # (re)pin the layout schema from the compacted root's read-back: the
+    # header rides verbatim except the schema key, so a root built before
+    # the pin gains it at its first compaction
+    idx = spark.read.parquet(_index_child(dst_path, subdir))
+    meta["schema"] = _layout_schema(idx)
+    _fs_write_text(
+        spark, _index_child(dst_path, "meta.json"), json.dumps(meta)
+    )
+    return idx
 
 
 def lsh_index_compact(spark, src_path: str, dst_path: str) -> DataFrame:
@@ -1432,7 +1452,7 @@ def lsh_index_query(
     if pred is None:  # empty query set: no buckets probed, empty result
         pred = F.lit(False)
     c = (
-        spark.read.parquet(_index_child(path, "buckets"))
+        _read_layout(spark, path, "buckets", meta)
         .where(pred)
         # partition-directory columns come back int32/int32; restore the
         # long bucket the in-memory side carries so the join is cast-free
@@ -2109,6 +2129,40 @@ def _index_child(path: str, name: str) -> str:
     return path.rstrip("/") + "/" + name
 
 
+def _layout_schema(df: DataFrame) -> dict:
+    """The read-back frame's schema as a JSON-ready dict — recorded into the
+    index header at build/compact time (``meta.json``'s ``schema`` key) so
+    later reads can skip the parquet footer schema-inference job
+    (:func:`_read_layout`). Captured from the post-write read-back, so it is
+    EXACTLY what inference would produce for this layout (including the
+    int-typed partition directory columns) — downstream casts and plans are
+    untouched."""
+    import json
+
+    return json.loads(df.schema.json())
+
+
+def _read_layout(spark, path: str, subdir: str, meta: dict | None):
+    """Read an index layout under ``<path>/<subdir>/``, passing the
+    build-pinned schema from the header when available — every
+    ``spark.read.parquet`` of an index root otherwise launches a footer
+    schema-inference job (~0.1-0.2s driver+job per read at local[32], paid
+    by EVERY query/stats/publish entry; guide §6). Falls back to inference
+    when the header predates the pin or when a streaming ``batch=`` delta
+    layer rides above the layout (its extra partition column is not in the
+    pinned schema; the delta probe is one driver-side listing). The pinned
+    schema is scheme-stable: partition values are bounded by the frozen
+    scheme constants (band/bk/tbl/bucket/cell domains), so the int types
+    inference chose at build time never widen on append."""
+    base = _index_child(path, subdir)
+    sj = (meta or {}).get("schema")
+    if sj and not _has_delta_layer(spark, path, subdir):
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(sj)).parquet(base)
+    return spark.read.parquet(base)
+
+
 def _fs_write_text(spark, path: str, text: str) -> None:
     """Write a small text file through the Hadoop FileSystem resolved for
     ``path``'s scheme — the same filesystem layer the parquet writers use,
@@ -2424,13 +2478,17 @@ def ivfpq_index_build(
     ).write.mode("overwrite").option(
         "compression", "zstd"
     ).partitionBy("cell").parquet(_index_child(path, "codes"))
+    # one inference read-back pins the layout schema into the header, so
+    # every later read of this root skips the footer-inference job
+    idx = spark.read.parquet(_index_child(path, "codes"))
     _fs_write_text(
         spark,
         _index_child(path, "meta.json"),
-        json.dumps({"dim": dim, "m": m, "coarse": coarse, "books": books}),
+        json.dumps({"dim": dim, "m": m, "coarse": coarse, "books": books,
+                    "schema": _layout_schema(idx)}),
     )
     _index_clear_tombstones(spark, path)
-    return spark.read.parquet(_index_child(path, "codes"))
+    return idx
 
 
 def ivfpq_index_query(
@@ -2467,7 +2525,7 @@ def ivfpq_index_query(
     probed = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )
-    codes = spark.read.parquet(_index_child(path, "codes")).where(
+    codes = _read_layout(spark, path, "codes", meta).where(
         F.col("cell").isin([int(c) for c in probed])
     )
     if "batch" in codes.columns:
@@ -2528,7 +2586,7 @@ def ivfpq_index_append(
     ).write.mode("append").option(
         "compression", "zstd"
     ).partitionBy("cell").parquet(_index_child(path, "codes"))
-    return spark.read.parquet(_index_child(path, "codes"))
+    return _read_layout(spark, path, "codes", meta)
 
 
 def ivfpq_index_init(
