@@ -1513,3 +1513,62 @@ def test_index_rebuild_in_place_clears_prior_tombstones(spark, tmp_path):
     import os
 
     assert not os.path.exists(os.path.join(root, "tombstones"))
+
+
+def test_layout_split_key_spreads_files_and_preserves_results(
+    spark, tmp_path, monkeypatch
+):
+    """r14 within-partition split key (`similarity._layout_repartition`):
+    with SPARK_GRAFT_LAYOUT_SPLIT > 1, a hot layout directory is written by
+    up to `split` tasks (so > 1 file), the on-disk partitionBy layout is
+    unchanged, and the queryable rows are IDENTICAL to a split=1 build —
+    on a skewed fixture where many docs share one (band, bk) partition."""
+    import glob
+    import os
+
+    from wiki_mysql_spark.operators import dedup as dd
+    from wiki_mysql_spark.operators import similarity as sim
+
+    # skewed fixture: 64 identical texts -> identical signatures -> every
+    # band row of every doc lands in the SAME (band, bk) directory
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(64)],
+        "doc_id long, text string",
+    )
+
+    root_plain = str(tmp_path / "mh_plain")
+    dd.minhash_index_build(docs, root_plain)
+
+    monkeypatch.setattr(sim, "_LAYOUT_SPLIT_FILES", 4)
+    root_split = str(tmp_path / "mh_split")
+    dd.minhash_index_build(docs, root_split)
+
+    rows_plain = {
+        tuple(r)
+        for r in dd.minhash_index_read(spark, root_plain)
+        .select("doc_id", "band", "v0", "v1", "bk").collect()
+    }
+    rows_split = {
+        tuple(r)
+        for r in dd.minhash_index_read(spark, root_split)
+        .select("doc_id", "band", "v0", "v1", "bk").collect()
+    }
+    assert rows_split == rows_plain and rows_plain
+
+    # same directory layout either way; the hot directories gain files
+    def dirs(root):
+        return sorted(
+            os.path.relpath(d, root)
+            for d in glob.glob(os.path.join(root, "bands", "band=*", "bk=*"))
+        )
+
+    assert dirs(root_split) == dirs(root_plain)
+
+    def max_files(root):
+        return max(
+            len(glob.glob(os.path.join(d, "*.parquet")))
+            for d in glob.glob(os.path.join(root, "bands", "band=*", "bk=*"))
+        )
+
+    assert max_files(root_plain) == 1
+    assert max_files(root_split) > 1

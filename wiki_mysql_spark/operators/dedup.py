@@ -285,17 +285,14 @@ def minhash_index_build(
         _index_child,
         _index_clear_tombstones,
         _layout_schema,
-        _layout_write_partitions,
+        _layout_repartition,
     )
 
     spark = docs.sparkSession
     rows = _minhash_index_rows(docs, id_col, text_col)
-    rows.repartition(
-        _layout_write_partitions(
-            spark, N_BANDS * MINHASH_INDEX_BUCKETS
-        ),
-        F.col("band"),
-        F.col("bk"),
+    _layout_repartition(
+        rows, "band", "bk",
+        n_dirs=N_BANDS * MINHASH_INDEX_BUCKETS, id_col="doc_id",
     ).write.mode(
         "overwrite"
     ).option("compression", "zstd").partitionBy("band", "bk").parquet(
@@ -354,18 +351,15 @@ def minhash_index_write_delta(
     back to the flat layout."""
     from wiki_mysql_spark.operators.similarity import (
         _index_child,
-        _layout_write_partitions,
+        _layout_repartition,
     )
 
     spark = docs.sparkSession
     _minhash_meta_check(spark, path)
     rows = _minhash_index_rows(docs, id_col, text_col)
-    rows.repartition(
-        _layout_write_partitions(
-            spark, N_BANDS * MINHASH_INDEX_BUCKETS
-        ),
-        F.col("band"),
-        F.col("bk"),
+    _layout_repartition(
+        rows, "band", "bk",
+        n_dirs=N_BANDS * MINHASH_INDEX_BUCKETS, id_col="doc_id",
     ).write.mode(
         "overwrite"
     ).option("compression", "zstd").partitionBy("band", "bk").parquet(
@@ -451,7 +445,7 @@ def minhash_index_append(
     from wiki_mysql_spark.operators.similarity import (
         _has_delta_layer,
         _index_child,
-        _layout_write_partitions,
+        _layout_repartition,
     )
 
     spark = docs.sparkSession
@@ -465,12 +459,9 @@ def minhash_index_append(
         )
     meta = _minhash_meta_check(spark, path)
     rows = _minhash_index_rows(docs, id_col, text_col)
-    rows.repartition(
-        _layout_write_partitions(
-            spark, N_BANDS * MINHASH_INDEX_BUCKETS
-        ),
-        F.col("band"),
-        F.col("bk"),
+    _layout_repartition(
+        rows, "band", "bk",
+        n_dirs=N_BANDS * MINHASH_INDEX_BUCKETS, id_col="doc_id",
     ).write.mode(
         "append"
     ).option("compression", "zstd").partitionBy("band", "bk").parquet(
