@@ -83,9 +83,12 @@ def dense_ids(
     upstream (e.g. the wiki build probes its single ``staged`` frame once
     for all downstream gates) and vouches it is under the fast-path bound —
     skip this function's own checkpoint + byte-probe jobs and take the
-    single-partition path directly. Strategy only; results are identical
-    either way (pinned both ways in tests). ``None`` keeps the self-probing
-    behavior."""
+    single-partition path directly. ``small_hint=False`` is an explicit
+    FORCE-DISTRIBUTED hint: the probe is skipped too and the parallel path
+    runs regardless of size (the same contract as
+    ``resolve_redirects(small_hint=False)``). Strategy only; results are
+    identical on every path (pinned in tests). ``None`` keeps the
+    self-probing behavior."""
     spark = df.sparkSession
     # Small-input fast path (see sources.tables.is_small_input): merge to ONE
     # partition and sort locally. monotonically_increasing_id on a single

@@ -74,7 +74,18 @@ def _sql_double(x: float) -> str:
     """Render one double as a Spark SQL literal. ``repr`` emits the
     shortest decimal string that round-trips to the same IEEE double, and
     the SQL parser reads it back to that exact double, so the resulting
-    ``Literal`` is bit-identical to ``F.lit(float(x))``'s."""
+    ``Literal`` is bit-identical to ``F.lit(float(x))``'s.
+
+    Raises ``ValueError`` on NaN/Inf — DELIBERATE (r13 advice, confirmed
+    intent): the old per-element ``F.lit`` spelling silently folded
+    non-finite plane/centroid components into null buckets or bucket 0,
+    which silently degrades recall corpus-wide. Every caller
+    (:func:`lsh_signature` planes, :func:`_lit_vec`/:func:`_lit_centers`/
+    :func:`_lit_center_map` centroids and PQ books) receives TRAINED or
+    seeded parameters, for which a non-finite component is always an
+    upstream corruption bug — fail loudly at plan build, not silently at
+    query time. A legitimate non-finite literal (none exists in this
+    module today) would render as ``CAST('NaN' AS DOUBLE)`` instead."""
     v = float(x)
     if not math.isfinite(v):
         raise ValueError(f"non-finite vector literal {x!r}")

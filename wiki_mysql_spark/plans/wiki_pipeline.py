@@ -145,9 +145,21 @@ def _build_wiki_frames(
     from wiki_mysql_spark.sources.tables import _row_bytes_estimate, leaf_bytes
 
     _STAGED_SMALL_BYTES = 8 << 20
+    # The known-stats branch sees COMPRESSED on-disk leaf bytes while the
+    # downstream gates bound estimated IN-MEMORY octet lengths; parquet+zstd
+    # wiki text expands ~3-5x on decode, so the hint only fires when the
+    # compressed leaves are under bound/4 — a staged frame in the ambiguous
+    # band (bound/4 .. bound) falls through to hint None and the gates'
+    # own in-memory probes decide (the r13 advice item: a <8MB-compressed
+    # frame must not smuggle a >8MB edge set into a driver collect).
+    _COMPRESSION_EXPANSION = 4
     known, unknown = leaf_bytes(staged)
     if not unknown and known is not None:
-        small_hint = True if known < _STAGED_SMALL_BYTES else None
+        small_hint = (
+            True
+            if known * _COMPRESSION_EXPANSION < _STAGED_SMALL_BYTES
+            else None
+        )
     else:
         _probe = staged.limit(100_001).select(
             F.count(F.lit(1)).alias("_n"),
