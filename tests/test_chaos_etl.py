@@ -15,9 +15,12 @@ from __future__ import annotations
 import json
 import os
 import subprocess
+
+import pytest
 import sys
 
 
+@pytest.mark.slowtier
 def test_chaos_malformed_shard_and_midwrite_failure(tmp_path):
     script = os.path.join(os.path.dirname(__file__), "chaos_etl_script.py")
     proc = subprocess.run(

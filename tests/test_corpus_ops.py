@@ -367,6 +367,7 @@ def _bpe_reference(docs: list[str], n_merges: int):
     return merges
 
 
+@pytest.mark.slowtier
 def test_bpe_train_fuzz_vs_python_reference(spark):
     """Randomized differential test: 20 seeded random corpora (Zipf-ish
     words over a tiny alphabet to force merge-cascades and ties) — the
@@ -427,6 +428,7 @@ def test_dsir_weights_direction(spark):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.slowtier
 def test_dsir_fuzz_vs_python_reference(spark):
     """Differential fuzz for DSIR: 8 seeded random corpora through the
     Spark pipeline vs an independent pure-Python implementation of the

@@ -255,28 +255,34 @@ def _walk_physical(node):
         yield from _walk_physical(node.initialPlan())
 
 
-def test_no_unpartitioned_window_anywhere_in_registry(spark):
-    """Registry-wide scale guard: NO entry may plan an unpartitioned
-    WindowExec ("WARN WindowExec: No Partition Defined") — a global
-    ORDER BY window funnels the entire input through one task, the one
-    plan shape that cannot survive 100x data. Global ntile/rank spellings
-    must go through operators.ids.global_ntile / dense_ids (two-pass
-    range-partitioned rank), value-range frames through bucket-and-carry
-    (window_range_frame). Walks the physical plan of EVERY registered
-    query; streaming entries (no batch plan before execution) and entries
-    that materialize eagerly are exercised by their own suites."""
+def test_registry_wide_plan_shape_guards(spark):
+    """ONE registry sweep enforcing every whole-registry plan-shape
+    invariant (r14: formerly two tests that each rebuilt all 200 entries —
+    building the entries, not checking the plans, is ~98% of the cost, so
+    the merge halves ~340s of suite wall):
+
+    * NO unpartitioned WindowExec anywhere ("WARN WindowExec: No Partition
+      Defined") — a global ORDER BY window funnels the entire input
+      through one task, the one plan shape that cannot survive 100x data.
+      Global ntile/rank spellings must go through
+      operators.ids.global_ntile / dense_ids, value-range frames through
+      bucket-and-carry (window_range_frame).
+    * NO CartesianProduct anywhere (r6 verdict item 7 — the PLANS_r{N}.md
+      hand audit promoted to CI).
+    * Every BroadcastNestedLoopJoin is a broadcast-tiny documented
+      contract (BNLJ_CONTRACT) or the build fails.
+
+    Streaming entries (no batch plan before execution) and entries that
+    materialize eagerly are exercised by their own suites."""
     from wiki_mysql_spark.queries import QUERIES
 
-    offenders = {}
+    offenders, cart, bnlj = {}, {}, {}
     for name, fn in sorted(QUERIES.items()):
         try:
             df = fn(spark, SF_CORRECTNESS)
-        except Exception:
-            continue  # entries needing special fixtures fail at build, not plan
-        try:
             plan = df._jdf.queryExecution().executedPlan()
         except Exception:
-            continue
+            continue  # entries needing special fixtures fail at build, not plan
         bad = []
         for n in _walk_physical(plan):
             cls = n.getClass().getSimpleName()
@@ -289,7 +295,17 @@ def test_no_unpartitioned_window_anywhere_in_registry(spark):
                 pass  # py4j attrs resolve lazily; non-window lookalikes skip
         if bad:
             offenders[name] = bad
+        text = plan.toString()
+        if "CartesianProduct" in text:
+            cart[name] = text.count("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in text and name not in BNLJ_CONTRACT:
+            bnlj[name] = text.count("BroadcastNestedLoopJoin")
     assert not offenders, f"unpartitioned WindowExec in: {offenders}"
+    assert not cart, f"CartesianProduct in: {cart}"
+    assert not bnlj, (
+        f"undocumented BroadcastNestedLoopJoin in: {bnlj} — broadcast-tiny "
+        "by design? add to BNLJ_CONTRACT with the justification"
+    )
 
 
 def test_map_in_pandas_spread_fans_out_small_scan(spark, tmp_path):
@@ -406,37 +422,6 @@ PUSHDOWN_PINNED = {
     "join_theta_residual": 2,
     "ann_topk_ivf_trained": 2,
 }
-
-
-def test_registry_wide_no_cartesian_and_bnlj_only_by_contract(spark):
-    """r6 verdict next-round item 7: the hand audit of PLANS_r{N}.md
-    ('zero CartesianProduct nodes in all 58 plans; every BNLJ is a
-    broadcast-tiny or documented contract') promoted to CI. Builds EVERY
-    registry entry at the correctness SF and walks its physical plan:
-    a CartesianProduct anywhere, or a BroadcastNestedLoopJoin outside
-    BNLJ_CONTRACT, fails the build that introduced it."""
-    cart, bnlj = {}, {}
-    for name, fn in sorted(QUERIES.items()):
-        try:
-            plan = (
-                fn(spark, SF_CORRECTNESS)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-            )
-        except Exception:
-            # entries needing special fixtures surface their own failures
-            # in their own suites; this guard is about plan shapes
-            continue
-        if "CartesianProduct" in plan:
-            cart[name] = plan.count("CartesianProduct")
-        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_CONTRACT:
-            bnlj[name] = plan.count("BroadcastNestedLoopJoin")
-    assert not cart, f"CartesianProduct in: {cart}"
-    assert not bnlj, (
-        f"undocumented BroadcastNestedLoopJoin in: {bnlj} — broadcast-tiny "
-        "by design? add to BNLJ_CONTRACT with the justification"
-    )
 
 
 def test_pinned_scan_pushdowns_still_reach_parquet(spark):

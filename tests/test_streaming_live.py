@@ -307,6 +307,7 @@ def test_stream_ann_ingest_equals_batch_build(spark):
     assert got == want
 
 
+@pytest.mark.slowtier
 def test_stream_ann_ingest_replay_idempotent(spark):
     """The r9 idempotency gap, closed: a micro-batch that WRITES its delta
     and then fails before Spark records the commit is re-delivered on
@@ -406,6 +407,7 @@ def test_stream_ivfpq_ingest_replay_equals_batch(spark):
     assert got == want and got
 
 
+@pytest.mark.slowtier
 def test_stream_minhash_ingest_replay_idempotent(spark):
     """The minhash dedup index's streaming write path with a forced
     written-then-failed replay: the drained index must equal a one-shot
