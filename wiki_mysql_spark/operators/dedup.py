@@ -124,28 +124,31 @@ def _minhash_shingles_and_bands(base: DataFrame) -> tuple[DataFrame, DataFrame]:
     (mh would be NULL), exactly the old no-signature-rows semantics: that
     only removes the empty-vs-empty candidates Jaccard verification would
     NULL out anyway."""
+    # the whole front half is rendered as SQL parsed by selectExpr — the
+    # r13 literal-tree lesson applied to the text pipeline: composing these
+    # trees per-call through F.* costs ~0.4s of py4j round trips per entry
+    # construction (measured), the parsed spelling builds the same Catalyst
+    # functions in one call
+    sql_ws = r"filter(split(text, '\\s+'), w -> w != '')"
+    sql_sh = (
+        "array_distinct(CASE WHEN (size(ws) - 2) <= 0 "
+        "THEN CAST(array() AS array<string>) "
+        "ELSE transform(sequence(1, size(ws) - 2), "
+        "i -> concat_ws(' ', slice(ws, i, 3))) END)"
+    )
+    sql_hv = (
+        "transform(sh, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) "
+        f"AS BIGINT) % {HASH_PRIME})"
+    )
+    sql_mh = [
+        f"array_min(transform(hv, h -> ({a} * h + {b}) % {HASH_PRIME})) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
     sh_sig = (
-        base.select("doc_id", words(F.col("text")).alias("ws"))
-        .select(
-            "doc_id", F.array_distinct(shingles_of(F.col("ws"), 3)).alias("sh")
-        )
-        .select(
-            "doc_id",
-            "sh",
-            F.transform("sh", lambda s: hash64(s) % HASH_PRIME).alias("hv"),
-        )
-        .select(
-            "doc_id",
-            "sh",
-            *[
-                F.array_min(
-                    F.transform(
-                        "hv", lambda h: (F.lit(a) * h + F.lit(b)) % HASH_PRIME
-                    )
-                ).alias(f"mh{i}")
-                for i, (a, b) in enumerate(MINHASH_PARAMS)
-            ],
-        )
+        base.selectExpr("doc_id", f"{sql_ws} AS ws")
+        .selectExpr("doc_id", f"{sql_sh} AS sh")
+        .selectExpr("doc_id", "sh", f"{sql_hv} AS hv")
+        .selectExpr("doc_id", "sh", *sql_mh)
         .localCheckpoint(eager=False)
     )
     sh = sh_sig.select("doc_id", "sh")
