@@ -308,3 +308,29 @@ def test_sorted_neighborhood_deterministic_across_partitioning(spark):
     b = sorted(map(tuple, sorted_neighborhood_pairs(
         p.repartition(7), name_col="p_name").collect()))
     assert a == b and a
+
+
+def test_triangle_count_dense_and_sparse_paths_agree(spark, monkeypatch):
+    """r14 dense-regime bitset gate: dense (small integral id domain) and
+    sparse (forced via domain bound 0) paths must return the identical
+    (n_nodes, n_edges, n_triangles) row; non-integral node ids always take
+    the sparse path without error."""
+    from wiki_mysql_spark.operators import graph
+    from wiki_mysql_spark.operators.graph import triangle_count
+
+    # K4 plus a pendant edge: C(4,3)=4 triangles, 7 edges, 5 nodes
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 10)],
+        "src long, dst long",
+    )
+    dense_row = triangle_count(edges).collect()[0]
+    monkeypatch.setattr(graph, "_TRI_DENSE_DOMAIN", 0)
+    sparse_row = triangle_count(edges).collect()[0]
+    assert tuple(dense_row) == tuple(sparse_row) == (5, 7, 4)
+    monkeypatch.undo()
+
+    # string node ids: integral-dtype guard keeps the sparse path working
+    s_edges = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("x", "z")], "src string, dst string"
+    )
+    assert tuple(triangle_count(s_edges).collect()[0]) == (3, 3, 1)

@@ -377,10 +377,15 @@ def triangle_count(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> D
         .localCheckpoint(eager=False)
     )
     # dense-regime gate: min/max over the node-count-sized degree frame —
-    # work the orientation joins needed anyway, just materialized early
+    # work the orientation joins needed anyway, just materialized early.
+    # Only integral node ids qualify (the bitset packs ids as bit
+    # positions); string/decimal-keyed graphs keep the sparse path the
+    # operator always supported.
+    integral = dict(e.dtypes)["a"] in ("tinyint", "smallint", "int", "bigint")
     st = deg.agg(F.min("node").alias("mn"), F.max("node").alias("mx")).collect()[0]
     dense = (
-        st["mn"] is not None
+        integral
+        and st["mn"] is not None
         and int(st["mn"]) >= 0
         and int(st["mx"]) < _TRI_DENSE_DOMAIN
     )
